@@ -1,0 +1,350 @@
+"""Deduplication operators over the ``documents`` table — first-class
+training-data-pipeline components (task brief): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Reference tie-in: exact dedup is the engine's D2 triple-set/faceted-row
+dedup pattern (``documentrepository.py:2196-2207``) applied to document
+content; the rest extend it to near-duplicate detection per the LSH
+literature (shingle → minhash → band → bucket groupby; see PAPERS.md).
+
+Scale design (ray guide "Aggregation at scale"):
+* signatures are computed per batch (vectorized numpy), emitted as
+  narrow rows; candidate generation is a ``groupby`` on (band, hash) —
+  an all-to-all of SMALL rows only (doc_id + 16-byte key), never text.
+* verification joins candidate pairs back to shingle sets via a
+  broadcast dict at this corpus size; at web scale swap for a bucketed
+  hash join on doc_id (same pattern as the canon stage fallback).
+* connected components for dup-cluster assignment = iterative min-label
+  propagation (bounded rounds), not a driver-side union-find.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+# MinHash parameters
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_PERM_A = _RNG.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _RNG.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+# -- exact dedup (SQL-oracle-checked) -------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """One row per distinct text: keeper = min(doc_id), plus copy count
+    (groupby content hash → deterministic first; D1/D2 pattern)."""
+    ds = _docs(sf_dir)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha1(t.encode()).hexdigest()
+                  for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text_sha": pa.array(hashes, pa.string())})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_copies"))
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# -- shingling + MinHash ---------------------------------------------------
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """k-word shingles, hashed to 61-bit ints."""
+    toks = text.split()
+    out = set()
+    for i in range(max(0, len(toks) - k + 1)):
+        g = " ".join(toks[i : i + k])
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        out.add(h % _MERSENNE)
+    return out
+
+
+def minhash_signature(sh: set[int]) -> np.ndarray:
+    """64-perm minhash signature (vectorized over the shingle set)."""
+    if not sh:
+        return np.full(N_PERM, _MERSENNE, dtype=np.int64)
+    vals = np.fromiter(sh, dtype=np.int64, count=len(sh))
+    # (a*x + b) mod p for each permutation — broadcasted
+    prods = (vals[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
+    return prods.min(axis=1)
+
+
+def band_rows(doc_id: int, sig: np.ndarray) -> list[dict]:
+    rows = []
+    for band in range(N_BANDS):
+        chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+        bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+        rows.append({"band": band, "band_hash": bh, "doc_id": doc_id})
+    return rows
+
+
+def _band_rows_batch(b: pa.Table) -> pa.Table:
+    rows: list[dict] = []
+    for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+        rows.extend(band_rows(doc_id, minhash_signature(shingles(text))))
+    return pa.table(
+        {
+            "band": pa.array([r["band"] for r in rows], pa.int32()),
+            "band_hash": pa.array([r["band_hash"] for r in rows], pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def minhash_candidates(sf_dir: str):
+    """LSH candidate pairs: same (band, band_hash) bucket → pair
+    (doc_a < doc_b), deduplicated across bands."""
+    ds = _docs(sf_dir).map_batches(_band_rows_batch, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # dedup pairs seen in multiple bands
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
+    """Verified near-dup pairs: LSH candidates → exact shingle-set
+    Jaccard ≥ threshold. Verification uses a broadcast doc_id→shingles
+    dict (documents is the small side here; see module scale note)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh_ref = ray.put(
+        {d: shingles(t) for d, t in zip(tab.column("doc_id").to_pylist(),
+                                        tab.column("text").to_pylist())}
+    )
+    cand = minhash_candidates(sf_dir)
+
+    def verify(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        sh = fetch(sh_ref)
+        a_out, b_out, j_out = [], [], []
+        for a, bb in zip(b.column("doc_a").to_pylist(),
+                         b.column("doc_b").to_pylist()):
+            sa, sb = sh.get(a, set()), sh.get(bb, set())
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(bb)
+                j_out.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard_top_pairs(sf_dir: str, k: int = 10):
+    """Top-k most similar doc pairs by exact n-gram Jaccard, restricted
+    to LSH candidates (deterministic tie-break on the pair key)."""
+    pairs = minhash_dedup_pairs(sf_dir, threshold=0.0)
+    return pairs.sort(["jaccard", "doc_a", "doc_b"],
+                      descending=[True, False, False]).limit(k)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhashes(sf_dir: str):
+    """doc_id → simhash (as two int32 halves for portability) + the
+    4 16-bit blocks used for hamming-≤3 blocking."""
+    ds = _docs(sf_dir)
+
+    def sh(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        hs = [simhash64(t) for t in b.column("text").to_pylist()]
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash_lo": pa.array([h & 0xFFFFFFFF for h in hs], pa.int64()),
+            "simhash_hi": pa.array([h >> 32 for h in hs], pa.int64()),
+        }
+        for blk in range(4):
+            cols[f"block{blk}"] = pa.array(
+                [(h >> (16 * blk)) & 0xFFFF for h in hs], pa.int32()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: block on each 16-bit quarter (pigeonhole:
+    hamming ≤ 3 ⇒ at least one identical quarter), verify hamming
+    distance, dedup pairs found via multiple blocks."""
+    hs = simhashes(sf_dir)
+
+    def pairs_for_block(blk):
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("doc_id")
+            recs = list(zip(g["doc_id"], g["simhash_lo"], g["simhash_hi"]))
+            a_o, b_o, d_o = [], [], []
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    da, la, ha = recs[i]
+                    db, lb, hb = recs[j]
+                    x = (la ^ lb) | ((ha ^ hb) << 32)
+                    d = bin(x).count("1")
+                    if d <= max_hamming:
+                        a_o.append(da)
+                        b_o.append(db)
+                        d_o.append(d)
+            return pd.DataFrame({"doc_a": a_o, "doc_b": b_o, "hamming": d_o})
+
+        return hs.groupby(f"block{blk}").map_groups(pairs, batch_format="pandas")
+
+    all_pairs = pairs_for_block(0)
+    for blk in range(1, 4):
+        all_pairs = all_pairs.union(pairs_for_block(blk))
+    return all_pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# -- embedding cosine near-dup --------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
+    """Near-dup pairs over the embeddings table: blocked brute-force
+    cosine — each batch of vectors is scored against the full broadcast
+    matrix (float64 matmul), pairs above threshold kept (a < b).
+
+    At web scale the broadcast matrix becomes an IVF/LSH index; the
+    per-batch matmul pattern is unchanged (see ops/ann.py)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.array(tab.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def score(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        all_ids, all_mat = fetch(ref)
+        vids = np.array(b.column("vec_id").to_pylist(), dtype=np.int64)
+        vm = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(vm, axis=1)
+        n[n == 0] = 1.0
+        vm = vm / n[:, None]
+        sims = vm @ all_mat.T  # (batch, N)
+        a_o, b_o, s_o = [], [], []
+        for r in range(sims.shape[0]):
+            hits = np.where(sims[r] >= threshold)[0]
+            for c in hits:
+                if vids[r] < all_ids[c]:  # each pair once, no self
+                    a_o.append(int(vids[r]))
+                    b_o.append(int(all_ids[c]))
+                    s_o.append(round(float(sims[r, c]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_o, pa.int64()),
+                "vec_b": pa.array(b_o, pa.int64()),
+                "cos_sim": pa.array(s_o, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=1024)
+
+
+EMBEDDING_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+# -- duplicate clustering (connected components) ---------------------------
+
+def dup_clusters(pairs_ds, max_rounds: int = 10):
+    """Connected components over dup pairs via iterative min-label
+    propagation (bounded rounds; converges in O(diameter) — no
+    driver-side union-find). Returns (doc_id, cluster) with cluster =
+    min doc_id of the component."""
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
+    # iterate with Ray groupbys when the edge set is large; at the current
+    # corpus sizes the label table is small enough to iterate locally,
+    # but keep semantics identical to the distributed min-propagation.
+    import itertools
+
+    label = {}
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        label.setdefault(a, a)
+        label.setdefault(b, b)
+    for _ in range(max_rounds):
+        changed = False
+        for a, b in itertools.chain(
+            zip(edges["doc_a"], edges["doc_b"]),
+            zip(edges["doc_b"], edges["doc_a"]),
+        ):
+            if label[b] < label[a]:
+                label[a] = label[b]
+                changed = True
+        if not changed:
+            break
+    return pd.DataFrame(
+        {"doc_id": list(label.keys()), "cluster": list(label.values())}
+    ).sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,461 @@
+"""Relational operators over the driver's TPC-H-ish tables, Ray-Data-first.
+
+Each function here is a ``queries()`` entry in ``__ray_entry__.py`` with a
+matching DuckDB ``oracle_sql()`` string; together they cover the
+reference's aggregation / join / sort / dedup / pivot operator inventory
+(SURVEY §2.4-2.7) on relational data:
+
+* grouped aggregates with map-side combine (A1/A4/A6 analogs)
+* broadcast hash / semi / anti joins — small side via ``ray.put``
+  (J3/J5 analogs; ray guide "Joins and lookups")
+* latest-row-per-key dedup (D4 ``download_is_different`` analog)
+* top-k sorts (O3/O6), facet pivot (A1 ``faceted_data`` analog)
+* grouped count-distinct (A4 ``wsgiapp.stats`` analog)
+
+Scale notes: every groupby here either uses Ray's hash aggregate (which
+pre-combines per block before the shuffle) or a bucketed
+``groupby(bucket).map_groups`` with an explicit bucket count so one
+group never exceeds a worker's heap; broadcast sides are dimension-table
+sized by construction and shipped ONCE via ``ray.put``, not per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ferenda_ray.util import stable_uint
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# -- A: grouped aggregates ------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem (columns pruned at
+    the read; Ray's hash aggregate pre-combines per block)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", disc)
+
+    return (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (the engine's
+    windowed-aggregate primitive; ray guide 'Streaming-shaped
+    workloads')."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    return (
+        ds.map_batches(trunc, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def count_distinct_users(sf_dir: str):
+    """Grouped count-distinct via two-level aggregation (scalable — no
+    per-group set materialization; reference ``wsgiapp.stats`` A4)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="v")
+    )
+    return per_user.groupby("event_type").aggregate(
+        Count(alias_name="n_users"),
+        Sum("n", alias_name="n_events"),
+        Sum("v", alias_name="sum_value"),
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       sum(value) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def pivot_user_event_counts(sf_dir: str):
+    """Facet pivot (A1 ``faceted_data`` analog): one row per user with a
+    count column per event_type — indicator columns in a vectorized
+    map_batches, then ONE grouped sum (no per-group python)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b.column("user_id")}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(b.column("event_type"), pa.scalar(t)), pa.int64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# -- J: joins (broadcast small side) --------------------------------------
+
+def region_supplier_stats(sf_dir: str):
+    """supplier ⋈ nation ⋈ region via broadcast dimension maps (both dims
+    are tiny; one ``ray.put`` each, dict lookup per batch — no shuffle
+    join), then grouped aggregate."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pydict()
+    region = pq.read_table(_t(sf_dir, "region")).to_pydict()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        names = [lk[k] for k in b.column("s_nationkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string()),
+                         "s_acctbal": b.column("s_acctbal")})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Mean("s_acctbal", alias_name="avg_acctbal"))
+    )
+
+
+REGION_SUPPLIER_SQL = """
+SELECT r_name, count(*) AS n_suppliers, avg(s_acctbal) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3-shaped: revenue per order for one customer segment,
+    top-k. Customer keys for the segment are broadcast as a semi-join
+    filter on orders; surviving orderkeys broadcast onto lineitem; one
+    grouped sum; global top-k via sort().limit()."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = set(
+        pa.table(cust).filter(
+            pc.equal(cust.column("c_mktsegment"), pa.scalar(segment))
+        ).column("c_custkey").to_pylist()
+    )
+    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    okeys = {
+        ok for ok, ck in zip(orders.column("o_orderkey").to_pylist(),
+                             orders.column("o_custkey").to_pylist())
+        if ck in keys
+    }
+    okeys_ref = ray.put(okeys)
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def filt_rev(b: pa.Table) -> pa.Table:
+        ok = ray.get(okeys_ref)
+        mask = pa.array([x in ok for x in b.column("l_orderkey").to_pylist()],
+                        pa.bool_())
+        b = b.filter(mask)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"o_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    return (
+        ds.map_batches(filt_rev, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort("revenue", descending=True)
+        .limit(k)
+    )
+
+
+SEGMENT_TOP_ORDERS_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC LIMIT 10
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join (J5 ``Skeleton`` referenced-but-undefined analog):
+    customers that never placed an order. The order-custkey set is
+    broadcast; the filter runs inside map_batches."""
+    import pyarrow.parquet as pq
+
+    okeys = set(
+        pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
+        .column("o_custkey").to_pylist()
+    )
+    ref = ray.put(okeys)
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        ok = ray.get(ref)
+        mask = pa.array([x not in ok for x in b.column("c_custkey").to_pylist()],
+                        pa.bool_())
+        return b.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def parts_in_lineitem_by_brand(sf_dir: str):
+    """Semi-join (J4 keyword wikipedia semi-join analog): parts that
+    actually appear in lineitem, counted per brand."""
+    import pyarrow.parquet as pq
+
+    pkeys = set(
+        pq.read_table(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+        .column("l_partkey").to_pylist()
+    )
+    ref = ray.put(pkeys)
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+
+    def semi(b: pa.Table) -> pa.Table:
+        pk = ray.get(ref)
+        mask = pa.array([x in pk for x in b.column("p_partkey").to_pylist()],
+                        pa.bool_())
+        return b.filter(mask)
+
+    return (
+        ds.map_batches(semi, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+    )
+
+
+PARTS_IN_LINEITEM_SQL = """
+SELECT p_brand, count(*) AS n_parts FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand
+"""
+
+
+def segment_order_stats(sf_dir: str):
+    """customer ⋈ orders with broadcast custkey→segment map, grouped by
+    segment (J6 entries⋈facets analog)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                               cust.column("c_mktsegment").to_pylist())))
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        s = [seg[k] for k in b.column("o_custkey").to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(s, pa.string()),
+                         "o_totalprice": b.column("o_totalprice")})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_totalprice"),
+                   Mean("o_totalprice", alias_name="avg_totalprice"))
+    )
+
+
+SEGMENT_ORDER_STATS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(o_totalprice) AS sum_totalprice,
+       avg(o_totalprice) AS avg_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- D/O: dedup, sort, top-k ---------------------------------------------
+
+def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
+    """Latest-row-per-key dedup (D4 latest-per-url analog): bucketed by
+    hash(user_id) so each map_groups task handles many keys vectorized
+    in pandas; deterministic tie-break on (ts, event_id)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type", "event_id",
+                                  "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [stable_uint(str(u), num_buckets)
+                   for u in b.column("user_id").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", as_index=False).tail(1)
+        return out.drop(columns=["bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, ts, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def top5_orders(sf_dir: str):
+    """Global top-k by sort().limit() (O6 frontpage top-5 analog)."""
+    return (
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+        .sort("o_totalprice", descending=True)
+        .limit(5)
+    )
+
+
+TOP5_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC LIMIT 5
+"""
+
+
+def order_priority_counts(sf_dir: str):
+    """Filter + grouped count with row-level parquet filter pushdown."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "O"),
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+"""
+
+
+def nation_order_rollup(sf_dir: str):
+    """Two chained broadcast joins + aggregate: orders → customer →
+    nation, order counts + revenue per nation."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust.column("c_custkey").to_pylist(),
+                   cust.column("c_nationkey").to_pylist()))
+    n2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put({ck: n2name[nk] for ck, nk in c2n.items()})
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        names = [lk[k] for k in b.column("o_custkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "o_totalprice": b.column("o_totalprice")})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_totalprice"))
+    )
+
+
+NATION_ORDER_ROLLUP_SQL = """
+SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -1,0 +1,176 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline primitives (token counting, language ID, quality
+scoring, document fingerprinting) the task brief requires as first-class
+components, each as a vectorized Ray Data stage.
+
+Where the semantics are SQL-expressible the op has a DuckDB oracle
+(token/char counts, ratio metrics); language ID and fingerprinting are
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# -- token counting (vectorized via polars) --------------------------------
+
+def token_counts(sf_dir: str):
+    """doc_id → n_tokens (maximal ``\\S+`` runs) + n_chars."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.count_matches(r"\S+").cast(pl.Int64).alias("n_tokens"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars_calc"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def quality_scores(sf_dir: str):
+    """Per-doc quality ratio metrics (digit ratio, whitespace ratio,
+    mean token length) — the length/punct-style quality scoring of
+    large-corpus filtering pipelines, fully vectorized."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
+        n_digits = pl.col("text").str.count_matches(r"[0-9]").cast(pl.Float64)
+        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
+        n_tokens = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
+        out = df.select(
+            pl.col("doc_id"),
+            (n_digits / n_chars).alias("digit_ratio"),
+            (n_space / n_chars).alias("space_ratio"),
+            ((n_chars - n_space) / n_tokens).alias("mean_token_len"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUALITY_SCORES_SQL = """
+SELECT doc_id,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
+           AS digit_ratio,
+       (length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS space_ratio,
+       length(regexp_replace(text, '\\s', '', 'g'))
+           / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+           AS mean_token_len
+FROM documents
+"""
+
+
+# -- language ID (n-gram/stopword heuristic; no SQL oracle) ----------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "que"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "que"},
+    "de": {"der", "die", "das", "und", "von", "ein", "eine", "ist", "mit", "zu"},
+    "sv": {"och", "att", "det", "som", "en", "av", "är", "för", "på", "med"},
+}
+
+
+def detect_lang(text: str) -> str:
+    """Stopword-overlap language ID; 'und' when nothing matches."""
+    toks = set(text.lower().split()[:200])
+    best, best_n = "und", 0
+    for lang, markers in _LANG_MARKERS.items():
+        n = len(toks & markers)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def lang_id(sf_dir: str):
+    """doc_id, lang (declared), lang_pred (heuristic), agree flag."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        df["lang_pred"] = [detect_lang(t) for t in df["text"]]
+        df["agree"] = df["lang_pred"] == df["lang"]
+        return df.drop(columns=["text"])
+
+    return ds.map_batches(pred, batch_format="pandas")
+
+
+# -- document fingerprinting (rolling hash; no SQL oracle) -----------------
+
+_B = 1000003
+_M = (1 << 61) - 1
+
+
+def winnow_fingerprint(text: str, k: int = 5, w: int = 8) -> list[int]:
+    """Winnowing fingerprint: rolling (Rabin-Karp) hashes of k-token
+    grams, minimum per window of w — the standard local document
+    fingerprint for overlap detection."""
+    toks = text.split()
+    if len(toks) < k:
+        return []
+    grams = []
+    for i in range(len(toks) - k + 1):
+        h = 0
+        for t in toks[i : i + k]:
+            th = hash_token(t)
+            h = (h * _B + th) % _M
+        grams.append(h)
+    out = []
+    prev = None
+    for i in range(max(1, len(grams) - w + 1)):
+        win = grams[i : i + w]
+        m = min(win)
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+def hash_token(t: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+
+
+def fingerprints(sf_dir: str):
+    """doc_id → fingerprint count + first fingerprint (stable sketch of
+    the doc; full list kept as a list column)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        fps = [winnow_fingerprint(t) for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                "fingerprints": pa.array(
+                    [[x % (1 << 62) for x in f] for f in fps],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,170 @@
+"""Stage S3 — mention detection + citation parsing + entity linking.
+
+Reference semantics rebuilt:
+
+* citation scanning over document text spans with compiled grammars →
+  reference-URI triples (``citationparser.py:65-165`` recursive scan,
+  grammar packs ``citationpatterns.py:16-70``, RFC formatter
+  ``rfc.py:430-452``: "section X of RFC Y" / "RFC Y" / bare URL).
+* alias → canonical-entity linking: exact dictionary hit, else fuzzy
+  ``difflib.get_close_matches(cutoff=0.8)`` with first-match tie-break
+  (``documentrepository.py:478-525`` ``lookup_resource``), disambiguated
+  by an embedding cosine scorer when the fuzzy match is ambiguous (the
+  BASELINE's embedding-ANN component).
+
+This is the canonical STATEFUL ACTOR POOL stage (SURVEY §2.3 ST1/ST3):
+the alias dictionary, blocking index, and entity-embedding matrix are
+broadcast once via ``ray.put`` and loaded in ``__init__`` (once per
+actor); per-batch work is regex scans + numpy dot products. Run it as
+``ds.map_batches(LinkStage, fn_constructor_kwargs={...},
+concurrency=N, batch_size=B)``.
+
+Scale notes: the alias side is the SMALL side of a join — broadcast, not
+shuffled (ray guide "Joins and lookups"). Fuzzy matching is blocked by
+the mention's first word, so each miss compares against a handful of
+candidate labels, not the whole dictionary.
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ferenda_ray import schemas as S
+from ferenda_ray.sources.entities import embed_text
+
+RFC_NS = "https://example.org/rfc/"
+
+# grammar pack (compiled once per actor)
+_SECTION_OF_RFC = re.compile(r"section (\d+(?:\.\d+)*) of RFC (\d+)", re.I)
+_RFC = re.compile(r"\bRFC (\d+)\b")
+_URL = re.compile(r"https?://[^\s<>\"')\]]+")
+_MENTION = re.compile(r"\b([A-Z][a-z]+(?: [A-Z][a-z]+)+(?: \d+)?)\b")
+_TRAIL_PUNCT = ".,;:!?"
+
+
+def format_rfc_uri(num: str, section: str | None = None) -> str:
+    """Canonical RFC URI with #S fragments (reference rfc.py:430-452)."""
+    uri = f"{RFC_NS}{int(num)}"
+    return f"{uri}#S{section}" if section else uri
+
+
+def scan_citations(text: str) -> list[str]:
+    """All citation target URIs in a text span, in match order.
+
+    'section X of RFC Y' wins over the bare 'RFC Y' inside it (the
+    reference resolves overlaps by grammar priority,
+    citationparser.py:97-131).
+    """
+    out: list[str] = []
+    covered: list[tuple[int, int]] = []
+    for m in _SECTION_OF_RFC.finditer(text):
+        out.append(format_rfc_uri(m.group(2), m.group(1)))
+        covered.append(m.span())
+    for m in _RFC.finditer(text):
+        if any(a <= m.start() < b for a, b in covered):
+            continue
+        out.append(format_rfc_uri(m.group(1)))
+    for m in _URL.finditer(text):
+        out.append(m.group(0).rstrip(_TRAIL_PUNCT))
+    return out
+
+
+class EntityLinker:
+    """Alias → entity-URI resolver: exact, then blocked fuzzy (cutoff 0.8,
+    first-match tie-break), then embedding-cosine disambiguation."""
+
+    FUZZY_CUTOFF = 0.8
+
+    def __init__(self, alias_to_uri: dict[str, str],
+                 emb_uris: list[str] | None = None,
+                 emb_matrix: np.ndarray | None = None):
+        self.alias_to_uri = alias_to_uri
+        # blocking index: first word -> candidate labels (keeps each fuzzy
+        # probe O(candidates), not O(dictionary))
+        self.block: dict[str, list[str]] = {}
+        for label in alias_to_uri:
+            self.block.setdefault(label.split(" ", 1)[0], []).append(label)
+        self.emb_index: dict[str, np.ndarray] = {}
+        if emb_uris is not None and emb_matrix is not None:
+            self.emb_index = {u: emb_matrix[i] for i, u in enumerate(emb_uris)}
+
+    def link(self, mention: str) -> str | None:
+        uri = self.alias_to_uri.get(mention)
+        if uri is not None:
+            return uri
+        cands = self.block.get(mention.split(" ", 1)[0])
+        if not cands:
+            return None
+        close = difflib.get_close_matches(mention, cands, n=3,
+                                          cutoff=self.FUZZY_CUTOFF)
+        if not close:
+            return None
+        if len(close) == 1 or not self.emb_index:
+            return self.alias_to_uri[close[0]]
+        # ambiguous: embedding cosine argmax; ties keep difflib order
+        mv = embed_text(mention)
+        best_uri, best_score = None, -2.0
+        for label in close:
+            u = self.alias_to_uri[label]
+            e = self.emb_index.get(u)
+            score = float(mv @ e) if e is not None else -1.0
+            if score > best_score:
+                best_uri, best_score = u, score
+        return best_uri
+
+
+def _maybe_get(ref):
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+class LinkStage:
+    """sections batch → reference/subject triples batch.
+
+    ``alias_ref``: ObjectRef (or plain dict) of label→entity_uri.
+    ``emb_ref``: ObjectRef (or plain tuple) of (uris, float32 matrix).
+    """
+
+    def __init__(self, alias_ref, emb_ref=None):
+        alias = _maybe_get(alias_ref)
+        uris, matrix = (None, None)
+        if emb_ref is not None:
+            uris, matrix = _maybe_get(emb_ref)
+        self.linker = EntityLinker(alias, uris, matrix)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subjs, preds, objs, urls = [], [], [], []
+        for url, about, text in zip(
+            batch.column("url").to_pylist(),
+            batch.column("about").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for target in scan_citations(text):
+                subjs.append(about)
+                preds.append(S.DCT_REFERENCES)
+                objs.append(target)
+                urls.append(url)
+            for m in _MENTION.finditer(text):
+                uri = self.linker.link(m.group(1))
+                if uri is not None:
+                    subjs.append(about)
+                    preds.append(S.DCT_SUBJECT)
+                    objs.append(uri)
+                    urls.append(url)
+        n = len(subjs)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "obj_is_uri": pa.array([True] * n, pa.bool_()),
+                "lang": pa.array([""] * n, pa.string()),
+                "datatype": pa.array([""] * n, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )

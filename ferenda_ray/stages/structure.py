@@ -1,0 +1,228 @@
+"""Stage S2 — webtext structural rule pack over the FSM engine.
+
+Re-nests the flat block stream from extraction into a nested element tree
+(Body → Section(ordinal) → Paragraph/List/Preformatted), the same job the
+reference's RFC and W3C rule packs do over their chunk streams
+(``rfc.py:382-428`` numbered-section recognizers, ``w3c.py:179-207``
+FSM re-nesting of flat H1-H4 structure). Section ordinals are dotted
+numbers ("1", "1.2", "1.2.3"); nesting is by ordinal depth with
+multi-level unwind.
+
+Also derives the ``sections`` table (one row per addressable fragment,
+reference analog ``documentrepository.py:2010-2086`` fulltext resource
+selection + ``decorate_bodyparts`` ``w3c.py:290-303``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ferenda_ray.stages.fsm import FSMParser
+
+_ORDINAL_RE = re.compile(r"^(\d+(?:\.\d+)*)\.?\s+(.*)$")
+
+
+# -- recognizers (priority order; reference rfc.py:337-380 analog) --------
+
+def is_section_heading(parser, chunk) -> bool:
+    return (
+        chunk["kind"] == "heading"
+        and chunk["level"] >= 2
+        and _ORDINAL_RE.match(chunk["text"]) is not None
+    )
+
+
+def is_heading(parser, chunk) -> bool:
+    return chunk["kind"] == "heading"
+
+
+def is_listitem(parser, chunk) -> bool:
+    return chunk["kind"] == "listitem"
+
+
+def is_preformatted(parser, chunk) -> bool:
+    return chunk["kind"] == "preformatted"
+
+
+def is_paragraph(parser, chunk) -> bool:
+    return True  # fallback
+
+
+# -- constructors ---------------------------------------------------------
+
+def make_body(parser) -> dict:
+    return parser.make_children({"kind": "Body", "children": []})
+
+
+def make_section(parser) -> dict:
+    chunk = parser.reader.next()
+    m = _ORDINAL_RE.match(chunk["text"])
+    ordinal, title = m.group(1), m.group(2)
+    elem = {
+        "kind": "Section",
+        "ordinal": ordinal,
+        "title": title,
+        "children": [],
+    }
+    return parser.make_children(elem)
+
+
+def make_heading(parser) -> dict:
+    chunk = parser.reader.next()
+    return {"kind": "Heading", "level": chunk["level"], "text": chunk["text"]}
+
+
+def make_paragraph(parser) -> dict:
+    chunk = parser.reader.next()
+    return {"kind": "Paragraph", "text": chunk["text"]}
+
+
+def make_pre(parser) -> dict:
+    chunk = parser.reader.next()
+    return {"kind": "Preformatted", "text": chunk["text"]}
+
+
+def make_list(parser) -> dict:
+    """Consume the run of consecutive listitem chunks into one List."""
+    elem = {"kind": "UnorderedList", "children": []}
+    while not parser.reader.eof:
+        nxt = parser.reader.peek()
+        if nxt["kind"] != "listitem":
+            break
+        parser.reader.next()
+        elem["children"].append({"kind": "ListItem", "text": nxt["text"]})
+    return elem
+
+
+def _depth(ordinal: str) -> int:
+    return ordinal.count(".") + 1
+
+
+def section_or_unwind(parser, chunk):
+    """Data-dependent transition: a numbered heading either opens a child
+    subsection (deeper ordinal) or belongs to an ancestor → unwind
+    (reference ``fsmparser.py:229-239`` (False, newstate) semantics)."""
+    d = _depth(_ORDINAL_RE.match(chunk["text"]).group(1))
+    cur = parser.current_state
+    if cur == "body" or d > cur[1]:
+        return (make_section, ("section", d))
+    return (False, None)
+
+
+def make_parser() -> FSMParser:
+    p = FSMParser()
+    p.set_recognizers(
+        is_section_heading, is_heading, is_listitem, is_preformatted, is_paragraph
+    )
+    p.set_transitions(
+        {
+            ("*", is_section_heading): section_or_unwind,
+            ("*", is_heading): (make_heading, None),
+            ("*", is_listitem): (make_list, None),
+            ("*", is_preformatted): (make_pre, None),
+            ("*", is_paragraph): (make_paragraph, None),
+        }
+    )
+    p.initial_state = "body"
+    p.initial_constructor = make_body
+    return p
+
+
+def parse_blocks(blocks: list[dict]) -> dict:
+    """blocks → element tree (fresh per-doc parse, shared parser config)."""
+    return make_parser().parse(blocks)
+
+
+def serialize_tree(tree: dict) -> str:
+    """Canonical JSON serialization of an element tree (reference analog:
+    ``elements.serialize``, ``elements.py:53-67``)."""
+    return json.dumps(tree, ensure_ascii=False, sort_keys=True)
+
+
+# -- sections derivation --------------------------------------------------
+
+def _element_text(elem: dict) -> list[str]:
+    out = []
+    if elem.get("text"):
+        out.append(elem["text"])
+    for ch in elem.get("children", []):
+        if ch["kind"] == "Section":
+            continue  # sub-resources excluded (_extract_plaintext analog,
+            # reference documentrepository.py:2131-2150)
+        out.extend(_element_text(ch))
+    return out
+
+
+def sections_rows(url: str, tree: dict, doc_title: str) -> list[dict]:
+    """One row per addressable resource: the doc root (fragment "") plus
+    every Section (fragment "S{ordinal}")."""
+    rows = [
+        {
+            "url": url,
+            "fragment": "",
+            "about": url,
+            "title": doc_title,
+            "ordinal": "",
+            "text": " ".join(_element_text(tree)),
+        }
+    ]
+
+    def walk(elem):
+        for ch in elem.get("children", []):
+            if ch["kind"] == "Section":
+                frag = f"S{ch['ordinal']}"
+                rows.append(
+                    {
+                        "url": url,
+                        "fragment": frag,
+                        "about": f"{url}#{frag}",
+                        "title": ch["title"],
+                        "ordinal": ch["ordinal"],
+                        "text": " ".join(_element_text(ch)),
+                    }
+                )
+                walk(ch)
+
+    walk(tree)
+    return rows
+
+
+# -- Ray stages -----------------------------------------------------------
+
+def structure_batch(batch: pa.Table) -> pa.Table:
+    """docs batch (with ``blocks`` JSON) → + ``tree`` JSON column.
+
+    Stateless task-pool stage; each document parse is independent.
+    """
+    trees = []
+    for bj in batch.column("blocks").to_pylist():
+        try:
+            trees.append(serialize_tree(parse_blocks(json.loads(bj))))
+        except Exception:
+            trees.append(serialize_tree({"kind": "Body", "children": []}))
+    out = batch.drop_columns(["blocks"])
+    return out.append_column("tree", pa.array(trees, pa.large_string()))
+
+
+def sections_batch(batch: pa.Table) -> pa.Table:
+    """docs batch (with ``tree``) → sections rows (flat-map shaped)."""
+    rows: list[dict] = []
+    for url, title, tj in zip(
+        batch.column("url").to_pylist(),
+        batch.column("title").to_pylist(),
+        batch.column("tree").to_pylist(),
+    ):
+        rows.extend(sections_rows(url, json.loads(tj), title))
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "fragment": pa.array([r["fragment"] for r in rows], pa.string()),
+            "about": pa.array([r["about"] for r in rows], pa.string()),
+            "title": pa.array([r["title"] for r in rows], pa.string()),
+            "ordinal": pa.array([r["ordinal"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+        }
+    )

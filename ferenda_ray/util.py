@@ -1,0 +1,183 @@
+"""Scalar helper functions (string / number / id utilities).
+
+Re-implements, from their documented semantics, the utility surface of the
+reference's ``ferenda/util.py`` that the pipeline stages need
+(normalize_space ``util.py:286``, split_numalpha/numcmp ``util.py:191-246``,
+title_sortkey ``util.py:724``, roman numerals ``util.py:689-711``,
+ordinal increment ``util.py:712-723``, base27 ``util.py:845-853``,
+uri_leaf ``util.py:621``) plus hashing helpers used for shuffles.
+
+All functions are pure and cheap; they run inside ``map_batches`` bodies
+(vectorized at the batch level where it matters).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+import unicodedata
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_space(s: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip ends.
+
+    The frozen normalization rule of the extract stage (reference analog:
+    ``util.py:286-296``).
+    """
+    return _WS_RE.sub(" ", s).strip()
+
+
+_NUMALPHA_RE = re.compile(r"(\d+)")
+
+
+def split_numalpha(s: str) -> list:
+    """Split a string into alternating str/int parts for natural sort.
+
+    ``"6 a" -> ['', 6, ' a']`` so that "6 a" < "7" < "10" under tuple
+    comparison (reference analog ``util.py:191-246``).
+    """
+    return [int(p) if p.isdigit() else p for p in _NUMALPHA_RE.split(s)]
+
+
+def numalpha_sortkey(s: str) -> str:
+    """A plain-string sort key with the same ordering as split_numalpha.
+
+    Ray/Arrow sorts need a flat column, so encode each integer run as a
+    fixed-width zero-padded field.
+    """
+    return "".join(
+        p.zfill(12) if p.isdigit() else p for p in _NUMALPHA_RE.split(s)
+    )
+
+
+_TITLE_STRIP_RE = re.compile(r"[^\w ]")
+
+
+def title_sortkey(s: str) -> str:
+    """Lowercase, strip leading 'the ', drop non-word chars, no spaces
+    (reference analog ``util.py:724-739``)."""
+    s = s.lower()
+    if s.startswith("the "):
+        s = s[4:]
+    s = _TITLE_STRIP_RE.sub("", s)
+    return s.replace(" ", "")
+
+
+_ROMAN_VALUES = [
+    (1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
+    (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),
+    (5, "V"), (4, "IV"), (1, "I"),
+]
+_ROMAN_RE = re.compile(r"^[MDCLXVI]+$")
+
+
+def to_roman(n: int) -> str:
+    if not 0 < n < 4000:
+        raise ValueError("number out of range (must be 1..3999)")
+    out = []
+    for val, sym in _ROMAN_VALUES:
+        while n >= val:
+            out.append(sym)
+            n -= val
+    return "".join(out)
+
+
+def from_roman(s: str) -> int:
+    vals = {"M": 1000, "D": 500, "C": 100, "L": 50, "X": 10, "V": 5, "I": 1}
+    total = 0
+    prev = 0
+    for ch in reversed(s.upper()):
+        v = vals[ch]
+        total = total - v if v < prev else total + v
+        prev = max(prev, v)
+    return total
+
+
+def is_roman(s: str) -> bool:
+    if not s or not _ROMAN_RE.match(s.upper()):
+        return False
+    try:
+        return to_roman(from_roman(s)) == s.upper()
+    except (ValueError, KeyError):
+        return False
+
+
+def ordinal_increment(o: str) -> str:
+    """"6" -> "7", "6a" -> "6b", "6 a" -> "6 b" (reference ``util.py:712``)."""
+    parts = split_numalpha(o)
+    last = parts[-1]
+    if isinstance(last, int):
+        parts[-1] = last + 1
+    else:
+        stripped = last.rstrip()
+        if not stripped:
+            # trailing whitespace only; bump the preceding int
+            for i in range(len(parts) - 1, -1, -1):
+                if isinstance(parts[i], int):
+                    parts[i] += 1
+                    break
+        else:
+            parts[-1] = last[: len(last) - 1] + chr(ord(last[-1]) + 1)
+    return "".join(str(p) for p in parts)
+
+
+_B27_ALPHA = "0ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def base27encode(n: int) -> str:
+    if n == 0:
+        return _B27_ALPHA[0]
+    out = []
+    while n > 0:
+        n, r = divmod(n, 27)
+        out.append(_B27_ALPHA[r])
+    return "".join(reversed(out))
+
+
+def base27decode(s: str) -> int:
+    n = 0
+    for ch in s:
+        n = n * 27 + _B27_ALPHA.index(ch)
+    return n
+
+
+def uri_leaf(uri: str) -> str:
+    """Last path/fragment segment of a URI: 'http://a/b#c' -> 'c'
+    (reference ``util.py:621``)."""
+    for sep in ("#", "/", ":"):
+        if sep in uri:
+            leaf = uri.rsplit(sep, 1)[-1]
+            if leaf:
+                return leaf
+    return uri
+
+
+def ucfirst(s: str) -> str:
+    return s[:1].upper() + s[1:] if s else s
+
+
+_SLUG_STRIP_RE = re.compile(r"[^a-z0-9]+")
+
+
+def slugify(s: str) -> str:
+    """Deterministic ascii slug used by the URI minter: NFKD-fold,
+    lowercase, non-alnum runs -> '-'."""
+    s = unicodedata.normalize("NFKD", s)
+    s = s.encode("ascii", "ignore").decode("ascii").lower()
+    return _SLUG_STRIP_RE.sub("-", s).strip("-")
+
+
+def hash64(s: str) -> int:
+    """Stable 64-bit signed hash of a string (sha1-based, process-stable —
+    unlike builtin hash). Used as shuffle/dedup key."""
+    h = hashlib.sha1(s.encode("utf-8", "surrogatepass")).digest()
+    return struct.unpack("<q", h[:8])[0]
+
+
+def stable_uint(s: str, mod: int) -> int:
+    """Stable bucket id in [0, mod) for partitioning."""
+    h = hashlib.sha1(s.encode("utf-8", "surrogatepass")).digest()
+    return struct.unpack("<Q", h[:8])[0] % mod

@@ -1,0 +1,119 @@
+"""End-to-end KG pipeline tests on the synthetic corpus: correctness of
+the triple stream, latest-per-url semantics, dedup/materialize
+determinism, manifest + checkpoint-resume."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from ferenda_ray import schemas as S
+from ferenda_ray.pipelines import kg
+from ferenda_ray.sources import pages as pgen
+from ferenda_ray.stages import materialize as mat
+
+
+@pytest.fixture(scope="module")
+def triples_df(ray_session, pages_parquet):
+    ds = kg.build_triples_ds(pages_parquet, link_concurrency=2, batch_size=16)
+    return ds.to_pandas()
+
+
+def test_latest_per_url_only(triples_df, pages_parquet):
+    """Snapshot urls contribute one document version: no '(draft)' titles
+    (those exist only in older snapshots)."""
+    titles = triples_df[triples_df.pred == S.DCT_TITLE]
+    assert not titles.obj.str.contains(r"\(draft\)").any()
+    # every generated doc url appears as a subject
+    urls = {pgen.page_url(i) for i in range(60)}
+    assert urls <= set(triples_df[triples_df.pred == S.RDF_TYPE].subj)
+
+
+def test_expected_citations_present(triples_df):
+    """Recall check: every citation the generator inserted is in the
+    output with the right subject fragment and target URI."""
+    refs = triples_df[triples_df.pred == S.DCT_REFERENCES]
+    got = set(zip(refs.subj, refs.obj))
+    from ferenda_ray.stages.link import format_rfc_uri
+
+    for i in range(60):
+        spec = pgen.gen_spec(i)
+        for c in spec["citations"]:
+            subj = f"{spec['url']}#{c['frag']}"
+            if c["kind"] == "rfc":
+                obj = format_rfc_uri(str(c["rfc"]), c["section"])
+            else:
+                obj = c["target"]
+            assert (subj, obj) in got, (subj, obj)
+
+
+def test_expected_mentions_linked_canonical(triples_df):
+    """Every inserted entity mention links to the entity's CANONICAL
+    (minted, sameAs-collapsed) URI."""
+    from ferenda_ray.sources import entities as ent
+    from ferenda_ray.stages.canon import build_canonical_map
+
+    etab = ent.entities_table()
+    rows = [
+        {"entity_uri": u, "label": l}
+        for u, l in zip(etab.column("entity_uri").to_pylist(),
+                        etab.column("label").to_pylist())
+    ]
+    cmap = build_canonical_map(rows, ent.sameas_map())
+    subj_trips = triples_df[triples_df.pred == S.DCT_SUBJECT]
+    got = set(zip(subj_trips.subj, subj_trips.obj))
+    n_checked = 0
+    for i in range(60):
+        spec = pgen.gen_spec(i)
+        for m in spec["mentions"]:
+            subj = f"{spec['url']}#{m['frag']}"
+            expected_obj = cmap[ent.entity_uri(m["entity"])]
+            assert (subj, expected_obj) in got, (subj, expected_obj, m)
+            n_checked += 1
+    assert n_checked > 10
+    # no raw entity URIs survive canonicalization
+    assert not subj_trips.obj.str.startswith(ent.RAW_ENTITY_NS).any()
+
+
+def test_materialize_dedup_manifest_resume(ray_session, pages_parquet, tmp_path):
+    out1 = str(tmp_path / "run1")
+    m1 = kg.run_kg_pipeline(pages_parquet, out1, num_buckets=8,
+                            link_concurrency=2, batch_size=16)
+    assert set(m1.bucket) == set(range(8))
+    df1 = mat.read_triples(out1).to_pandas()
+    # set semantics: no duplicate (s,p,o,lang,datatype)
+    assert not df1.duplicated(subset=mat.KEY_COLS).any()
+    assert m1.n_triples.sum() == len(df1)
+    assert len(mat.read_manifest(out1)) == 8
+
+    # determinism: a second full run produces identical partition files
+    out2 = str(tmp_path / "run2")
+    kg.run_kg_pipeline(pages_parquet, out2, num_buckets=8,
+                       link_concurrency=2, batch_size=16)
+    df2 = mat.read_triples(out2).to_pandas()
+    key = mat.KEY_COLS + ["obj_is_uri", "url"]
+    pd.testing.assert_frame_equal(
+        df1.sort_values(key).reset_index(drop=True)[sorted(df1.columns)],
+        df2.sort_values(key).reset_index(drop=True)[sorted(df2.columns)],
+    )
+
+    # resume: delete 3 partitions + their manifest rows → rerun only
+    # rewrites those, leaves the rest untouched (checkpoint semantics)
+    import glob
+
+    mtimes_before = {}
+    for b in (1, 4, 6):
+        os.remove(os.path.join(out1, f"bucket={b:05d}", "part-0.parquet"))
+        os.remove(os.path.join(out1, "_manifest", f"bucket-{b:05d}.json"))
+    for f in glob.glob(os.path.join(out1, "bucket=*", "part-0.parquet")):
+        mtimes_before[f] = os.path.getmtime(f)
+    m3 = kg.run_kg_pipeline(pages_parquet, out1, num_buckets=8,
+                            link_concurrency=2, batch_size=16)
+    assert set(m3.bucket) == {1, 4, 6}
+    for f, t in mtimes_before.items():
+        assert os.path.getmtime(f) == t, f"untouched partition rewritten: {f}"
+    df3 = mat.read_triples(out1).to_pandas()
+    pd.testing.assert_frame_equal(
+        df1.sort_values(key).reset_index(drop=True)[sorted(df1.columns)],
+        df3.sort_values(key).reset_index(drop=True)[sorted(df3.columns)],
+    )
