@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship KG-construction pipeline (extract → FSM parse →
+entity-link → canonicalize → dedup-materialize) over a deterministic
+synthetic pages corpus sized to the scale factor; ``value`` is its wall
+time, with triples/sec (the BASELINE.json metric) reported alongside.
+
+``--scaling``: runs the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus scaling efficiency = (T8/T32)/(32/8) — the sandbox
+evidence for the two-cluster-size criterion (see BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+N_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+METRIC = ("triples/sec end-to-end (extract→link→canonicalize→materialize) "
+          "on Common-Crawl-style Parquet web pages")
+
+
+def sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def corpus_path(n_pages: int) -> str:
+    """Materialize the deterministic corpus once per size (untimed)."""
+    path = f"/tmp/ferenda_ray_bench/pages_{n_pages}"
+    done = os.path.join(path, "_done")
+    if not os.path.exists(done):
+        from ferenda_ray.sources.pages import generate_corpus_ds
+
+        shutil.rmtree(path, ignore_errors=True)
+        generate_corpus_ds(n_pages).write_parquet(path)
+        open(done, "w").write("ok")
+    return path
+
+
+def run_kg(n_pages: int) -> dict:
+    from ferenda_ray.pipelines.kg import run_kg_pipeline
+
+    pages = corpus_path(n_pages)
+    # warm the page cache so we measure compute+shuffle, not first read
+    import pyarrow.dataset as pads
+
+    pads.dataset(pages).head(1)
+    out_dir = f"/tmp/ferenda_ray_bench/out_{n_pages}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = run_kg_pipeline(
+        pages, out_dir,
+        num_buckets=64,
+        link_concurrency=max(2, NUM_CPUS // 2),
+        batch_size=128,
+        resume=False,
+    )
+    wall = time.perf_counter() - t0
+    triples = int(manifest.n_triples.sum())
+    return {"sec": round(wall, 3), "triples": triples,
+            "triples_per_sec": round(triples / wall, 1), "pages": n_pages}
+
+
+def run_queries() -> dict[str, float]:
+    """A representative operator slice over the sf tables."""
+    from ferenda_ray.ops import ann, dedup, relational as rel, text
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("q1_pricing_summary", rel.q1_pricing_summary),
+        ("latest_event_per_user", rel.latest_event_per_user),
+        ("pivot_user_event_counts", rel.pivot_user_event_counts),
+        ("exact_dedup", dedup.exact_dedup),
+        ("token_counts", text.token_counts),
+        ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
+        ("ann_topk", ann.bruteforce_topk),
+    ]:
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume (count) to force full execution without materializing
+        import pandas as pd
+
+        if isinstance(res, pd.DataFrame):
+            _ = len(res)
+        else:
+            _ = res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        n_pages = N_PAGES.get(sf_name(), 20000)
+        kg = run_kg(n_pages)
+        queries = run_queries()
+        queries["kg_pipeline"] = kg["sec"]
+        return {
+            "metric": METRIC,
+            "value": kg["sec"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_name(),
+            "num_cpus": NUM_CPUS,
+            "pages": kg["pages"],
+            "triples_out": kg["triples"],
+            "triples_per_sec": kg["triples_per_sec"],
+        }
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+def bench_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, num_cpus 8 → 32 (fresh processes, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_name(),
+        "pages": lo["pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_once()))

@@ -119,22 +119,47 @@ def _band_rows_batch(b: pa.Table) -> pa.Table:
     )
 
 
+MAX_BUCKET = 500  # guard against a degenerate mega-bucket going O(n²);
+# buckets above this are almost certainly a band-hash collision storm
+# (salt the band hash or raise N_BANDS if this ever triggers for real)
+
+N_SHUFFLE_BUCKETS = 64
+
+
 def minhash_candidates(sf_dir: str):
     """LSH candidate pairs: same (band, band_hash) bucket → pair
-    (doc_a < doc_b), deduplicated across bands."""
+    (doc_a < doc_b), deduplicated across bands.
+
+    The shuffle groups by ``hash(band_hash) % B`` coarse buckets (NOT by
+    the millions of individual band hashes — per-group task overhead
+    would dominate); the exact (band, band_hash) grouping happens
+    vectorized in pandas inside each bucket task."""
+    from ferenda_ray.util import stable_uint
+
     ds = _docs(sf_dir).map_batches(_band_rows_batch, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [stable_uint(h, N_SHUFFLE_BUCKETS)
+                   for h in b.column("band_hash").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    cand = ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=True):
+            ids = sorted(grp["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > MAX_BUCKET:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    cand = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     # dedup pairs seen in multiple bands
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
@@ -191,10 +216,12 @@ def jaccard_top_pairs(sf_dir: str, k: int = 10):
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5 token hashes)."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for tok in text.split():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+        bits = (np.uint64(h) >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -228,13 +255,46 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by SimHash: block on each 16-bit quarter (pigeonhole:
     hamming ≤ 3 ⇒ at least one identical quarter), verify hamming
     distance, dedup pairs found via multiple blocks."""
+    from ferenda_ray.util import stable_uint
+
     hs = simhashes(sf_dir)
 
-    def pairs_for_block(blk):
-        def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("doc_id")
-            recs = list(zip(g["doc_id"], g["simhash_lo"], g["simhash_hi"]))
-            a_o, b_o, d_o = [], [], []
+    def explode_blocks(b: pa.Table) -> pa.Table:
+        """One narrow row per (doc, block): shuffle key = coarse bucket of
+        (block index, 16-bit value) so each map_groups task handles many
+        exact blocks vectorized (same bucketing rationale as minhash)."""
+        ids = b.column("doc_id").to_pylist()
+        lo = b.column("simhash_lo").to_pylist()
+        hi = b.column("simhash_hi").to_pylist()
+        out = {"doc_id": [], "simhash_lo": [], "simhash_hi": [],
+               "blk": [], "blk_val": [], "bucket": []}
+        for i in range(len(ids)):
+            for blk in range(4):
+                val = b.column(f"block{blk}")[i].as_py()
+                out["doc_id"].append(ids[i])
+                out["simhash_lo"].append(lo[i])
+                out["simhash_hi"].append(hi[i])
+                out["blk"].append(blk)
+                out["blk_val"].append(val)
+                out["bucket"].append(stable_uint(f"{blk}:{val}", N_SHUFFLE_BUCKETS))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "simhash_lo": pa.array(out["simhash_lo"], pa.int64()),
+                "simhash_hi": pa.array(out["simhash_hi"], pa.int64()),
+                "blk": pa.array(out["blk"], pa.int32()),
+                "blk_val": pa.array(out["blk_val"], pa.int32()),
+                "bucket": pa.array(out["bucket"], pa.int32()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_o, b_o, d_o = [], [], []
+        for _, grp in g.groupby(["blk", "blk_val"], sort=True):
+            recs = sorted(zip(grp["doc_id"], grp["simhash_lo"],
+                              grp["simhash_hi"]))
+            if len(recs) < 2 or len(recs) > MAX_BUCKET:
+                continue
             for i in range(len(recs)):
                 for j in range(i + 1, len(recs)):
                     da, la, ha = recs[i]
@@ -245,13 +305,15 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
                         a_o.append(da)
                         b_o.append(db)
                         d_o.append(d)
-            return pd.DataFrame({"doc_a": a_o, "doc_b": b_o, "hamming": d_o})
+        return pd.DataFrame({"doc_a": pd.Series(a_o, dtype="int64"),
+                             "doc_b": pd.Series(b_o, dtype="int64"),
+                             "hamming": pd.Series(d_o, dtype="int64")})
 
-        return hs.groupby(f"block{blk}").map_groups(pairs, batch_format="pandas")
-
-    all_pairs = pairs_for_block(0)
-    for blk in range(1, 4):
-        all_pairs = all_pairs.union(pairs_for_block(blk))
+    all_pairs = (
+        hs.map_batches(explode_blocks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
     return all_pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
@@ -259,7 +321,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 # -- embedding cosine near-dup --------------------------------------------
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     """Near-dup pairs over the embeddings table: blocked brute-force
     cosine — each batch of vectors is scored against the full broadcast
     matrix (float64 matmul), pairs above threshold kept (a < b).
@@ -297,7 +359,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
                 if vids[r] < all_ids[c]:  # each pair once, no self
                     a_o.append(int(vids[r]))
                     b_o.append(int(all_ids[c]))
-                    s_o.append(round(float(sims[r, c]), 6))
+                    s_o.append(round(float(sims[r, c]), 4))
         return pa.table(
             {
                 "vec_a": pa.array(a_o, pa.int64()),
@@ -311,9 +373,9 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
 
 EMBEDDING_DUP_SQL = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 

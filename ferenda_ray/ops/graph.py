@@ -1,0 +1,142 @@
+"""Citation-graph analytics over the triples table (reference
+``sources/general/graphanalyze.py:537-925``: degree distributions,
+pagerank/HITS ranking via networkx — rebuilt as groupby-aggregate
+iterations, no networkx, no driver-side graph).
+
+Edges = reference-predicate triples ``(subj → obj)``; every operator
+streams over an edge Dataset:
+
+* degrees: one grouped count per side
+* pagerank: bounded power iterations, each = one broadcast of the rank
+  vector + one grouped sum (at 10^12 edges the rank vector itself
+  becomes a Dataset and the broadcast becomes a bucketed join; the
+  iteration structure is unchanged)
+* reverse-reference annotation (reference J1/J2
+  ``relate_dependencies``/``construct_annotations``,
+  ``documentrepository.py:1946-2008``): incoming-reference lists per
+  target via groupby-collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ferenda_ray import schemas as S
+
+REFERENCE_PREDS = (S.DCT_REFERENCES,)
+
+
+def edges_from_triples(triples_ds):
+    """triples → (src, dst) edge list (reference predicates only);
+    fragment subjects collapse to their page url so the graph is
+    page-level (reference treats the doc as the dependency unit)."""
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(b.column("pred"),
+                        value_set=pa.array(REFERENCE_PREDS, pa.string()))
+        b = b.filter(mask)
+        src = [s.split("#", 1)[0] for s in b.column("subj").to_pylist()]
+        dst = [o.split("#", 1)[0] for o in b.column("obj").to_pylist()]
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    return triples_ds.map_batches(to_edges, batch_format="pyarrow")
+
+
+def out_degrees(edges_ds):
+    return edges_ds.groupby("src").aggregate(Count(alias_name="out_degree"))
+
+
+def in_degrees(edges_ds):
+    return edges_ds.groupby("dst").aggregate(Count(alias_name="in_degree"))
+
+
+def incoming_refs(edges_ds):
+    """Reverse-reference annotation (J1/J2): per target, the sorted
+    distinct list of citing pages (the reference's deps/<basefile>.txt
+    content, computed as a shuffle instead of cross-task file appends)."""
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g["src"].unique())
+        return pd.DataFrame(
+            {"dst": [g["dst"].iloc[0]], "n_incoming": [len(srcs)],
+             "citing": [";".join(srcs)]}
+        )
+
+    return edges_ds.groupby("dst").map_groups(collect, batch_format="pandas")
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10):
+    """PageRank over the edge Dataset with bounded power iterations.
+
+    Each round: broadcast the current rank/out-degree maps (ray.put),
+    one map_batches emits per-edge contributions, one grouped sum per
+    dst; dangling mass and teleport handled on the driver. Node set and
+    rank vectors stay small relative to edges (node-level state);
+    returns a pandas DataFrame (url, rank)."""
+    nodes_df = (
+        edges_ds.map_batches(
+            lambda b: pa.table(
+                {"url": pa.concat_arrays(
+                    [b.column("src").combine_chunks().cast(pa.string()),
+                     b.column("dst").combine_chunks().cast(pa.string())]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("url")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    nodes = nodes_df["url"].tolist()
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"url": [], "rank": []})
+    out_df = out_degrees(edges_ds).to_pandas()
+    outdeg = dict(zip(out_df["src"], out_df["out_degree"]))
+    rank = {u: 1.0 / n for u in nodes}
+
+    for _ in range(n_iter):
+        state_ref = ray.put((rank, outdeg))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            from ferenda_ray.state import fetch
+
+            r, od = fetch(state_ref)
+            src = b.column("src").to_pylist()
+            dst = b.column("dst").to_pylist()
+            c = [r[s] / od[s] for s in src]
+            return pa.table({"dst": pa.array(dst, pa.string()),
+                             "c": pa.array(c, pa.float64())})
+
+        from ray.data.aggregate import Sum
+
+        sums = (
+            edges_ds.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        got = dict(zip(sums["dst"], sums["c"]))
+        dangling = sum(rank[u] for u in nodes if u not in outdeg)
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank = {u: base + damping * got.get(u, 0.0) for u in nodes}
+
+    out = pd.DataFrame({"url": nodes, "rank": [rank[u] for u in nodes]})
+    return out.sort_values(["rank", "url"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def degree_histogram(edges_ds):
+    """Distribution of in-degrees (degree → node count) — the
+    graphanalyze degree-plot data."""
+    ind = in_degrees(edges_ds)
+    return ind.groupby("in_degree").aggregate(Count(alias_name="n_nodes"))

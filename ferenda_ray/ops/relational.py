@@ -36,6 +36,34 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    """Exact fixed-point representation of a 2dp money column: int64
+    ``round(col*scale)``. Sums of int64 are associative, so distributed
+    (Ray) and sequential (DuckDB) aggregation produce bit-identical
+    results — the driver's value-hash gate requires this determinism
+    (float sums differ by accumulation order at 1e8 magnitude)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))),
+                   pa.int64())
+
+
+def _unscale(ds, spec: dict[str, tuple[str, float, str | None]],
+             drop: list[str] | None = None):
+    """Post-aggregate fixed-point → float: out[name] = src/denom
+    (then /count_col for averages). Division order matches the oracle
+    SQL exactly: ``(sum_cents / denom) / n``."""
+
+    def fin(b: pa.Table) -> pa.Table:
+        for name, (src, denom, count_col) in spec.items():
+            v = pc.divide(pc.cast(b.column(src), pa.float64()),
+                          pa.scalar(denom))
+            if count_col is not None:
+                v = pc.divide(v, pc.cast(b.column(count_col), pa.float64()))
+            b = b.append_column(name, v)
+        return b.drop_columns(drop or [])
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
 # -- A: grouped aggregates ------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
@@ -47,32 +75,50 @@ def q1_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def add_disc(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b.column("l_extendedprice"),
-                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("disc_price", disc)
+    def fixed_point(b: pa.Table) -> pa.Table:
+        # money columns are exact 2dp; price*(1-disc) is exact 4dp — sum
+        # them as int64 so the distributed aggregate is order-independent
+        # and bit-identical to the sequential DuckDB oracle
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "base_c": _cents(b.column("l_extendedprice")),
+            "disc_c4": _cents(disc_price, 10_000),
+            "disc_c": _cents(b.column("l_discount")),
+        })
 
-    return (
-        ds.map_batches(add_disc, batch_format="pyarrow")
+    agg = (
+        ds.map_batches(fixed_point, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c4", alias_name="disc_c4"),
             Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("disc_c", alias_name="disc_c"),
             Count(alias_name="count_order"),
         )
     )
+    return _unscale(agg, {"sum_base_price": ("base_c", 100.0, None),
+                          "sum_disc_price": ("disc_c4", 10_000.0, None),
+                          "avg_disc": ("disc_c", 100.0, "count_order")},
+                    drop=["base_c", "disc_c4", "disc_c"])
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+           AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           / 10000.0 AS sum_disc_price,
        avg(l_quantity) AS avg_qty,
-       avg(l_discount) AS avg_disc,
+       (sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0) / count(*)
+           AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -87,19 +133,23 @@ def events_hourly(sf_dir: str):
 
     def trunc(df: pd.DataFrame) -> pd.DataFrame:
         df["hour"] = df["ts"].dt.floor("h")
-        return df.drop(columns=["ts"])
+        df["value_c"] = (df["value"] * 100).round().astype("int64")
+        return df.drop(columns=["ts", "value"])
 
-    return (
+    agg = (
         ds.map_batches(trunc, batch_format="pandas")
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value"))
+                   Sum("value_c", alias_name="value_c"))
     )
+    return _unscale(agg, {"sum_value": ("value_c", 100.0, None)},
+                    drop=["value_c"])
 
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
-       count(*) AS n_events, sum(value) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -109,21 +159,29 @@ def count_distinct_users(sf_dir: str):
     per-group set materialization; reference ``wsgiapp.stats`` A4)."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id", "value"])
-    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="v")
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "user_id": b.column("user_id"),
+                         "value_c": _cents(b.column("value"))})
+
+    per_user = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="v"))
     )
-    return per_user.groupby("event_type").aggregate(
+    agg = per_user.groupby("event_type").aggregate(
         Count(alias_name="n_users"),
         Sum("n", alias_name="n_events"),
-        Sum("v", alias_name="sum_value"),
+        Sum("v", alias_name="v"),
     )
+    return _unscale(agg, {"sum_value": ("v", 100.0, None)}, drop=["v"])
 
 
 COUNT_DISTINCT_SQL = """
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events,
-       sum(value) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -182,18 +240,22 @@ def region_supplier_stats(sf_dir: str):
         lk = ray.get(lookup_ref)
         names = [lk[k] for k in b.column("s_nationkey").to_pylist()]
         return pa.table({"r_name": pa.array(names, pa.string()),
-                         "s_acctbal": b.column("s_acctbal")})
+                         "bal_c": _cents(b.column("s_acctbal"))})
 
-    return (
+    agg = (
         ds.map_batches(attach, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_suppliers"),
-                   Mean("s_acctbal", alias_name="avg_acctbal"))
+                   Sum("bal_c", alias_name="bal_c"))
     )
+    return _unscale(agg, {"avg_acctbal": ("bal_c", 100.0, "n_suppliers")},
+                    drop=["bal_c"])
 
 
 REGION_SUPPLIER_SQL = """
-SELECT r_name, count(*) AS n_suppliers, avg(s_acctbal) AS avg_acctbal
+SELECT r_name, count(*) AS n_suppliers,
+       (sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0) / count(*)
+           AS avg_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -234,55 +296,61 @@ def segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         b = b.filter(mask)
         rev = pc.multiply(b.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return pa.table({"o_orderkey": b.column("l_orderkey"), "rev": rev})
+        return pa.table({"o_orderkey": b.column("l_orderkey"),
+                         "rev_c4": _cents(rev, 10_000)})
 
-    return (
+    agg = (
         ds.map_batches(filt_rev, batch_format="pyarrow")
         .groupby("o_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .sort("revenue", descending=True)
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        # deterministic top-k: tie-break on orderkey, matching the oracle
+        .sort(["rev_c4", "o_orderkey"], descending=[True, True])
         .limit(k)
     )
+    return _unscale(agg, {"revenue": ("rev_c4", 10_000.0, None)},
+                    drop=["rev_c4"])
 
 
 SEGMENT_TOP_ORDERS_SQL = """
 SELECT l_orderkey AS o_orderkey,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey
-ORDER BY revenue DESC LIMIT 10
+ORDER BY revenue DESC, o_orderkey DESC LIMIT 10
 """
 
 
-def customers_without_orders(sf_dir: str):
+def customers_without_events(sf_dir: str):
     """Anti-join (J5 ``Skeleton`` referenced-but-undefined analog):
-    customers that never placed an order. The order-custkey set is
-    broadcast; the filter runs inside map_batches."""
+    customers whose key never appears as an events user. The key set is
+    broadcast; the filter runs inside map_batches (at scale: a Bloom
+    filter of the key set, same shape)."""
     import pyarrow.parquet as pq
 
-    okeys = set(
-        pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
-        .column("o_custkey").to_pylist()
+    ukeys = set(
+        pq.read_table(_t(sf_dir, "events"), columns=["user_id"])
+        .column("user_id").to_pylist()
     )
-    ref = ray.put(okeys)
+    ref = ray.put(ukeys)
     ds = rd.read_parquet(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name", "c_acctbal"])
 
     def anti(b: pa.Table) -> pa.Table:
-        ok = ray.get(ref)
-        mask = pa.array([x not in ok for x in b.column("c_custkey").to_pylist()],
+        uk = ray.get(ref)
+        mask = pa.array([x not in uk for x in b.column("c_custkey").to_pylist()],
                         pa.bool_())
         return b.filter(mask)
 
     return ds.map_batches(anti, batch_format="pyarrow")
 
 
-CUSTOMERS_WITHOUT_ORDERS_SQL = """
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
 """
 
 
@@ -334,22 +402,26 @@ def segment_order_stats(sf_dir: str):
         seg = ray.get(seg_ref)
         s = [seg[k] for k in b.column("o_custkey").to_pylist()]
         return pa.table({"c_mktsegment": pa.array(s, pa.string()),
-                         "o_totalprice": b.column("o_totalprice")})
+                         "price_c": _cents(b.column("o_totalprice"))})
 
-    return (
+    agg = (
         ds.map_batches(attach, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="sum_totalprice"),
-                   Mean("o_totalprice", alias_name="avg_totalprice"))
+                   Sum("price_c", alias_name="price_c"))
     )
+    return _unscale(agg, {"sum_totalprice": ("price_c", 100.0, None),
+                          "avg_totalprice": ("price_c", 100.0, "n_orders")},
+                    drop=["price_c"])
 
 
 SEGMENT_ORDER_STATS_SQL = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       sum(o_totalprice) AS sum_totalprice,
-       avg(o_totalprice) AS avg_totalprice
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS sum_totalprice,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) / count(*)
+           AS avg_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -443,18 +515,22 @@ def nation_order_rollup(sf_dir: str):
         lk = ray.get(ref)
         names = [lk[k] for k in b.column("o_custkey").to_pylist()]
         return pa.table({"n_name": pa.array(names, pa.string()),
-                         "o_totalprice": b.column("o_totalprice")})
+                         "price_c": _cents(b.column("o_totalprice"))})
 
-    return (
+    agg = (
         ds.map_batches(attach, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="sum_totalprice"))
+                   Sum("price_c", alias_name="price_c"))
     )
+    return _unscale(agg, {"sum_totalprice": ("price_c", 100.0, None)},
+                    drop=["price_c"])
 
 
 NATION_ORDER_ROLLUP_SQL = """
-SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS sum_totalprice
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS sum_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name

@@ -1,0 +1,108 @@
+"""ANN recall, graph analytics, facets, and multimodal stage tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from ferenda_ray.ops.ann import bruteforce_topk, ivf_topk
+
+    exact = bruteforce_topk(SF, vec_id=0, k=10).to_pandas()
+    approx = ivf_topk(SF, vec_id=0, k=10, nprobe=5).to_pandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.7, f"IVF recall {recall} too low"
+
+
+def test_knn_classify(ray_session):
+    from ferenda_ray.ops.ann import knn_classify
+
+    out = knn_classify(SF, vec_id=0, k=15)
+    assert list(out.columns) == ["vec_id", "pred_label", "n_votes"]
+    assert 0 <= out.pred_label.iloc[0] <= 9
+
+
+@pytest.fixture(scope="module")
+def edges(ray_session):
+    import ray.data as rd
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")]
+    return rd.from_arrow(
+        pa.table({"src": [r[0] for r in rows], "dst": [r[1] for r in rows]})
+    )
+
+
+def test_degrees(edges):
+    from ferenda_ray.ops.graph import in_degrees, out_degrees
+
+    ind = in_degrees(edges).to_pandas().set_index("dst")["in_degree"]
+    assert ind["c"] == 3 and ind["b"] == 1 and ind["a"] == 1
+    outd = out_degrees(edges).to_pandas().set_index("src")["out_degree"]
+    assert outd["a"] == 2 and outd["c"] == 1
+
+
+def test_incoming_refs(edges):
+    from ferenda_ray.ops.graph import incoming_refs
+
+    refs = incoming_refs(edges).to_pandas().set_index("dst")
+    assert refs.loc["c", "citing"] == "a;b;d"
+    assert refs.loc["c", "n_incoming"] == 3
+
+
+def test_pagerank(edges):
+    from ferenda_ray.ops.graph import pagerank
+
+    pr = pagerank(edges, n_iter=20)
+    assert abs(pr["rank"].sum() - 1.0) < 1e-6
+    # c has the most incoming links → highest rank
+    assert pr.iloc[0]["url"] == "c"
+    # deterministic
+    pr2 = pagerank(edges, n_iter=20)
+    pd.testing.assert_frame_equal(pr, pr2)
+
+
+def test_facets_pivot(ray_session, pages_parquet):
+    from ferenda_ray import schemas as S
+    from ferenda_ray.ops.facets import faceted_data, stats_count_distinct
+    from ferenda_ray.pipelines.kg import build_triples_ds
+
+    triples = build_triples_ds(pages_parquet, link_concurrency=2, batch_size=32)
+    fac = faceted_data(triples).to_pandas()
+    # one row per subject, doc rows carry type + title + identifier
+    assert fac.uri.is_unique
+    docs = fac[fac.rdf_type == S.BIBO_DOCUMENT]
+    assert (docs.dct_title != "").all()
+    assert (docs.dct_identifier != "").all()
+    st = stats_count_distinct(
+        build_triples_ds(pages_parquet, link_concurrency=2, batch_size=32)
+    ).to_pandas()
+    type_counts = st[st.pred == S.RDF_TYPE].set_index("obj")["n_subjects"]
+    assert type_counts[S.BIBO_DOCUMENT] == len(docs)
+
+
+def test_media_decode_stage(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.multimodal import (FEATURE_DIM, MediaDecodeStage,
+                                               synthetic_media_table)
+
+    ds = rd.from_arrow(synthetic_media_table(50))
+    out = ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 50
+    assert out.decode_ok.all()
+    assert "payload" not in out.columns  # wide column dropped
+    assert all(len(f) == FEATURE_DIM for f in out.features)
+    imgs = out[out.kind == "image"]
+    assert (imgs.width > 0).all() and (imgs.duration_ms == -1).all()
+    # determinism
+    out2 = (rd.from_arrow(synthetic_media_table(50))
+            .map_batches(MediaDecodeStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=2).to_pandas())
+    import numpy as np
+    a = np.asarray([np.asarray(f) for f in out.sort_values("media_id").features])
+    b = np.asarray([np.asarray(f) for f in out2.sort_values("media_id").features])
+    assert np.array_equal(a, b)

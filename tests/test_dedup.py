@@ -1,0 +1,105 @@
+"""Near-dup detection tests: planted near-duplicates must be found by
+MinHash-LSH, SimHash, and the embedding path; clustering groups them."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ferenda_ray.ops import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    """50 base docs + planted near-dups of docs 0..4 (one word changed)
+    + exact dup of doc 5."""
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(words, 60)) for _ in range(50)]
+    ids = list(range(50))
+    for i in range(5):
+        toks = texts[i].split()
+        toks[10] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(100 + i)
+    texts.append(texts[5])
+    ids.append(105)
+    d = tmp_path_factory.mktemp("dedup")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(ids), pa.string()),
+                  "source": pa.array(["t"] * len(ids), pa.string()),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        d / "documents.parquet",
+    )
+    # embeddings: 3 clusters + one planted near-identical pair (0, 500)
+    mat = rng.randn(60, 16)
+    mat = np.vstack([mat, mat[0] + rng.randn(16) * 0.01])
+    vec_ids = list(range(60)) + [500]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(vec_ids, pa.int64()),
+                  "embedding": pa.array([r.astype(np.float32).tolist() for r in mat],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([i % 3 for i in vec_ids], pa.int32())}),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_minhash_finds_planted_dups(corpus_dir):
+    pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.5).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    for i in range(5):
+        assert (i, 100 + i) in got, f"planted near-dup {i} missed"
+    assert (5, 105) in got  # exact dup
+    # jaccard of the exact dup must be 1.0
+    row = pairs[(pairs.doc_a == 5) & (pairs.doc_b == 105)]
+    assert row.jaccard.iloc[0] == 1.0
+
+
+def test_minhash_precision(corpus_dir):
+    """At threshold 0.5 only the planted pairs should survive (random
+    60-word docs over 120 vocab share far less than half their
+    shingles)."""
+    pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.5).to_pandas()
+    expected = {(i, 100 + i) for i in range(5)} | {(5, 105)}
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == expected
+
+
+def test_simhash_finds_exact_and_near(corpus_dir):
+    pairs = dedup.simhash_dup_pairs(corpus_dir, max_hamming=6).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (5, 105) in got
+    row = pairs[(pairs.doc_a == 5) & (pairs.doc_b == 105)]
+    assert row.hamming.iloc[0] == 0
+
+
+def test_embedding_dups(corpus_dir):
+    pairs = dedup.embedding_dup_pairs(corpus_dir, threshold=0.95).to_pandas()
+    assert (0, 500) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_dup_clusters(corpus_dir):
+    pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    lab = dict(zip(clusters.doc_id, clusters.cluster))
+    for i in range(5):
+        assert lab[100 + i] == lab[i] == i
+    assert lab[105] == lab[5] == 5
+
+
+def test_signature_determinism():
+    sig1 = dedup.minhash_signature(dedup.shingles("a b c d e f g"))
+    sig2 = dedup.minhash_signature(dedup.shingles("a b c d e f g"))
+    assert (sig1 == sig2).all()
+    assert dedup.simhash64("hello world foo") == dedup.simhash64("hello world foo")
+
+
+def test_dedup_keeps_min_doc_id(ray_session, corpus_dir):
+    out = dedup.exact_dedup(corpus_dir).to_pandas()
+    # 56 texts, one exact dup pair (5,105) → 55 distinct
+    assert len(out) == 55
+    row = out[out.n_copies == 2]
+    assert len(row) == 1 and row.doc_id.iloc[0] == 5

@@ -1,0 +1,80 @@
+"""Operator tests over the driver testdata (sf0.001) — each Ray result
+checked against a duckdb-computed expectation (the same comparison the
+driver's correctness gate performs)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * "
+                  f"FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _cmp(ray_res, con, sql, float_cols=()):
+    mine = ray_res.to_pandas() if not isinstance(ray_res, pd.DataFrame) else ray_res
+    want = con.sql(sql).df()
+    assert sorted(mine.columns) == sorted(want.columns)
+    mine = mine[sorted(mine.columns)].sort_values(
+        sorted(mine.columns)).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        sorted(want.columns)).reset_index(drop=True)
+    assert len(mine) == len(want)
+    for c in mine.columns:
+        if c in float_cols or mine[c].dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                mine[c].astype(float).round(6), want[c].astype(float).round(6),
+                check_names=False)
+        else:
+            assert (mine[c].astype(str).values == want[c].astype(str).values).all(), c
+
+
+def test_q1(ray_session, con):
+    from ferenda_ray.ops.relational import Q1_SQL, q1_pricing_summary
+
+    _cmp(q1_pricing_summary(SF), con, Q1_SQL)
+
+
+def test_latest_event(ray_session, con):
+    from ferenda_ray.ops.relational import LATEST_EVENT_SQL, latest_event_per_user
+
+    _cmp(latest_event_per_user(SF), con, LATEST_EVENT_SQL)
+
+
+def test_anti_join(ray_session, con):
+    from ferenda_ray.ops.relational import (CUSTOMERS_WITHOUT_EVENTS_SQL,
+                                            customers_without_events)
+
+    _cmp(customers_without_events(SF), con, CUSTOMERS_WITHOUT_EVENTS_SQL)
+
+
+def test_pivot(ray_session, con):
+    from ferenda_ray.ops.relational import PIVOT_SQL, pivot_user_event_counts
+
+    _cmp(pivot_user_event_counts(SF), con, PIVOT_SQL)
+
+
+def test_exact_dedup(ray_session, con):
+    from ferenda_ray.ops.dedup import EXACT_DEDUP_SQL, exact_dedup
+
+    _cmp(exact_dedup(SF), con, EXACT_DEDUP_SQL)
+
+
+def test_token_counts(ray_session, con):
+    from ferenda_ray.ops.text import TOKEN_COUNTS_SQL, token_counts
+
+    _cmp(token_counts(SF), con, TOKEN_COUNTS_SQL)
+
+
+def test_ann_topk(ray_session, con):
+    from ferenda_ray.ops.ann import ANN_TOPK_SQL, bruteforce_topk
+
+    _cmp(bruteforce_topk(SF), con, ANN_TOPK_SQL, float_cols=("cos_sim",))
