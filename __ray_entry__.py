@@ -57,7 +57,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import ann, dedup, relational as rel, text
+    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
+                                 windows as win)
 
     q: dict[str, Callable[[str], Any]] = {
         # grouped aggregates / windows / pivots (SURVEY §2.5)
@@ -82,10 +83,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
+        # windowed / ordered custom operators (as-of join, sessions,
+        # running totals, termset union+semi-join)
+        "events_asof_orders": win.events_asof_orders,
+        "user_sessions": win.user_sessions,
+        "events_running_total": win.events_running_total,
+        "users_in_both": win.users_in_both,
         # near-dup detection
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         # similarity search
         "ann_topk": ann.bruteforce_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -120,6 +128,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank(edges_from_triples(_kg_triples_ds(_n_pages(sf_dir))),
                         n_iter=5)
 
+    def kg_sections(sf_dir: str):
+        from ferenda_ray.pipelines.kg import build_sections_ds
+
+        return build_sections_ds(_pages_path(_n_pages(sf_dir)))
+
+    def kg_entries_stats(sf_dir: str):
+        from ray.data.aggregate import Count, Sum
+
+        from ferenda_ray.pipelines.kg import build_entries_ds
+
+        def flag(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pa.table({"stage": b.column("stage"),
+                             "ok_i": pc.cast(b.column("ok"), pa.int64())})
+
+        return (build_entries_ds(_pages_path(_n_pages(sf_dir)))
+                .map_batches(flag, batch_format="pyarrow")
+                .groupby("stage")
+                .aggregate(Count(alias_name="n_docs"),
+                           Sum("ok_i", alias_name="n_ok")))
+
+    def kg_skeleton(sf_dir: str):
+        from ferenda_ray.ops.graph import skeleton
+
+        return skeleton(_kg_triples_ds(_n_pages(sf_dir)))
+
+    def kg_toc_pagesets(sf_dir: str):
+        from ferenda_ray.ops.facets import faceted_data, toc_pagesets
+
+        return toc_pagesets(faceted_data(_kg_triples_ds(_n_pages(sf_dir))),
+                            "dct_title")
+
+    def kg_news_feeds(sf_dir: str):
+        from ferenda_ray.ops.facets import faceted_data, news_feeds
+
+        return news_feeds(faceted_data(_kg_triples_ds(_n_pages(sf_dir))))
+
+    def kg_degree_histogram(sf_dir: str):
+        from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
+
+        return degree_histogram(
+            edges_from_triples(_kg_triples_ds(_n_pages(sf_dir))))
+
+    def kg_nt_dump(sf_dir: str):
+        from ferenda_ray.stages.materialize import nt_lines
+
+        return nt_lines(_kg_triples_ds(_n_pages(sf_dir)))
+
     def media_features(sf_dir: str):
         import ray.data as rd
 
@@ -137,6 +195,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_stats": kg_stats,
             "kg_incoming_refs": kg_incoming_refs,
             "kg_pagerank": kg_pagerank,
+            "kg_sections": kg_sections,
+            "kg_entries_stats": kg_entries_stats,
+            "kg_skeleton": kg_skeleton,
+            "kg_toc_pagesets": kg_toc_pagesets,
+            "kg_news_feeds": kg_news_feeds,
+            "kg_degree_histogram": kg_degree_histogram,
+            "kg_nt_dump": kg_nt_dump,
             "media_features": media_features,
         }
     )
@@ -144,9 +209,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import ann, dedup, relational as rel, text
+    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
+                                 windows as win)
 
     return {
+        "events_asof_orders": win.EVENTS_ASOF_ORDERS_SQL,
+        "user_sessions": win.USER_SESSIONS_SQL,
+        "events_running_total": win.EVENTS_RUNNING_TOTAL_SQL,
+        "users_in_both": win.USERS_IN_BOTH_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "count_distinct_users": rel.COUNT_DISTINCT_SQL,

@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-N_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+N_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 80000}
 METRIC = ("triples/sec end-to-end (extract→link→canonicalize→materialize) "
           "on Common-Crawl-style Parquet web pages")
 
@@ -69,7 +69,6 @@ def run_kg(n_pages: int) -> dict:
     manifest = run_kg_pipeline(
         pages, out_dir,
         num_buckets=64,
-        link_concurrency=max(2, NUM_CPUS // 2),
         batch_size=128,
         resume=False,
     )

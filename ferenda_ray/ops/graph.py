@@ -135,6 +135,40 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def skeleton(triples_ds):
+    """Referenced-but-undefined URIs (reference J5 ``Skeleton``,
+    ``sources/general/skeleton.py:16-60``): page-level URIs that occur
+    as reference objects but never as subjects → stub-document list.
+
+    Anti-join as indicator aggregation: union (uri, n_refs, n_defs)
+    partials from both sides, one grouped sum, filter n_defs == 0 —
+    no row-level join, one narrow shuffle keyed by uri."""
+    from ray.data.aggregate import Sum
+
+    def ref_side(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(b.column("pred"),
+                        value_set=pa.array(REFERENCE_PREDS, pa.string()))
+        objs = [o.split("#", 1)[0] for o in b.filter(mask).column("obj").to_pylist()]
+        return pa.table({"uri": pa.array(objs, pa.string()),
+                         "n_refs": pa.array([1] * len(objs), pa.int64()),
+                         "n_defs": pa.array([0] * len(objs), pa.int64())})
+
+    def def_side(b: pa.Table) -> pa.Table:
+        subjs = [s.split("#", 1)[0] for s in b.column("subj").to_pylist()]
+        return pa.table({"uri": pa.array(subjs, pa.string()),
+                         "n_refs": pa.array([0] * len(subjs), pa.int64()),
+                         "n_defs": pa.array([1] * len(subjs), pa.int64())})
+
+    both = (triples_ds.map_batches(ref_side, batch_format="pyarrow")
+            .union(triples_ds.map_batches(def_side, batch_format="pyarrow"))
+            .groupby("uri")
+            .aggregate(Sum("n_refs", alias_name="n_refs"),
+                       Sum("n_defs", alias_name="n_defs")))
+    return both.filter(expr="n_defs == 0 and n_refs > 0").drop_columns(["n_defs"])
+
+
 def degree_histogram(edges_ds):
     """Distribution of in-degrees (degree → node count) — the
     graphanalyze degree-plot data."""

@@ -1,0 +1,240 @@
+"""Windowed / ordered operators Ray Data lacks natively: as-of join,
+gap-based sessionization, per-key running totals, and a multi-source
+termset union + semi-join.
+
+These are the "custom operator" tier of SURVEY §2 (reference analogs:
+the news/TOC ordered groupings `documentrepository.py:3153-3300`, the
+keyword termset union/semi-join `sources/general/keyword.py:105-222`).
+Each is built as hash-bucketed ``groupby(bucket).map_groups`` with the
+per-group work fully vectorized in pandas — the partitioning assumption
+is that ONE KEY's rows fit in a worker's heap (true for per-user event
+streams; a hot key would be split by a secondary time-range salt).
+
+Bucketing by ``hash(key) % num_buckets`` instead of grouping by the raw
+key keeps the number of groups (and hence map_groups tasks) bounded and
+lets each task process thousands of keys vectorized; ``num_buckets``
+scales with the cluster, not with key cardinality.
+
+Money/value sums use exact int64 cents (see relational._cents) so
+results are bit-identical to the sequential DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ferenda_ray.ops.relational import _t
+from ferenda_ray.util import stable_uint
+
+SESSION_GAP_MIN = 30
+
+
+def _bucket_col(df: pd.DataFrame, key: str, num_buckets: int) -> pd.DataFrame:
+    df["bucket"] = [stable_uint(str(k), num_buckets) for k in df[key]]
+    return df
+
+
+# -- as-of join -----------------------------------------------------------
+
+def events_asof_orders(sf_dir: str, num_buckets: int = 16):
+    """As-of join: each event matched to the same user's most recent
+    order at-or-before the event time (inner semantics — events with no
+    prior order drop out).
+
+    Both sides are hash-bucketed on the user key and UNIONed into one
+    Dataset with a ``side`` tag; one shuffle co-locates each key's rows,
+    then ``pandas.merge_asof`` runs per bucket. This is the scale path:
+    no broadcast (orders is a fact table), one all-to-all keyed by the
+    join key, skew bounded by per-user row counts.
+    """
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_ev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"user_id": "key", "ts": "t"})
+        df["side"] = 0
+        df["o_orderkey"] = pd.Series([pd.NA] * len(df), dtype="Int64")
+        df["o_totalprice"] = 0.0
+        return _bucket_col(df, "key", num_buckets)
+
+    def tag_od(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_custkey": "key", "o_orderdate": "t"})
+        df["side"] = 1
+        df["event_id"] = pd.Series([pd.NA] * len(df), dtype="Int64")
+        df["o_orderkey"] = df["o_orderkey"].astype("Int64")
+        cols = ["event_id", "t", "key", "side", "o_orderkey", "o_totalprice"]
+        return _bucket_col(df[cols], "key", num_buckets)
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.side == 0][["event_id", "key", "t"]].copy()
+        right = g[g.side == 1][["key", "t", "o_orderkey", "o_totalprice"]].copy()
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts": pd.Series(dtype="datetime64[us]"),
+                                 "o_orderkey": pd.Series(dtype="int64"),
+                                 "o_totalprice": pd.Series(dtype="float64")})
+        # deterministic: one order per (key, date) — keep max orderkey
+        right = (right.sort_values(["key", "t", "o_orderkey"])
+                 .groupby(["key", "t"], as_index=False).tail(1))
+        left = left.sort_values(["t", "event_id"], kind="mergesort")
+        right = right.sort_values("t", kind="mergesort")
+        m = pd.merge_asof(left, right, on="t", by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        out = pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["key"].astype("int64"),
+            "ts": m["t"],
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_totalprice": m["o_totalprice"].astype("float64"),
+        })
+        return out
+
+    return both.groupby("bucket").map_groups(asof, batch_format="pandas")
+
+
+EVENTS_ASOF_ORDERS_SQL = """
+WITH o AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                               ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# -- gap sessionization ---------------------------------------------------
+
+def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN,
+                  num_buckets: int = 16):
+    """Gap-based sessionization (the engine's streaming-window analog):
+    a new session starts when a user's inter-event gap exceeds
+    ``gap_min`` minutes. Per user: session and event counts."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_col(df, "user_id", num_buckets)
+
+    gap = pd.Timedelta(minutes=gap_min)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g.user_id.ne(g.user_id.shift())
+        new_sess = new_user | (g.ts - g.ts.shift() > gap)
+        out = (pd.DataFrame({"user_id": g.user_id, "new_s": new_sess.astype("int64")})
+               .groupby("user_id", as_index=False)
+               .agg(n_sessions=("new_s", "sum"), n_events=("new_s", "size")))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(sessions, batch_format="pandas"))
+
+
+USER_SESSIONS_SQL = f"""
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# -- per-key running total ------------------------------------------------
+
+def events_running_total(sf_dir: str, num_buckets: int = 16):
+    """Ordered cumulative sum per user (window-function analog of the
+    news/TOC ordered renderings): each event with the user's running
+    value total. Exact int64-cents cumsum → bit-identical to the
+    oracle's window sum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["value_c"] = (df["value"] * 100).round().astype("int64")
+        return _bucket_col(df.drop(columns=["value"]), "user_id", num_buckets)
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        csum = g.groupby("user_id")["value_c"].cumsum()
+        return pd.DataFrame({"user_id": g.user_id, "ts": g.ts,
+                             "event_id": g.event_id,
+                             "running_value": csum / 100.0})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(running, batch_format="pandas"))
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT user_id, ts, event_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
+FROM events
+"""
+
+
+# -- multi-source termset union + semi-join -------------------------------
+
+def users_in_both(sf_dir: str):
+    """Keyword-termset analog (reference ``keyword.py:105-222``): union
+    two per-source key aggregates, keep keys present in BOTH sources
+    (semi-join), with per-source counts. Two small pre-aggregated
+    shuffles instead of a row-level join."""
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    od = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def count_ev(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = b.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n_events": pc.cast(g.column("user_id_count"),
+                                             pa.int64()),
+                         "n_orders": pa.array([0] * g.num_rows, pa.int64())})
+
+    def count_od(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = b.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"user_id": g.column("o_custkey"),
+                         "n_events": pa.array([0] * g.num_rows, pa.int64()),
+                         "n_orders": pc.cast(g.column("o_custkey_count"),
+                                             pa.int64())})
+
+    both = (ev.map_batches(count_ev, batch_format="pyarrow")
+            .union(od.map_batches(count_od, batch_format="pyarrow"))
+            .groupby("user_id")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_orders", alias_name="n_orders")))
+    return both.filter(
+        expr="n_events > 0 and n_orders > 0")
+
+
+USERS_IN_BOTH_SQL = """
+SELECT e.user_id, e.n_events, o.n_orders
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON e.user_id = o.o_custkey
+"""

@@ -29,8 +29,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max
-
 from ferenda_ray.sources import entities as ent
 from ferenda_ray.stages import materialize as mat
 from ferenda_ray.stages.canon import canon_batch, build_canonical_map
@@ -48,11 +46,21 @@ def read_pages(path: str):
 
 
 def latest_per_url_map(path: str) -> dict[str, object]:
-    """url → max(warc_ts), computed over a NARROW read (2 columns)."""
-    narrow = rd.read_parquet(path, columns=["url", "warc_ts"])
-    agg = narrow.groupby("url").aggregate(Max("warc_ts", alias_name="max_ts"))
-    pdf = agg.to_pandas()
-    return dict(zip(pdf["url"], pdf["max_ts"]))
+    """url → max(warc_ts), computed over a NARROW read (2 columns).
+
+    The (url, warc_ts) projection is small relative to the html payload
+    (~1/1000th), so a driver-side pyarrow group_by is the fast path — a
+    distributed groupby here costs seconds of fixed scheduling overhead
+    that dominates small runs and caps scaling. At 10^12 urls the
+    url→max_ts map outgrows the driver either way; the documented scale
+    path (module docstring) swaps this broadcast for a hash-bucket join.
+    """
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path).to_table(columns=["url", "warc_ts"])
+    g = t.group_by("url").aggregate([("warc_ts", "max")])
+    return dict(zip(g.column("url").to_pylist(),
+                    g.column("warc_ts_max").to_pylist()))
 
 
 def latest_filter(batch: pa.Table, max_ref) -> pa.Table:
@@ -71,14 +79,47 @@ def latest_filter(batch: pa.Table, max_ref) -> pa.Table:
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
-class TripleEmitStage:
-    """Actor-pool stage: docs batch (url, warc_ts, lang, title, tree) →
-    ALL triples for those docs (metadata + structure + citations +
-    linked entity mentions) in one pass.
+_LINKER_CACHE: dict = {}
 
-    Linker state (alias dict + embedding matrix) is broadcast via
-    ``ray.put`` and loaded once per actor (SURVEY §2.3 ST1).
+
+def _linker_for(alias_ref, emb_ref) -> EntityLinker:
+    """EntityLinker built once per worker process from the broadcast
+    state (alias dict + embedding matrix shipped via ``ray.put`` ONCE,
+    resolved zero-copy from the local object store)."""
+    from ferenda_ray.state import fetch
+
+    key = (alias_ref.hex() if isinstance(alias_ref, ray.ObjectRef)
+           else id(alias_ref),
+           emb_ref.hex() if isinstance(emb_ref, ray.ObjectRef)
+           else id(emb_ref))
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        alias = fetch(alias_ref) if alias_ref is not None else {}
+        uris, matrix = fetch(emb_ref) if emb_ref is not None else (None, None)
+        linker = _LINKER_CACHE[key] = EntityLinker(alias, uris, matrix)
+    return linker
+
+
+def triple_emit_batch(batch: pa.Table, alias_ref=None,
+                      emb_ref=None) -> pa.Table:
+    """Stateless task stage: docs batch (url, warc_ts, lang, title,
+    tree) → ALL triples for those docs (metadata + structure + citations
+    + linked entity mentions) in one pass.
+
+    A task (not actor-pool) stage so the fused
+    extract→structure→triple-emit chain elastically uses EVERY cluster
+    CPU — a fixed actor pool caps the whole fused chain at pool size
+    (observed: half the CPUs idle). The linker state is still loaded
+    once per worker via ``_linker_for`` (SURVEY §2.3 ST1 semantics; the
+    actor-pool variant remains as ``TripleEmitStage``).
     """
+    return _emit(batch, _linker_for(alias_ref, emb_ref))
+
+
+class TripleEmitStage:
+    """Actor-pool variant of ``triple_emit_batch`` (state in
+    ``__init__``): use when linker state is too heavy for per-process
+    caches or needs GPU residency."""
 
     def __init__(self, alias_ref=None, emb_ref=None):
         def get(r):
@@ -91,35 +132,39 @@ class TripleEmitStage:
         self.linker = EntityLinker(alias, uris, matrix)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
-        for url, ts, lang, title, tj in zip(
-            batch.column("url").to_pylist(),
-            batch.column("warc_ts").to_pylist(),
-            batch.column("lang").to_pylist(),
-            batch.column("title").to_pylist(),
-            batch.column("tree").to_pylist(),
-        ):
-            tree = json.loads(tj)
-            rows.extend(doc_triples(url, ts, lang, title, tree))
-            for sec in sections_rows(url, tree, title):
-                about, text = sec["about"], sec["text"]
-                for target in scan_citations(text):
-                    rows.append(_ref_triple(about, S.DCT_REFERENCES, target, url))
-                for m in _MENTION.finditer(text):
-                    uri = self.linker.link(m.group(1))
-                    if uri is not None:
-                        rows.append(_ref_triple(about, S.DCT_SUBJECT, uri, url))
-        return pa.table(
-            {
-                "subj": pa.array([r["subj"] for r in rows], pa.string()),
-                "pred": pa.array([r["pred"] for r in rows], pa.string()),
-                "obj": pa.array([r["obj"] for r in rows], pa.string()),
-                "obj_is_uri": pa.array([r["obj_is_uri"] for r in rows], pa.bool_()),
-                "lang": pa.array([r["lang"] for r in rows], pa.string()),
-                "datatype": pa.array([r["datatype"] for r in rows], pa.string()),
-                "url": pa.array([r["url"] for r in rows], pa.string()),
-            }
-        )
+        return _emit(batch, self.linker)
+
+
+def _emit(batch: pa.Table, linker: EntityLinker) -> pa.Table:
+    rows: list[dict] = []
+    for url, ts, lang, title, tj in zip(
+        batch.column("url").to_pylist(),
+        batch.column("warc_ts").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("title").to_pylist(),
+        batch.column("tree").to_pylist(),
+    ):
+        tree = json.loads(tj)
+        rows.extend(doc_triples(url, ts, lang, title, tree))
+        for sec in sections_rows(url, tree, title):
+            about, text = sec["about"], sec["text"]
+            for target in scan_citations(text):
+                rows.append(_ref_triple(about, S.DCT_REFERENCES, target, url))
+            for m in _MENTION.finditer(text):
+                uri = linker.link(m.group(1))
+                if uri is not None:
+                    rows.append(_ref_triple(about, S.DCT_SUBJECT, uri, url))
+    return pa.table(
+        {
+            "subj": pa.array([r["subj"] for r in rows], pa.string()),
+            "pred": pa.array([r["pred"] for r in rows], pa.string()),
+            "obj": pa.array([r["obj"] for r in rows], pa.string()),
+            "obj_is_uri": pa.array([r["obj_is_uri"] for r in rows], pa.bool_()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "datatype": pa.array([r["datatype"] for r in rows], pa.string()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+        }
+    )
 
 
 def _ref_triple(subj, pred, obj, url):
@@ -148,14 +193,53 @@ def default_link_state(n_entities: int = ent.N_ENTITIES):
     return alias, (uris, matrix), canon
 
 
-def build_triples_ds(pages_path: str, *, link_concurrency=4,
+def build_triples_ds(pages_path: str, *, link_concurrency=None,
                      batch_size: int = 64, dedupe_snapshots: bool = True):
-    """pages parquet → canonical triples Dataset (lazy; not materialized)."""
+    """pages parquet → canonical triples Dataset (lazy; not materialized).
+
+    ``link_concurrency=None`` (default) runs triple-emit+linking as
+    stateless tasks (linker built once per worker process from the
+    broadcast refs) so the fused heavy chain scales to every CPU; an
+    integer switches to a fixed actor pool of that size (for heavy /
+    GPU-resident linker state)."""
     alias, emb, canon = default_link_state()
     alias_ref = ray.put(alias)
     emb_ref = ray.put(emb)
     canon_ref = ray.put(canon)
 
+    import functools
+
+    ds = build_docs_ds(pages_path, batch_size=batch_size,
+                       dedupe_snapshots=dedupe_snapshots)
+    if link_concurrency is None:
+        ds = ds.map_batches(
+            functools.partial(triple_emit_batch, alias_ref=alias_ref,
+                              emb_ref=emb_ref),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            TripleEmitStage,
+            fn_constructor_kwargs={"alias_ref": alias_ref, "emb_ref": emb_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=link_concurrency,
+        )
+    # NOTE: keep this batch_size == the chain's batch_size — operator
+    # fusion makes the LARGEST batch_size in the fused chain the input
+    # bundling unit, and a big value here (e.g. 8192 docs) collapses the
+    # whole heavy chain into a handful of giant tasks (observed: 3 tasks
+    # on 32 CPUs).
+    ds = ds.map_batches(
+        functools.partial(canon_batch, canon_ref=canon_ref),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
+    return ds
+
+
+def build_docs_ds(pages_path: str, *, batch_size: int = 64,
+                  dedupe_snapshots: bool = True):
+    """pages parquet → docs Dataset (url, warc_ts, lang, title, text,
+    tree) — the shared upstream of triples / sections / entries."""
     import functools
 
     ds = read_pages(pages_path)
@@ -167,24 +251,32 @@ def build_triples_ds(pages_path: str, *, link_concurrency=4,
         )
     ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                         batch_size=batch_size)
-    ds = ds.map_batches(structure_batch, batch_format="pyarrow",
-                        batch_size=batch_size)
-    ds = ds.map_batches(
-        TripleEmitStage,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "emb_ref": emb_ref},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=link_concurrency,
-    )
-    ds = ds.map_batches(
-        functools.partial(canon_batch, canon_ref=canon_ref),
-        batch_format="pyarrow", batch_size=8192,
-    )
-    return ds
+    return ds.map_batches(structure_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def build_sections_ds(pages_path: str, *, batch_size: int = 64):
+    """The fulltext-index table (reference S12 ``relate_fulltext``,
+    ``documentrepository.py:2010-2086``): one row per addressable
+    (url, fragment) resource with its plaintext."""
+    from ferenda_ray.stages.structure import sections_batch
+
+    return build_docs_ds(pages_path, batch_size=batch_size).map_batches(
+        sections_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def build_entries_ds(pages_path: str, *, batch_size: int = 64):
+    """Per-doc lineage/validation rows (reference DocumentEntry /
+    ``get_status`` A6 analog)."""
+    from ferenda_ray.stages.triples import entries_batch
+
+    return build_docs_ds(pages_path, batch_size=batch_size).map_batches(
+        entries_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def run_kg_pipeline(pages_path: str, out_dir: str, *,
                     num_buckets: int = mat.DEFAULT_BUCKETS,
-                    link_concurrency=4, batch_size: int = 64,
+                    link_concurrency=None, batch_size: int = 64,
                     resume: bool = True):
     """Full extract→link→canonicalize→materialize run; returns the
     manifest DataFrame (one row per bucket written)."""
