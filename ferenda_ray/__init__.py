@@ -16,3 +16,28 @@ execution.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_threads() -> None:
+    """When FERENDA_RAY_PIN_THREADS=1, pin the intra-task thread pools
+    (pyarrow, polars) to 1 thread. Ray's num_cpus only limits SCHEDULING
+    slots — on a single test box, pyarrow/polars kernels otherwise fan
+    out to every physical core inside each task, so a `num_cpus=8` run
+    silently borrows all 32 cores and the two-cluster-size scaling
+    comparison is meaningless. One thread per task is also the standard
+    multi-node worker configuration. Runs per process: the package
+    import happens in every Ray worker."""
+    import os
+
+    if os.environ.get("FERENDA_RAY_PIN_THREADS") == "1":
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")  # read at import
+        try:
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(2)
+        except Exception:  # pragma: no cover
+            pass
+
+
+_configure_threads()

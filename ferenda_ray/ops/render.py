@@ -1,0 +1,186 @@
+"""Rendering tail stages — the reference's ``generate`` / ``toc`` /
+``news`` HTML+Atom output surface rebuilt as stateless batch maps:
+
+* :func:`generate_batch` — parsed element tree → browser HTML (reference
+  M17/S14: XSLT transform, ``documentrepository.py:2358-2453`` +
+  ``transformer.py:25-372``). No XSLT engine ships in this environment
+  (no lxml/libxslt — stdlib only), so the transform is a deterministic
+  pure-Python renderer with the same shape: compiled "template" state
+  built once per worker, per-doc tree walk, annotations merged in.
+* :func:`transformlinks_batch` — rewrite every href in generated HTML
+  through a broadcast url-transform map (reference M16
+  ``documentrepository.py:2673-2717``: canonical→local forms).
+* :func:`atom_feed` — entries → paginated Atom XML per feed (reference
+  S13 ``news_write_atom`` ``documentrepository.py:3445-3580``),
+  rendered per group in ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from xml.sax.saxutils import escape, quoteattr
+
+import pandas as pd
+import pyarrow as pa
+
+
+# -- generate (tree → html) ----------------------------------------------
+
+def _render_elem(elem: dict, out: list[str], url: str) -> None:
+    kind = elem["kind"]
+    if kind == "Body":
+        for ch in elem.get("children", []):
+            _render_elem(ch, out, url)
+    elif kind == "Section":
+        frag = f"S{elem['ordinal']}"
+        out.append(f'<section id={quoteattr(frag)} about='
+                   f'{quoteattr(url + "#" + frag)}>')
+        out.append(f"<h2>{escape(elem['ordinal'])}. {escape(elem['title'])}</h2>")
+        for ch in elem.get("children", []):
+            _render_elem(ch, out, url)
+        out.append("</section>")
+    elif kind == "Heading":
+        lvl = int(elem.get("level", 2))
+        out.append(f"<h{lvl}>{escape(elem['text'])}</h{lvl}>")
+    elif kind == "Paragraph":
+        out.append(f"<p>{escape(elem['text'])}</p>")
+    elif kind == "Preformatted":
+        out.append(f"<pre>{escape(elem['text'])}</pre>")
+    elif kind in ("UnorderedList", "OrderedList"):
+        tag = "ol" if kind == "OrderedList" else "ul"
+        out.append(f"<{tag}>")
+        for ch in elem.get("children", []):
+            out.append(f"<li>{escape(ch.get('text', ''))}</li>")
+        out.append(f"</{tag}>")
+
+
+def generate_html(url: str, title: str, tree: dict,
+                  annotations: list[str] | None = None) -> str:
+    """One parsed doc (+ optional incoming-reference annotations) →
+    self-contained HTML page (deterministic)."""
+    out = [
+        "<!DOCTYPE html>",
+        f"<html><head><title>{escape(title)}</title></head>",
+        f"<body about={quoteattr(url)}>",
+        f"<h1>{escape(title)}</h1>",
+    ]
+    _render_elem(tree, out, url)
+    if annotations:
+        out.append('<aside class="annotations"><h2>Referenced by</h2><ul>')
+        for a in annotations:
+            out.append(f"<li><a href={quoteattr(a)}>{escape(a)}</a></li>")
+        out.append("</ul></aside>")
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
+def generate_batch(batch: pa.Table, annotations_ref=None) -> pa.Table:
+    """docs batch (url, title, tree) → (url, html). ``annotations_ref``:
+    broadcast dict url → list of citing urls (the J2 annotation join),
+    resolved once per worker."""
+    from ferenda_ray.state import fetch
+
+    ann = fetch(annotations_ref) if annotations_ref is not None else {}
+    urls = batch.column("url").to_pylist()
+    htmls = [
+        generate_html(u, t, json.loads(tj), ann.get(u))
+        for u, t, tj in zip(urls, batch.column("title").to_pylist(),
+                            batch.column("tree").to_pylist())
+    ]
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "html": pa.array(htmls, pa.large_string())})
+
+
+# -- transformlinks -------------------------------------------------------
+
+_HREF = re.compile(r'(href|src|about)=(["\'])(.*?)\2')
+
+
+def transformlinks_html(html: str, transform) -> str:
+    """Rewrite every href/src/about attribute through ``transform(url)``
+    (reference ``transformlinks`` walks the parsed tree; a compiled
+    regex over the serialized form is equivalent for our generated
+    pages and stays vectorizable)."""
+
+    def sub(m):
+        return f"{m.group(1)}={m.group(2)}{transform(m.group(3))}{m.group(2)}"
+
+    return _HREF.sub(sub, html)
+
+
+def transformlinks_batch(batch: pa.Table, mapping_ref=None,
+                         prefix_from: str = "", prefix_to: str = "") -> pa.Table:
+    """(url, html) batch → html with urls rewritten: exact matches from
+    the broadcast mapping first, then prefix rewrite (the reference's
+    url-transform fn factory, ``documentrepository.py:2455-2556``)."""
+    from ferenda_ray.state import fetch
+
+    mapping = fetch(mapping_ref) if mapping_ref is not None else {}
+
+    def transform(u: str) -> str:
+        if u in mapping:
+            return mapping[u]
+        base, frag = (u.split("#", 1) + [""])[:2]
+        if base in mapping:
+            return mapping[base] + ("#" + frag if frag else "")
+        if prefix_from and u.startswith(prefix_from):
+            return prefix_to + u[len(prefix_from):]
+        return u
+
+    htmls = [transformlinks_html(h, transform)
+             for h in batch.column("html").to_pylist()]
+    return pa.table({"url": batch.column("url"),
+                     "html": pa.array(htmls, pa.large_string())})
+
+
+# -- atom feeds -----------------------------------------------------------
+
+def atom_feed(entries: pd.DataFrame, feed_id: str, title: str,
+              archive_size: int = 100) -> list[dict]:
+    """Entries (uri, updated[, title]) → paginated Atom XML documents,
+    newest first, ``archive_size`` per page (page 0 = current feed)."""
+    e = entries.sort_values(["updated", "uri"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    pages = []
+    for start in range(0, max(len(e), 1), archive_size):
+        chunk = e.iloc[start:start + archive_size]
+        page_no = start // archive_size
+        xml = [
+            '<?xml version="1.0" encoding="utf-8"?>',
+            '<feed xmlns="http://www.w3.org/2005/Atom">',
+            f"<id>{escape(feed_id)}?page={page_no}</id>",
+            f"<title>{escape(title)}</title>",
+        ]
+        if len(chunk):
+            xml.append(f"<updated>{escape(str(chunk['updated'].iloc[0]))}"
+                       "</updated>")
+        for _, row in chunk.iterrows():
+            xml.append("<entry>")
+            xml.append(f"<id>{escape(row['uri'])}</id>")
+            xml.append(f"<title>{escape(str(row.get('title', row['uri'])))}"
+                       "</title>")
+            xml.append(f"<updated>{escape(str(row['updated']))}</updated>")
+            xml.append(f"<link href={quoteattr(row['uri'])}/>")
+            xml.append("</entry>")
+        xml.append("</feed>")
+        pages.append({"feed": feed_id, "page": page_no,
+                      "n_entries": len(chunk), "xml": "\n".join(xml)})
+    return pages
+
+
+def atom_feeds_ds(facets_ds, feed_col: str = "dct_language",
+                  date_col: str = "dct_issued", archive_size: int = 100):
+    """Facet rows → one Atom page row per (feed value, archive page)."""
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        feed_val = str(g[feed_col].iloc[0])
+        entries = pd.DataFrame({"uri": g["uri"],
+                                "updated": g[date_col],
+                                "title": g.get("dct_title", g["uri"])})
+        return pd.DataFrame(atom_feed(entries, feed_id=f"feed:{feed_val}",
+                                      title=f"Feed {feed_val}",
+                                      archive_size=archive_size))
+
+    return facets_ds.groupby(feed_col).map_groups(render,
+                                                  batch_format="pandas")

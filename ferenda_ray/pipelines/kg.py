@@ -55,28 +55,33 @@ def latest_per_url_map(path: str) -> dict[str, object]:
     url→max_ts map outgrows the driver either way; the documented scale
     path (module docstring) swaps this broadcast for a hash-bucket join.
     """
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     t = pads.dataset(path).to_table(columns=["url", "warc_ts"])
     g = t.group_by("url").aggregate([("warc_ts", "max")])
-    return dict(zip(g.column("url").to_pylist(),
-                    g.column("warc_ts_max").to_pylist()))
+    # store epoch-microseconds so the per-batch filter compares int64s
+    us = pc.cast(g.column("warc_ts_max"), pa.int64()).to_pylist()
+    return dict(zip(g.column("url").to_pylist(), us))
 
 
 def latest_filter(batch: pa.Table, max_ref) -> pa.Table:
     """Broadcast semi-join: keep only the newest snapshot of each url.
     Stateless task; broadcast map resolved once per worker via the
-    state cache."""
-    import pandas as pd
+    state cache. Vectorized: compare epoch-microsecond int64s, no
+    per-row timestamp object construction."""
+    import numpy as np
+    import pyarrow.compute as pc
 
     from ferenda_ray.state import fetch
 
-    max_ts = fetch(max_ref)
+    max_us = fetch(max_ref)
     urls = batch.column("url").to_pylist()
-    ts = batch.column("warc_ts").to_pylist()
-    keep = [max_ts.get(u) == pd.Timestamp(t) or max_ts.get(u) == t
-            for u, t in zip(urls, ts)]
-    return batch.filter(pa.array(keep, pa.bool_()))
+    ts_us = pc.cast(batch.column("warc_ts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    want = np.fromiter((max_us.get(u, -1) for u in urls), dtype=np.int64,
+                       count=len(urls))
+    return batch.filter(pa.array(ts_us == want, pa.bool_()))
 
 
 _LINKER_CACHE: dict = {}

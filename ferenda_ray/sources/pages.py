@@ -253,7 +253,7 @@ def generate_corpus_ds(n_pages: int):
     # parallelism of the downstream pipeline is capped by file count,
     # so the corpus must be written in many small files (real crawls
     # are: one file per WARC segment)
-    blocks = max(1, -(-n_pages // 128))
+    blocks = max(1, -(-n_pages // 256))
     return rd.range(n_pages, override_num_blocks=blocks).map_batches(
         lambda b: pages_batch(b["id"]),
         batch_format="numpy",

@@ -68,35 +68,33 @@ def add_keys(batch: pa.Table, num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
     return out
 
 
-def bucket_merger(out_dir: str, stage_dir: str):
-    """Factory for the phase-2 task: one bucket id → read that bucket's
-    staged delta fragments, exact-dedup with a deterministic survivor,
-    atomic final partition write + manifest row."""
+def merge_bucket(bucket: int, out_dir: str, stage_dir: str) -> tuple:
+    """Phase-2 unit of work: read one bucket's staged delta fragments,
+    exact-dedup with a deterministic survivor (sort by key cols + url,
+    keep first), atomic final partition write + manifest row."""
+    import pyarrow.dataset as pads
 
-    def merge_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.dataset as pads
-
-        out_rows = []
-        for bucket in batch["item"].tolist():
-            t0 = time.perf_counter()
-            bucket = int(bucket)
-            frag_dir = os.path.join(stage_dir, f"bucket={bucket}")
-            g = pads.dataset(frag_dir).to_table().to_pandas()
-            g = g.sort_values(KEY_COLS + ["url"], kind="mergesort")
-            g = g.drop_duplicates(subset=["key_hash"], keep="first")
-            g = g.drop(columns=["key_hash"])
-            part_dir = os.path.join(out_dir, f"bucket={bucket:05d}")
-            os.makedirs(part_dir, exist_ok=True)
-            tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-            final = os.path.join(part_dir, "part-0.parquet")
-            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
-            os.replace(tmp, final)
-            t_ms = (time.perf_counter() - t0) * 1000
-            _write_manifest_row(out_dir, bucket, len(g), t_ms)
-            out_rows.append((bucket, len(g), t_ms))
-        return pd.DataFrame(out_rows, columns=["bucket", "n_triples", "t_ms"])
-
-    return merge_bucket
+    t0 = time.perf_counter()
+    frag_dir = os.path.join(stage_dir, f"bucket={bucket}")
+    t = pads.dataset(frag_dir).to_table()
+    g = pl.from_arrow(t).sort(KEY_COLS + ["url"]).unique(
+        subset=["key_hash"], keep="first", maintain_order=True
+    ).drop("key_hash")
+    part_dir = os.path.join(out_dir, f"bucket={bucket:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    final = os.path.join(part_dir, "part-0.parquet")
+    out = g.to_arrow()
+    # polars round-trip upgrades to large_string; pin the canonical schema
+    out = out.cast(pa.schema([(n, pa.large_string() if n in
+                               ("subj", "pred", "obj", "lang", "datatype",
+                                "url") else out.schema.field(n).type)
+                              for n in out.column_names]))
+    pq.write_table(out, tmp)
+    os.replace(tmp, final)
+    t_ms = (time.perf_counter() - t0) * 1000
+    _write_manifest_row(out_dir, bucket, len(g), t_ms)
+    return bucket, len(g), t_ms
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -168,10 +166,20 @@ def materialize(triples_ds, out_dir: str,
     # storage as the final partitions; phase-2 parallelism = num_buckets.
     import shutil
 
-    import ray.data as rd
-
-    stage_dir = os.path.join(out_dir, "_stage")
+    stage_root = os.environ.get("FERENDA_RAY_STAGE_ROOT")
+    if stage_root:
+        # transient shuffle tier (e.g. /dev/shm locally; on a cluster,
+        # node-local SSD or the shuffle service). Losing it only costs
+        # re-running phase 1 for unfinished buckets — bucket-level
+        # resume lives in the manifest, not the stage.
+        stage_dir = os.path.join(
+            stage_root, "ferenda_stage-" + uuid.uuid4().hex[:12])
+    else:
+        stage_dir = os.path.join(out_dir, "_stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
+    # NOTE: do NOT pass min_rows_per_file here — bundling write tasks
+    # to a row target serializes the write stage (measured 9s → 60s+ on
+    # an 80k-page run); one file per (map task, bucket) is fine.
     ds.write_parquet(stage_dir, partition_cols=["bucket"])
     try:
         buckets = sorted(
@@ -181,13 +189,15 @@ def materialize(triples_ds, out_dir: str,
         ) if os.path.isdir(stage_dir) else []
         if not buckets:
             return pd.DataFrame(columns=["bucket", "n_triples", "t_ms"])
-        manifest = rd.from_items(
-            buckets, override_num_blocks=len(buckets)
-        ).map_batches(
-            bucket_merger(out_dir, stage_dir),
-            batch_format="pandas", batch_size=None,
-        )
-        return manifest.to_pandas()
+        # phase 2 is a FIXED small fan-out (num_buckets independent
+        # tasks) — plain ray tasks avoid a second Dataset executor
+        # startup (~1s) on every run; each task is pure + idempotent
+        import ray
+
+        merge = ray.remote(merge_bucket)
+        rows = ray.get([merge.remote(b, out_dir, stage_dir)
+                        for b in buckets])
+        return pd.DataFrame(rows, columns=["bucket", "n_triples", "t_ms"])
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
 

