@@ -77,12 +77,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": rel.latest_event_per_user,
         "top5_orders": rel.top5_orders,
         "order_priority_counts": rel.order_priority_counts,
+        "orders_by_date": rel.orders_by_date,
+        "customers_by_sortkey": rel.customers_by_sortkey,
         "exact_dedup": dedup.exact_dedup,
         # text analysis (training-data components)
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
+        "doc_structure": text.doc_structure,
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,
@@ -94,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
+        "dup_clusters": lambda sf: dedup.dup_clusters(
+            dedup.minhash_dedup_pairs(sf)),
         # similarity search
         "ann_topk": ann.bruteforce_topk,
         "ann_ivf_topk": ann.ivf_topk,
@@ -178,6 +183,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nt_lines(_kg_triples_ds(_n_pages(sf_dir)))
 
+    def kg_generate(sf_dir: str):
+        """Generate stage (M17/S14): docs + incoming-reference
+        annotations → browser HTML per page. Annotations broadcast
+        (small at this scale; a bucketed join at 10^12 urls)."""
+        import functools
+
+        import ray
+
+        from ferenda_ray.ops.graph import edges_from_triples, incoming_refs
+        from ferenda_ray.ops.render import generate_batch
+        from ferenda_ray.pipelines.kg import build_docs_ds
+
+        n = _n_pages(sf_dir)
+        refs = incoming_refs(
+            edges_from_triples(_kg_triples_ds(n))).to_pandas()
+        ann = {r.dst: r.citing.split(";") for r in refs.itertuples()}
+        ann_ref = ray.put(ann)
+        return build_docs_ds(_pages_path(n)).map_batches(
+            functools.partial(generate_batch, annotations_ref=ann_ref),
+            batch_format="pyarrow", batch_size=64)
+
+    def kg_atom_feeds(sf_dir: str):
+        from ferenda_ray.ops.facets import faceted_data
+        from ferenda_ray.ops.render import atom_feeds_ds
+
+        return atom_feeds_ds(
+            faceted_data(_kg_triples_ds(_n_pages(sf_dir))), archive_size=50)
+
+    def kg_composite_stats(sf_dir: str):
+        """Composite fallback-chain parse over the corpus; per-parser
+        doc counts (parser_used lineage)."""
+        import functools
+
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        from ferenda_ray.stages.composite import composite_parse_batch
+        from ferenda_ray.stages.extract import extract_batch
+
+        ds = rd.read_parquet(_pages_path(_n_pages(sf_dir)),
+                             columns=["url", "warc_ts", "html", "lang"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                            batch_size=64)
+        ds = ds.map_batches(composite_parse_batch, batch_format="pyarrow",
+                            batch_size=64)
+        return ds.groupby("parser_used").aggregate(Count(alias_name="n_docs"))
+
     def media_features(sf_dir: str):
         import ray.data as rd
 
@@ -202,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_news_feeds": kg_news_feeds,
             "kg_degree_histogram": kg_degree_histogram,
             "kg_nt_dump": kg_nt_dump,
+            "kg_generate": kg_generate,
+            "kg_atom_feeds": kg_atom_feeds,
+            "kg_composite_stats": kg_composite_stats,
             "media_features": media_features,
         }
     )
@@ -230,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": rel.LATEST_EVENT_SQL,
         "top5_orders": rel.TOP5_ORDERS_SQL,
         "order_priority_counts": rel.ORDER_PRIORITY_SQL,
+        "orders_by_date": rel.ORDERS_BY_DATE_SQL,
+        "customers_by_sortkey": rel.CUSTOMERS_BY_SORTKEY_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,

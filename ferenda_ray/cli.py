@@ -1,0 +1,144 @@
+"""CLI entry point — the ``ferenda-build.py`` analog
+(reference ``ferenda/manager.py:467-668`` alias→action dispatch), one
+subcommand per pipeline stage/product:
+
+    python -m ferenda_ray.cli run      --pages P --out D [--buckets N]
+    python -m ferenda_ray.cli sections --pages P --out D
+    python -m ferenda_ray.cli generate --pages P --out D
+    python -m ferenda_ray.cli ntdump   --pages P --out D
+    python -m ferenda_ray.cli status   --out D
+    python -m ferenda_ray.cli gen-corpus --out D --pages-count N
+
+Owns its Ray session (ray.init/shutdown) — library code never does.
+On a cluster, submit with ``ray job submit -- python -m ferenda_ray.cli
+run --pages s3://... --out s3://...`` (the run is resumable: finished
+buckets are skipped via the partition manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    from ferenda_ray.pipelines.kg import run_kg_pipeline
+
+    man = run_kg_pipeline(args.pages, args.out, num_buckets=args.buckets,
+                          batch_size=args.batch_size,
+                          resume=not args.no_resume)
+    print(json.dumps({"buckets_written": len(man),
+                      "triples": int(man.n_triples.sum()) if len(man) else 0}))
+    return 0
+
+
+def cmd_sections(args) -> int:
+    from ferenda_ray.pipelines.kg import build_sections_ds
+
+    build_sections_ds(args.pages,
+                      batch_size=args.batch_size).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import functools
+
+    import ray
+
+    from ferenda_ray.ops.graph import edges_from_triples, incoming_refs
+    from ferenda_ray.ops.render import generate_batch
+    from ferenda_ray.pipelines.kg import build_docs_ds, build_triples_ds
+
+    refs = incoming_refs(
+        edges_from_triples(build_triples_ds(args.pages))).to_pandas()
+    ann_ref = ray.put({r.dst: r.citing.split(";")
+                       for r in refs.itertuples()})
+    (build_docs_ds(args.pages, batch_size=args.batch_size)
+     .map_batches(functools.partial(generate_batch, annotations_ref=ann_ref),
+                  batch_format="pyarrow", batch_size=args.batch_size)
+     .write_parquet(args.out))
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_ntdump(args) -> int:
+    from ferenda_ray.pipelines.kg import build_triples_ds
+    from ferenda_ray.stages.materialize import write_nt
+
+    man = write_nt(build_triples_ds(args.pages), args.out)
+    print(json.dumps({"shards": len(man), "lines": int(man.n_lines.sum())}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    """Per-partition status from the lineage manifest (reference
+    ``get_status``/``statusreport`` A6)."""
+    from ferenda_ray.stages.materialize import read_manifest
+
+    rows = read_manifest(args.out)
+    print(json.dumps({
+        "buckets_done": len(rows),
+        "triples": sum(r["n_triples"] for r in rows),
+        "t_ms_total": round(sum(r["t_ms"] for r in rows), 1),
+    }))
+    return 0
+
+
+def cmd_gen_corpus(args) -> int:
+    from ferenda_ray.sources.pages import generate_corpus_ds
+
+    generate_corpus_ds(args.pages_count).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "pages": args.pages_count}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ferenda_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, pages=True):
+        if pages:
+            sp.add_argument("--pages", required=True,
+                            help="pages parquet path/dir")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--batch-size", type=int, default=128)
+
+    sp = sub.add_parser("run"); common(sp)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--no-resume", action="store_true")
+    sp.set_defaults(fn=cmd_run)
+    sp = sub.add_parser("sections"); common(sp); sp.set_defaults(fn=cmd_sections)
+    sp = sub.add_parser("generate"); common(sp); sp.set_defaults(fn=cmd_generate)
+    sp = sub.add_parser("ntdump"); common(sp); sp.set_defaults(fn=cmd_ntdump)
+    sp = sub.add_parser("status")
+    sp.add_argument("--out", required=True); sp.set_defaults(fn=cmd_status)
+    sp = sub.add_parser("gen-corpus")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--pages-count", type=int, required=True)
+    sp.set_defaults(fn=cmd_gen_corpus)
+
+    args = p.parse_args(argv)
+    _init_ray()
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -493,6 +493,50 @@ WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
 """
 
 
+def orders_by_date(sf_dir: str, k: int = 100):
+    """Global sort (O1-O3 analog: TOC/news orderings): full distributed
+    sort on a computed key column, top-k page. The sort key is a plain
+    column (collation keys must be materialized first — reference
+    ``locale.strxfrm`` sorts, ``documentrepository.py:2843-2851``)."""
+    return (
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+        .sort(["o_orderdate", "o_orderkey"])
+        .limit(k)
+    )
+
+
+ORDERS_BY_DATE_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+ORDER BY o_orderdate, o_orderkey LIMIT 100
+"""
+
+
+def customers_by_sortkey(sf_dir: str, k: int = 50):
+    """Collation-key sort (O1/O2): materialize ``title_sortkey`` as a
+    column, sort on it — the reference's strxfrm/numalpha pattern."""
+    from ferenda_ray.util import title_sortkey
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        keys = [title_sortkey(n) for n in b.column("c_name").to_pylist()]
+        return b.append_column("sortkey", pa.array(keys, pa.string()))
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .sort(["sortkey", "c_custkey"]).limit(k))
+
+
+CUSTOMERS_BY_SORTKEY_SQL = """
+SELECT c_custkey, c_name,
+       replace(regexp_replace(regexp_replace(lower(c_name), '^the ', ''),
+                              '[^a-z0-9_ ]', '', 'g'), ' ', '') AS sortkey
+FROM customer
+ORDER BY sortkey, c_custkey LIMIT 50
+"""
+
+
 def nation_order_rollup(sf_dir: str):
     """Two chained broadcast joins + aggregate: orders → customer →
     nation, order counts + revenue per nation."""

@@ -174,3 +174,70 @@ def fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# -- plain-text structural parse (TextReader S5 analog) --------------------
+
+_HEADING_LINE = __import__("re").compile(r"^(\d+(?:\.\d+)*)\.?\s+\S")
+
+
+def text_blocks(text: str) -> list[dict]:
+    """Chunk plain text into the FSM block stream the structural parser
+    consumes: blank-line-separated paragraphs, with 'N. Title' lines as
+    numbered headings and '- item' lines as list items (reference
+    ``TextReader`` paragraph mode + the RFC rule pack's line shapes,
+    ``textreader.py:11-352`` / ``rfc.py:337-380``)."""
+    blocks: list[dict] = []
+    for para in text.split("\n\n"):
+        para = para.strip()
+        if not para:
+            continue
+        first = para.split("\n", 1)[0]
+        if _HEADING_LINE.match(first) and len(first) < 120:
+            m = _HEADING_LINE.match(first)
+            blocks.append({"kind": "heading",
+                           "level": first.count(".") + 1,
+                           "text": first})
+            rest = para.split("\n", 1)
+            if len(rest) > 1 and rest[1].strip():
+                blocks.append({"kind": "paragraph",
+                               "text": " ".join(rest[1].split())})
+        elif all(line.lstrip().startswith(("-", "*"))
+                 for line in para.splitlines()):
+            for line in para.splitlines():
+                blocks.append({"kind": "listitem",
+                               "text": line.lstrip("-* ").strip()})
+        else:
+            blocks.append({"kind": "paragraph", "text": " ".join(para.split())})
+    return blocks
+
+
+def doc_structure(sf_dir: str):
+    """Run the FSM structural parser over the plain-text ``documents``
+    corpus: per doc, counts of sections / paragraphs / lists — the
+    second corpus exercising the same parse engine as the web pipeline."""
+    from ferenda_ray.stages.structure import parse_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        secs, paras, lists = [], [], []
+        for t in b.column("text").to_pylist():
+            tree = parse_blocks(text_blocks(t or ""))
+
+            def count(kind, node):
+                return (1 if node.get("kind") == kind else 0) + sum(
+                    count(kind, c) for c in node.get("children", []))
+
+            secs.append(count("Section", tree))
+            paras.append(count("Paragraph", tree))
+            lists.append(count("UnorderedList", tree))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_sections": pa.array(secs, pa.int64()),
+            "n_paragraphs": pa.array(paras, pa.int64()),
+            "n_lists": pa.array(lists, pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
