@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_lineitem_by_brand": rel.parts_in_lineitem_by_brand,
         "segment_order_stats": rel.segment_order_stats,
         "nation_order_rollup": rel.nation_order_rollup,
+        "props_stats": rel.props_stats,
         # dedup / sort / top-k (SURVEY §2.6-2.7)
         "latest_event_per_user": rel.latest_event_per_user,
         "top5_orders": rel.top5_orders,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_in_lineitem_by_brand": rel.PARTS_IN_LINEITEM_SQL,
         "segment_order_stats": rel.SEGMENT_ORDER_STATS_SQL,
         "nation_order_rollup": rel.NATION_ORDER_ROLLUP_SQL,
+        "props_stats": rel.PROPS_STATS_SQL,
         "latest_event_per_user": rel.LATEST_EVENT_SQL,
         "top5_orders": rel.TOP5_ORDERS_SQL,
         "order_priority_counts": rel.ORDER_PRIORITY_SQL,

@@ -427,6 +427,54 @@ GROUP BY c_mktsegment
 """
 
 
+def props_stats(sf_dir: str):
+    """Semi-structured extraction (the reference's schemaless RDF /
+    DocumentEntry-JSON side, SURVEY §1.2): pull a field out of the JSON
+    ``props`` column (vectorized via polars' JSON path kernel) and
+    aggregate per event_type."""
+    import polars as pl
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.with_columns(
+            pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64).alias("k")
+        ).drop("props")
+        return df.to_arrow()
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("k", alias_name="sum_k"),
+                   Min("k", alias_name="min_k"),
+                   Max("k", alias_name="max_k"))
+    )
+
+    def fix_types(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for c in ("sum_k", "min_k", "max_k"):
+            idx = b.column_names.index(c)
+            b = b.set_column(idx, c, pc.cast(b.column(c), pa.int64()))
+        return b
+
+    return agg.map_batches(fix_types, batch_format="pyarrow")
+
+
+PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # -- D/O: dedup, sort, top-k ---------------------------------------------
 
 def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
