@@ -105,11 +105,26 @@ def band_rows(doc_id: int, sig: np.ndarray) -> list[dict]:
     return rows
 
 
+def _shingles_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, shingles list<int64>) — the shared
+    upstream of both LSH banding and exact-Jaccard verification, so the
+    md5 shingling runs ONCE, distributed (computing it driver-side for
+    the verification dict was the bench's slowest stage)."""
+    ids = b.column("doc_id").to_pylist()
+    shs = [sorted(shingles(t)) for t in b.column("text").to_pylist()]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "sh": pa.array(shs, pa.list_(pa.int64()))})
+
+
+def shingle_ds(sf_dir: str):
+    return _docs(sf_dir).map_batches(_shingles_batch, batch_format="pyarrow")
+
+
 def _band_rows_batch(b: pa.Table) -> pa.Table:
     rows: list[dict] = []
-    for doc_id, text in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-        rows.extend(band_rows(doc_id, minhash_signature(shingles(text))))
+    for doc_id, sh in zip(b.column("doc_id").to_pylist(),
+                          b.column("sh").to_pylist()):
+        rows.extend(band_rows(doc_id, minhash_signature(set(sh))))
     return pa.table(
         {
             "band": pa.array([r["band"] for r in rows], pa.int32()),
@@ -126,7 +141,7 @@ MAX_BUCKET = 500  # guard against a degenerate mega-bucket going O(n²);
 N_SHUFFLE_BUCKETS = 64
 
 
-def minhash_candidates(sf_dir: str):
+def minhash_candidates(sf_dir: str, sh_ds=None):
     """LSH candidate pairs: same (band, band_hash) bucket → pair
     (doc_a < doc_b), deduplicated across bands.
 
@@ -136,7 +151,8 @@ def minhash_candidates(sf_dir: str):
     vectorized in pandas inside each bucket task."""
     from ferenda_ray.util import stable_uint
 
-    ds = _docs(sf_dir).map_batches(_band_rows_batch, batch_format="pyarrow")
+    sh = sh_ds if sh_ds is not None else shingle_ds(sf_dir)
+    ds = sh.map_batches(_band_rows_batch, batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:
         buckets = [stable_uint(h, N_SHUFFLE_BUCKETS)
@@ -167,16 +183,18 @@ def minhash_candidates(sf_dir: str):
 
 def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
     """Verified near-dup pairs: LSH candidates → exact shingle-set
-    Jaccard ≥ threshold. Verification uses a broadcast doc_id→shingles
-    dict (documents is the small side here; see module scale note)."""
-    import pyarrow.parquet as pq
-
-    tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh_ref = ray.put(
-        {d: shingles(t) for d, t in zip(tab.column("doc_id").to_pylist(),
-                                        tab.column("text").to_pylist())}
-    )
-    cand = minhash_candidates(sf_dir)
+    Jaccard ≥ threshold. The shingle sets are computed ONCE, distributed
+    (shared Dataset feeds both the banding and, collected as hashed
+    int64 sets, the broadcast verification dict — documents is the
+    small side here; see module scale note)."""
+    sh = shingle_ds(sf_dir).materialize()  # consumed twice (bands + dict)
+    sh_dict: dict[int, set] = {}
+    for batch in sh.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("sh").to_pylist()):
+            sh_dict[d] = set(s)
+    sh_ref = ray.put(sh_dict)
+    cand = minhash_candidates(sf_dir, sh_ds=sh)
 
     def verify(b: pa.Table) -> pa.Table:
         from ferenda_ray.state import fetch

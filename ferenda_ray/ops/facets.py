@@ -43,27 +43,39 @@ def faceted_data(triples_ds, facets: dict[str, str] | None = None):
     facets = facets or DEFAULT_FACETS
     pred_to_name = {p: n for n, p in facets.items()}
     names = list(facets.keys())
+    num_buckets = 32
 
     def prefilter(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return b.filter(
+        from ferenda_ray.util import stable_uint
+
+        b = b.filter(
             pc.is_in(b.column("pred"),
                      value_set=pa.array(list(pred_to_name), pa.string()))
         ).select(["subj", "pred", "obj"])
+        buckets = [stable_uint(s, num_buckets)
+                   for s in b.column("subj").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def pivot(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pred", "obj"], kind="mergesort")
-        row = {"uri": [g["subj"].iloc[0]]}
-        firsts = g.groupby("pred")["obj"].first()
+        # vectorized: thousands of subjects per bucket task, one pandas
+        # pivot per task (a per-subject map_groups pays per-group python
+        # overhead at every subject — the bucket pattern, SURVEY §7.5)
+        g = (g.sort_values(["subj", "pred", "obj"], kind="mergesort")
+             .drop_duplicates(subset=["subj", "pred"], keep="first"))
+        wide = g.pivot(index="subj", columns="pred", values="obj")
+        out = pd.DataFrame({"uri": wide.index})
         for name in names:
             pred = facets[name]
-            row[name] = [firsts.get(pred, "")]
-        return pd.DataFrame(row)
+            col = (wide[pred] if pred in wide.columns
+                   else pd.Series("", index=wide.index))
+            out[name] = col.fillna("").to_numpy()
+        return out
 
     return (
         triples_ds.map_batches(prefilter, batch_format="pyarrow")
-        .groupby("subj")
+        .groupby("bucket")
         .map_groups(pivot, batch_format="pandas")
     )
 

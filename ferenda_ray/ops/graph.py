@@ -81,7 +81,14 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10):
     one map_batches emits per-edge contributions, one grouped sum per
     dst; dangling mass and teleport handled on the driver. Node set and
     rank vectors stay small relative to edges (node-level state);
-    returns a pandas DataFrame (url, rank)."""
+    returns a pandas DataFrame (url, rank).
+
+    The edge Dataset is materialized ONCE up front — it is consumed
+    n_iter+2 times, and a lazy Dataset would re-execute its whole
+    upstream pipeline (extract→parse→link!) on every power iteration.
+    This is the one legitimate mid-pipeline materialize: edges are the
+    iteration's working set (narrow: two string columns)."""
+    edges_ds = edges_ds.materialize()
     nodes_df = (
         edges_ds.map_batches(
             lambda b: pa.table(
