@@ -184,6 +184,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nt_lines(_kg_triples_ds(_n_pages(sf_dir)))
 
+    def kg_triple_counts(sf_dir: str):
+        """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
+        from ray.data.aggregate import Count
+
+        return (_kg_triples_ds(_n_pages(sf_dir))
+                .groupby("url").aggregate(Count(alias_name="n_triples"))
+                .sort(["n_triples", "url"], descending=[True, False]))
+
     def kg_generate(sf_dir: str):
         """Generate stage (M17/S14): docs + incoming-reference
         annotations → browser HTML per page. Annotations broadcast
@@ -255,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_news_feeds": kg_news_feeds,
             "kg_degree_histogram": kg_degree_histogram,
             "kg_nt_dump": kg_nt_dump,
+            "kg_triple_counts": kg_triple_counts,
             "kg_generate": kg_generate,
             "kg_atom_feeds": kg_atom_feeds,
             "kg_composite_stats": kg_composite_stats,

@@ -97,6 +97,20 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    """Debug dump of materialized triples (reference S15
+    ``Devel.dumprdf``/``dumpstore``): sample rows, optionally one
+    subject's full graph, as N-Triples lines."""
+    from ferenda_ray.stages.materialize import nt_lines, read_triples
+
+    ds = read_triples(args.out)
+    if args.subject:
+        ds = ds.filter(expr=f"subj == '{args.subject}'")
+    for row in nt_lines(ds).limit(args.limit).take(args.limit):
+        print(row["line"])
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from ferenda_ray.sources.pages import generate_corpus_ds
 
@@ -125,6 +139,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("ntdump"); common(sp); sp.set_defaults(fn=cmd_ntdump)
     sp = sub.add_parser("status")
     sp.add_argument("--out", required=True); sp.set_defaults(fn=cmd_status)
+    sp = sub.add_parser("dump")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--subject", default="")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_dump)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
     sp.add_argument("--pages-count", type=int, required=True)
