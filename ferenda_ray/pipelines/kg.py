@@ -121,6 +121,39 @@ def triple_emit_batch(batch: pa.Table, alias_ref=None,
     return _emit(batch, _linker_for(alias_ref, emb_ref))
 
 
+def pages_to_triples_batch(batch: pa.Table, alias_ref=None,
+                           emb_ref=None) -> pa.Table:
+    """Single-pass pages → triples: extract + FSM structure + emit +
+    link without serializing the blocks/tree to JSON between stages.
+    The stage boundaries still exist as composable functions
+    (extract_batch / structure_batch / triple_emit_batch feed the
+    sections/entries/composite products); the flagship uses this fused
+    path because the per-doc JSON round trips were pure overhead inside
+    one fused Ray task."""
+    from ferenda_ray.stages import extract as ex
+    from ferenda_ray.stages.structure import parse_blocks
+
+    linker = _linker_for(alias_ref, emb_ref)
+    if ex._EXTRACTOR is None:
+        ex._EXTRACTOR = ex._FastExtractor()
+    extractor = ex._EXTRACTOR
+    rows: list[dict] = []
+    for url, ts, lang_in, html in zip(
+        batch.column("url").to_pylist(),
+        batch.column("warc_ts").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("html").to_pylist(),
+    ):
+        try:
+            lang, title, blocks = extractor.run(html)
+            tree = parse_blocks(blocks)
+        except Exception:
+            lang, title, tree = "", "", {"kind": "Body", "children": []}
+        _emit_doc(url, ts, (lang or lang_in or ""), title, tree, linker,
+                  rows)
+    return _rows_table(rows)
+
+
 class TripleEmitStage:
     """Actor-pool variant of ``triple_emit_batch`` (state in
     ``__init__``): use when linker state is too heavy for per-process
@@ -140,25 +173,21 @@ class TripleEmitStage:
         return _emit(batch, self.linker)
 
 
-def _emit(batch: pa.Table, linker: EntityLinker) -> pa.Table:
-    rows: list[dict] = []
-    for url, ts, lang, title, tj in zip(
-        batch.column("url").to_pylist(),
-        batch.column("warc_ts").to_pylist(),
-        batch.column("lang").to_pylist(),
-        batch.column("title").to_pylist(),
-        batch.column("tree").to_pylist(),
-    ):
-        tree = json.loads(tj)
-        rows.extend(doc_triples(url, ts, lang, title, tree))
-        for sec in sections_rows(url, tree, title):
-            about, text = sec["about"], sec["text"]
-            for target in scan_citations(text):
-                rows.append(_ref_triple(about, S.DCT_REFERENCES, target, url))
-            for m in _MENTION.finditer(text):
-                uri = linker.link(m.group(1))
-                if uri is not None:
-                    rows.append(_ref_triple(about, S.DCT_SUBJECT, uri, url))
+def _emit_doc(url, ts, lang, title, tree: dict, linker: EntityLinker,
+              rows: list[dict]) -> None:
+    """All triples for ONE parsed document appended to ``rows``."""
+    rows.extend(doc_triples(url, ts, lang, title, tree))
+    for sec in sections_rows(url, tree, title):
+        about, text = sec["about"], sec["text"]
+        for target in scan_citations(text):
+            rows.append(_ref_triple(about, S.DCT_REFERENCES, target, url))
+        for m in _MENTION.finditer(text):
+            uri = linker.link(m.group(1))
+            if uri is not None:
+                rows.append(_ref_triple(about, S.DCT_SUBJECT, uri, url))
+
+
+def _rows_table(rows: list[dict]) -> pa.Table:
     return pa.table(
         {
             "subj": pa.array([r["subj"] for r in rows], pa.string()),
@@ -170,6 +199,19 @@ def _emit(batch: pa.Table, linker: EntityLinker) -> pa.Table:
             "url": pa.array([r["url"] for r in rows], pa.string()),
         }
     )
+
+
+def _emit(batch: pa.Table, linker: EntityLinker) -> pa.Table:
+    rows: list[dict] = []
+    for url, ts, lang, title, tj in zip(
+        batch.column("url").to_pylist(),
+        batch.column("warc_ts").to_pylist(),
+        batch.column("lang").to_pylist(),
+        batch.column("title").to_pylist(),
+        batch.column("tree").to_pylist(),
+    ):
+        _emit_doc(url, ts, lang, title, json.loads(tj), linker, rows)
+    return _rows_table(rows)
 
 
 def _ref_triple(subj, pred, obj, url):
@@ -214,15 +256,23 @@ def build_triples_ds(pages_path: str, *, link_concurrency=None,
 
     import functools
 
-    ds = build_docs_ds(pages_path, batch_size=batch_size,
-                       dedupe_snapshots=dedupe_snapshots)
     if link_concurrency is None:
+        # single-pass fused path: extract+parse+emit+link in one task fn
+        ds = read_pages(pages_path)
+        if dedupe_snapshots:
+            max_ref = ray.put(latest_per_url_map(pages_path))
+            ds = ds.map_batches(
+                functools.partial(latest_filter, max_ref=max_ref),
+                batch_format="pyarrow", batch_size=batch_size,
+            )
         ds = ds.map_batches(
-            functools.partial(triple_emit_batch, alias_ref=alias_ref,
+            functools.partial(pages_to_triples_batch, alias_ref=alias_ref,
                               emb_ref=emb_ref),
             batch_format="pyarrow", batch_size=batch_size,
         )
     else:
+        ds = build_docs_ds(pages_path, batch_size=batch_size,
+                           dedupe_snapshots=dedupe_snapshots)
         ds = ds.map_batches(
             TripleEmitStage,
             fn_constructor_kwargs={"alias_ref": alias_ref, "emb_ref": emb_ref},

@@ -205,7 +205,106 @@ def extract_page(html_bytes: bytes) -> tuple[str, str, str, list[dict]]:
     return lang, title, page_text(blocks), blocks
 
 
-_EXTRACTOR: _Extractor | None = None
+import re as _re
+
+_TAG_END = _re.compile(r'(?:[^>"\']|"[^"]*"|\'[^\']*\')*>')
+_TAG_NAME = _re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
+_ATTR = _re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+_RAWTEXT = {"script", "style"}  # html.parser CDATA_CONTENT_ELEMENTS
+
+
+class _FastExtractor(_Extractor):
+    """Regex-tokenizer drive of the SAME handler methods (block
+    semantics, drop lists, title/lang capture are all inherited) —
+    ~4x faster than the stdlib ``html.parser`` event loop, which
+    dominated the extract stage profile. ``_Extractor`` remains the
+    reference implementation; equivalence is pinned by
+    tests/test_extract_fast.py (corpus + hypothesis fuzz)."""
+
+    def run(self, html_bytes: bytes) -> tuple[str, str, list[dict]]:
+        self.reset_doc()
+        s = html_bytes.decode("utf-8", errors="replace")
+        n = len(s)
+        pos = 0
+        unescape = __import__("html").unescape
+        while pos < n:
+            lt = s.find("<", pos)
+            if lt < 0:
+                lt = n
+            if lt > pos:
+                data = s[pos:lt]
+                if "&" in data:
+                    data = unescape(data)
+                self.handle_data(data)
+            if lt >= n:
+                break
+            pos = lt
+            nxt = s[pos + 1] if pos + 1 < n else ""
+            if nxt == "!":
+                if s.startswith("<!--", pos):
+                    end = s.find("-->", pos + 4)
+                    pos = n if end < 0 else end + 3
+                else:
+                    end = s.find(">", pos + 2)
+                    pos = n if end < 0 else end + 1
+                continue
+            if nxt == "?":
+                end = s.find(">", pos + 2)
+                pos = n if end < 0 else end + 1
+                continue
+            if nxt == "/":
+                m = _TAG_NAME.match(s, pos + 2)
+                if m:
+                    end = s.find(">", m.end())
+                    pos = n if end < 0 else end + 1
+                    self.handle_endtag(m.group(0).lower())
+                else:
+                    end = s.find(">", pos + 2)
+                    pos = n if end < 0 else end + 1
+                continue
+            m = _TAG_NAME.match(s, pos + 1)
+            if not m:
+                self.handle_data("<")
+                pos += 1
+                continue
+            tag = m.group(0).lower()
+            tm = _TAG_END.match(s, m.end())
+            if tm is None:
+                break  # unterminated tag at EOF: html.parser drops it
+            body_end = tm.end() - 1
+            pos = tm.end()
+            attrs = []
+            if tag == "html":
+                for am in _ATTR.finditer(s, m.end(), body_end):
+                    v = am.group(2)
+                    if v and v[0] in "\"'":
+                        v = v[1:-1]
+                    if v and ("&" in v):
+                        v = unescape(v)
+                    attrs.append((am.group(1).lower(), v))
+            self.handle_starttag(tag, attrs)
+            if s[body_end - 1] == "/" and tag not in VOID_TAGS:
+                self.handle_endtag(tag)  # <x/> startendtag semantics
+            elif tag in _RAWTEXT:
+                rm = _re.search(rf"</{tag}(?=[\s>/])|</{tag}$", s[pos:],
+                                _re.I)
+                pos = n if rm is None else pos + rm.start()
+                # content skipped: script/style are DROP_TAGS — their
+                # data would be discarded by handle_data anyway
+        self._flush_block()
+        self._flush_loose()
+        title = normalize_space("".join(self._title_parts))
+        if not title:
+            for b in self.blocks:
+                if b["kind"] == "heading" and b["level"] == 1:
+                    title = b["text"]
+                    break
+        return self.lang, title, self.blocks
+
+
+_EXTRACTOR: _FastExtractor | None = None
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -222,7 +321,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     """
     global _EXTRACTOR
     if _EXTRACTOR is None:
-        _EXTRACTOR = _Extractor()
+        _EXTRACTOR = _FastExtractor()
     return _extract_batch(_EXTRACTOR, batch)
 
 
