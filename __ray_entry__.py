@@ -249,8 +249,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
                               batch_size=32, concurrency=2)
 
+    def media_frames(sf_dir: str):
+        import ray.data as rd
+
+        from ferenda_ray.stages.multimodal import (FrameSampleStage,
+                                                   synthetic_media_table)
+
+        return rd.from_arrow(synthetic_media_table(120)).map_batches(
+            FrameSampleStage, batch_format="pyarrow", batch_size=32,
+            concurrency=2)
+
     q.update(
         {
+            "media_frames": media_frames,
             "kg_triples": kg_triples,
             "kg_facets": kg_facets,
             "kg_stats": kg_stats,

@@ -114,6 +114,76 @@ class MediaDecodeStage:
         )
 
 
+class MediaResizeStage:
+    """Actor-pool stage: image payloads → resized payloads + updated
+    dims (payload KEPT — this is a transform stage feeding further
+    decode/training steps, unlike the feature stage which drops it).
+    The resample itself is stubbed (no PIL here): output payload is a
+    deterministic function of (input payload, target box), tagged with
+    the real letterbox-fit geometry math a real backend would use."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256):
+        self.max_w, self.max_h = max_w, max_h
+        self.codec = FakeCodec()
+
+    def _fit(self, w: int, h: int) -> tuple[int, int]:
+        scale = min(self.max_w / max(w, 1), self.max_h / max(h, 1), 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for kind, payload in zip(kinds, payloads):
+            if kind != "image":
+                out_p.append(payload); out_w.append(-1); out_h.append(-1)
+                continue
+            w, h, _ = self.codec.decode_meta(payload, kind)
+            nw, nh = self._fit(w, h)
+            # stub resample: real backend replaces just this line
+            resized = hashlib.sha1(
+                payload + f"{nw}x{nh}".encode()).digest() * 4
+            out_p.append(bytes(resized)); out_w.append(nw); out_h.append(nh)
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("payload", pa.array(out_p, pa.binary()))
+        out = out.append_column("width", pa.array(out_w, pa.int32()))
+        return out.append_column("height", pa.array(out_h, pa.int32()))
+
+
+class FrameSampleStage:
+    """flat_map-shaped actor stage: one video row → N sampled frame
+    rows (media_id, frame_idx, ts_ms, features). Non-video rows pass
+    through as a single frame_idx=-1 row. Frame decode is stubbed; the
+    sampling geometry (uniform over duration) is real."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+        self.codec = FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_o, idx_o, ts_o, feat_o = [], [], [], []
+        for mid, kind, payload in zip(batch.column("media_id").to_pylist(),
+                                      batch.column("kind").to_pylist(),
+                                      batch.column("payload").to_pylist()):
+            if kind != "video":
+                ids_o.append(mid); idx_o.append(-1); ts_o.append(-1)
+                feat_o.append(self.codec.features(payload).tolist())
+                continue
+            _, _, dur = self.codec.decode_meta(payload, "video")
+            for k in range(self.n_frames):
+                ts = int((k + 0.5) * dur / self.n_frames)
+                ids_o.append(mid); idx_o.append(k); ts_o.append(ts)
+                feat_o.append(
+                    self.codec.features(payload + ts.to_bytes(4, "little"))
+                    .tolist())
+        return pa.table({
+            "media_id": pa.array(ids_o, pa.string()),
+            "frame_idx": pa.array(idx_o, pa.int32()),
+            "ts_ms": pa.array(ts_o, pa.int32()),
+            "features": pa.array(feat_o, pa.list_(pa.float32())),
+        })
+
+
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media rows for tests/bench (payload = seeded bytes)."""
     import random

@@ -106,3 +106,28 @@ def test_media_decode_stage(ray_session):
     a = np.asarray([np.asarray(f) for f in out.sort_values("media_id").features])
     b = np.asarray([np.asarray(f) for f in out2.sort_values("media_id").features])
     assert np.array_equal(a, b)
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.stages.multimodal import (FrameSampleStage,
+                                               MediaResizeStage,
+                                               synthetic_media_table)
+
+    ds = rd.from_arrow(synthetic_media_table(30))
+    rs = ds.map_batches(MediaResizeStage, batch_format="pyarrow",
+                        batch_size=16, concurrency=2).to_pandas()
+    imgs = rs[rs.kind == "image"]
+    assert (imgs.width <= 256).all() and (imgs.width > 0).all()
+    assert "payload" in rs.columns  # transform stage keeps payload
+
+    fs = (rd.from_arrow(synthetic_media_table(30))
+          .map_batches(FrameSampleStage, batch_format="pyarrow",
+                       batch_size=16, concurrency=2).to_pandas())
+    vids = fs[fs.frame_idx >= 0]
+    n_videos = 30 // 3
+    assert len(vids) == n_videos * 4        # 4 frames per video
+    assert (vids.groupby("media_id").ts_ms.is_monotonic_increasing).all()
+    others = fs[fs.frame_idx == -1]
+    assert len(others) == 30 - n_videos
