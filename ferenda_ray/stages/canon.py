@@ -101,3 +101,98 @@ def canon_batch(batch: pa.Table, canon_ref) -> pa.Table:
     return out.select(
         ["subj", "pred", "obj", "obj_is_uri", "lang", "datatype", "url"]
     )
+
+
+# -- scale-path canonicalization: salted hash-bucket join ------------------
+
+def canon_rewrite_join(triples_ds, mapping_ds, col: str, *,
+                       num_buckets: int = 64, salt: int = 4):
+    """Rewrite one URI column through a (raw → canonical) MAPPING
+    DATASET via a bucketed hash join — the scale path for when the
+    mapping outgrows a broadcast (10^12-entity regime), per the
+    north_rule's "groupby-aggregate shuffles keyed by salted entity
+    hash".
+
+    Skew design: triples are bucketed by ``(hash(uri) % num_buckets,
+    row_salt)`` where ``row_salt = row_hash % salt``; each mapping row
+    is REPLICATED to all ``salt`` sub-buckets. A head entity's triples
+    therefore spread over ``salt`` tasks instead of hot-spotting one
+    (classic salted replicated join). Literal-obj rows pass through a
+    reserved bucket untouched.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ferenda_ray.util import stable_uint
+
+    n_sub = num_buckets * salt
+    PASS = n_sub  # bucket for rows that can never match (literals)
+
+    def tag_triples(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = b.column(col).to_pylist()
+        rewritable = (b.column("obj_is_uri").to_pylist()
+                      if col == "obj" else [True] * len(vals))
+        buckets = []
+        for i, (v, ok) in enumerate(zip(vals, rewritable)):
+            if not ok:
+                buckets.append(PASS)
+            else:
+                buckets.append(stable_uint(v, num_buckets) * salt
+                               + (i % salt))
+        out = b.append_column("bucket", pa.array(buckets, pa.int32()))
+        return out.append_column("side", pa.array([0] * len(vals), pa.int8()))
+
+    def tag_mapping(b: pa.Table) -> pa.Table:
+        raws = b.column("raw").to_pylist()
+        canons = b.column("canonical").to_pylist()
+        cols = {name: [] for name in ("subj", "pred", "obj", "obj_is_uri",
+                                      "lang", "datatype", "url", "bucket",
+                                      "side")}
+        for r, c in zip(raws, canons):
+            base = stable_uint(r, num_buckets) * salt
+            for s in range(salt):  # replicate to every salt sub-bucket
+                cols["subj"].append(r)       # raw key
+                cols["pred"].append("")
+                cols["obj"].append(c)        # canonical value
+                cols["obj_is_uri"].append(True)
+                cols["lang"].append("")
+                cols["datatype"].append("")
+                cols["url"].append("")
+                cols["bucket"].append(base + s)
+                cols["side"].append(1)
+        return pa.table({
+            "subj": pa.array(cols["subj"], pa.string()),
+            "pred": pa.array(cols["pred"], pa.string()),
+            "obj": pa.array(cols["obj"], pa.string()),
+            "obj_is_uri": pa.array(cols["obj_is_uri"], pa.bool_()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "datatype": pa.array(cols["datatype"], pa.string()),
+            "url": pa.array(cols["url"], pa.string()),
+            "bucket": pa.array(cols["bucket"], pa.int32()),
+            "side": pa.array(cols["side"], pa.int8()),
+        })
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g.side == 1]
+        lut = dict(zip(m.subj, m.obj))
+        t = g[g.side == 0].drop(columns=["bucket", "side"]).copy()
+        if lut:
+            t[col] = t[col].map(lambda v: lut.get(v, v))
+        return t
+
+    both = (triples_ds.map_batches(tag_triples, batch_format="pyarrow")
+            .union(mapping_ds.map_batches(tag_mapping,
+                                          batch_format="pyarrow")))
+    return both.groupby("bucket").map_groups(rewrite, batch_format="pandas")
+
+
+def canon_join(triples_ds, mapping_ds, *, num_buckets: int = 64,
+               salt: int = 4):
+    """Full join-based canonicalization: rewrite subj, then obj."""
+    out = canon_rewrite_join(triples_ds, mapping_ds, "subj",
+                             num_buckets=num_buckets, salt=salt)
+    return canon_rewrite_join(out, mapping_ds, "obj",
+                              num_buckets=num_buckets, salt=salt)
