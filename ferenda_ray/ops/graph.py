@@ -59,19 +59,28 @@ def in_degrees(edges_ds):
     return edges_ds.groupby("dst").aggregate(Count(alias_name="in_degree"))
 
 
-def incoming_refs(edges_ds):
+def incoming_refs(edges_ds, num_buckets: int = 32):
     """Reverse-reference annotation (J1/J2): per target, the sorted
     distinct list of citing pages (the reference's deps/<basefile>.txt
-    content, computed as a shuffle instead of cross-task file appends)."""
+    content, computed as a shuffle instead of cross-task file appends).
+    Bucketed by hash(dst) so one task handles many targets vectorized
+    (per-key map_groups pays python overhead per target)."""
+    from ferenda_ray.util import stable_uint
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [stable_uint(d, num_buckets)
+                   for d in b.column("dst").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        srcs = sorted(g["src"].unique())
-        return pd.DataFrame(
-            {"dst": [g["dst"].iloc[0]], "n_incoming": [len(srcs)],
-             "citing": [";".join(srcs)]}
-        )
+        g = g.sort_values(["dst", "src"], kind="mergesort")
+        dd = g.drop_duplicates(["dst", "src"])
+        agg = dd.groupby("dst", sort=True)["src"].agg(
+            n_incoming="size", citing=";".join)
+        return agg.reset_index().astype({"n_incoming": "int64"})
 
-    return edges_ds.groupby("dst").map_groups(collect, batch_format="pandas")
+    return (edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(collect, batch_format="pandas"))
 
 
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10):
