@@ -99,7 +99,8 @@ def run_kg(n_pages: int) -> dict:
 
 def run_queries() -> dict[str, float]:
     """A representative operator slice over the sf tables."""
-    from ferenda_ray.ops import ann, dedup, relational as rel, text
+    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
+                                 windows as win)
 
     out: dict[str, float] = {}
     for name, fn in [
@@ -110,6 +111,9 @@ def run_queries() -> dict[str, float]:
         ("token_counts", text.token_counts),
         ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
         ("ann_topk", ann.bruteforce_topk),
+        ("events_asof_orders", win.events_asof_orders),
+        ("user_sessions", win.user_sessions),
+        ("props_stats", rel.props_stats),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
