@@ -117,3 +117,16 @@ def test_materialize_dedup_manifest_resume(ray_session, pages_parquet, tmp_path)
         df1.sort_values(key).reset_index(drop=True)[sorted(df1.columns)],
         df3.sort_values(key).reset_index(drop=True)[sorted(df3.columns)],
     )
+
+
+def test_actor_pool_variant_matches_fused(ray_session, pages_parquet):
+    """build_triples_ds(link_concurrency=N) — the staged docs-ds + actor
+    pool path — must produce exactly the fused single-pass stream."""
+    fused = kg.build_triples_ds(pages_parquet, batch_size=16).to_pandas()
+    actor = kg.build_triples_ds(pages_parquet, batch_size=16,
+                                link_concurrency=2).to_pandas()
+    key = ["subj", "pred", "obj", "lang", "datatype", "url"]
+    pd.testing.assert_frame_equal(
+        fused.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(fused.columns)],
+        actor.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(actor.columns)],
+    )
