@@ -203,10 +203,19 @@ def materialize(triples_ds, out_dir: str,
 
 
 def read_triples(out_dir: str):
-    """Read the materialized triple table back as a Dataset."""
+    """Read the materialized triple table back as a Dataset. Only the
+    ``bucket=*`` partition dirs are read — a run killed between phase 1
+    and cleanup can leave a transient ``_stage`` dir under ``out_dir``
+    (when no FERENDA_RAY_STAGE_ROOT is set) that must not leak into
+    reads."""
     import ray.data as rd
 
-    return rd.read_parquet(out_dir)
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
+    if not parts:
+        raise FileNotFoundError(f"no bucket=* partitions under {out_dir}")
+    return rd.read_parquet(parts)
 
 
 def _nt_escape(s: str) -> str:
