@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.bruteforce_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "knn_classify": ann.knn_classify,
+        "kmeans_clusters": ann.kmeans,
     }
 
     # KG pipeline products (pages corpus synthesized; sf_dir sets scale)

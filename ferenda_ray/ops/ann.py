@@ -177,3 +177,57 @@ def knn_classify(sf_dir: str, vec_id: int = 0, k: int = 15):
     best = counts[counts == counts.max()].index.min()  # deterministic tie
     return pd.DataFrame({"vec_id": [vec_id], "pred_label": [int(best)],
                          "n_votes": [int(counts.max())]})
+
+
+def kmeans(sf_dir: str, k: int = 8, n_iter: int = 5):
+    """Distributed Lloyd's k-means over the embeddings table — the
+    engine's iterative-algorithm pattern (like pagerank): per iteration,
+    ONE map_batches emits per-batch partial sums against broadcast
+    centroids, the driver reduces k×dim partials. Deterministic:
+    centroids seeded from the first k vectors (sorted by vec_id).
+    Returns (vec_id, cluster) assignments."""
+    import pandas as pd
+
+    import ray
+
+    ds = _embeddings(sf_dir)
+    ids, mat = _load_matrix(sf_dir)
+    order = np.argsort(ids)
+    centroids = mat[order[:k]].astype(np.float64).copy()
+
+    for _ in range(n_iter):
+        c_ref = ray.put(centroids)
+
+        def partial(b, c_ref=c_ref):
+            from ferenda_ray.state import fetch
+
+            c = fetch(c_ref)
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in b["embedding"]])
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return {"sums": sums[None, :, :], "counts": counts[None, :]}
+
+        parts = ds.map_batches(partial, batch_format="numpy").take_all()
+        sums = np.sum([p["sums"] for p in parts], axis=0)
+        counts = np.sum([p["counts"] for p in parts], axis=0)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz][:, None]
+
+    c_ref = ray.put(centroids)
+
+    def assign_batch(b, c_ref=c_ref):
+        from ferenda_ray.state import fetch
+
+        c = fetch(c_ref)
+        m = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return {"vec_id": b["vec_id"],
+                "cluster": d.argmin(axis=1).astype(np.int32)}
+
+    return ds.map_batches(assign_batch, batch_format="numpy")

@@ -131,3 +131,14 @@ def test_media_resize_and_frame_sample(ray_session):
     assert (vids.groupby("media_id").ts_ms.is_monotonic_increasing).all()
     others = fs[fs.frame_idx == -1]
     assert len(others) == 30 - n_videos
+
+
+def test_kmeans_deterministic_and_partitions(ray_session):
+    from ferenda_ray.ops.ann import kmeans
+
+    df = kmeans("/root/testdata/sf0.001", k=6, n_iter=4).to_pandas()
+    assert len(df) == 500
+    assert df.cluster.nunique() > 1
+    df2 = kmeans("/root/testdata/sf0.001", k=6, n_iter=4).to_pandas()
+    assert (df.sort_values("vec_id").cluster.to_numpy()
+            == df2.sort_values("vec_id").cluster.to_numpy()).all()
