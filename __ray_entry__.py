@@ -185,6 +185,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nt_lines(_kg_triples_ds(_n_pages(sf_dir)))
 
+    def kg_page_near_dups(sf_dir: str):
+        """MinHash near-dup detection over the WEB corpus itself —
+        crawl snapshots of a url are natural near-dups."""
+        from ferenda_ray.ops.dedup import page_near_dups
+
+        return page_near_dups(_pages_path(_n_pages(sf_dir)), threshold=0.5)
+
     def kg_triple_counts(sf_dir: str):
         """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
         from ray.data.aggregate import Count
@@ -275,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_news_feeds": kg_news_feeds,
             "kg_degree_histogram": kg_degree_histogram,
             "kg_nt_dump": kg_nt_dump,
+            "kg_page_near_dups": kg_page_near_dups,
             "kg_triple_counts": kg_triple_counts,
             "kg_generate": kg_generate,
             "kg_atom_feeds": kg_atom_feeds,

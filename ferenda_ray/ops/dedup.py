@@ -428,3 +428,82 @@ def dup_clusters(pairs_ds, max_rounds: int = 10):
     return pd.DataFrame(
         {"doc_id": list(label.keys()), "cluster": list(label.values())}
     ).sort_values("doc_id").reset_index(drop=True)
+
+
+def page_near_dups(pages_path: str, threshold: float = 0.6,
+                   num_buckets: int = N_SHUFFLE_BUCKETS):
+    """Near-duplicate WEB PAGES by MinHash+LSH over extracted text — the
+    training-data dedup applied to the KG pipeline's own corpus (crawl
+    snapshots of the same url are natural near-dups). Reuses the
+    documents-table machinery over (url-keyed) extracted text; candidate
+    pairs verified by exact shingle Jaccard via broadcast dict (page
+    count is broadcastable at test scale; at crawl scale the verify
+    side becomes a bucketed join like canon_join)."""
+    import ray.data as rd
+
+    from ferenda_ray.stages.extract import extract_batch
+    from ferenda_ray.util import hash64, stable_uint
+
+    def snapshot_ids(b: pa.Table) -> pa.Table:
+        # stable int id per (url, warc_ts) snapshot
+        ids = [hash64(f"{u}@{t}") for u, t in
+               zip(b.column("url").to_pylist(),
+                   b.column("warc_ts").to_pylist())]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": b.column("text")})
+
+    pages = rd.read_parquet(pages_path,
+                            columns=["url", "warc_ts", "html", "lang"])
+    texts = (pages.map_batches(extract_batch, batch_format="pyarrow",
+                               batch_size=64)
+             .map_batches(snapshot_ids, batch_format="pyarrow"))
+    sh = texts.map_batches(_shingles_batch, batch_format="pyarrow").materialize()
+    sh_dict: dict[int, set] = {}
+    for batch in sh.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("sh").to_pylist()):
+            sh_dict[d] = set(s)
+    sh_ref = ray.put(sh_dict)
+
+    band = sh.map_batches(_band_rows_batch, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [stable_uint(h, num_buckets)
+                   for h in b.column("band_hash").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=True):
+            ids = sorted(grp["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > MAX_BUCKET:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i]); out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    cand = (band.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs_in_bucket,
+                                          batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="n_bands")))
+
+    def verify(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        shd = fetch(sh_ref)
+        a_out, b_out, j_out = [], [], []
+        for a, bb in zip(b.column("doc_a").to_pylist(),
+                         b.column("doc_b").to_pylist()):
+            sa, sb = shd.get(a, set()), shd.get(bb, set())
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                a_out.append(a); b_out.append(bb); j_out.append(round(j, 6))
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -103,3 +103,19 @@ def test_dedup_keeps_min_doc_id(ray_session, corpus_dir):
     assert len(out) == 55
     row = out[out.n_copies == 2]
     assert len(row) == 1 and row.doc_id.iloc[0] == 5
+
+
+def test_page_near_dups_find_snapshots(ray_session, tmp_path):
+    """Snapshot drafts (same url, truncated content) must surface as
+    near-dup pairs of their current version."""
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.dedup import page_near_dups
+    from ferenda_ray.sources.pages import corpus_table
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(60), p)
+    df = page_near_dups(p, threshold=0.5).to_pandas()
+    assert len(df) > 0
+    assert (df.jaccard >= 0.5).all()
+    assert not df.duplicated(subset=["doc_a", "doc_b"]).any()
