@@ -1,0 +1,42 @@
+"""CLI end-to-end smoke (subprocess; owns its own Ray session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "ferenda_ray.cli", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=180,
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout.strip().splitlines()
+
+
+@pytest.mark.cli
+def test_cli_run_status_dump(tmp_path):
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.sources.pages import corpus_table
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(30), pages)
+    out = str(tmp_path / "kg")
+
+    res = json.loads(run_cli("run", "--pages", pages, "--out", out,
+                             "--buckets", "4")[-1])
+    assert res["buckets_written"] == 4 and res["triples"] > 0
+
+    st = json.loads(run_cli("status", "--out", out)[-1])
+    assert st["buckets_done"] == 4 and st["triples"] == res["triples"]
+
+    lines = run_cli("dump", "--out", out, "--limit", "5")
+    nt = [line for line in lines if line.startswith("<")]
+    assert len(nt) == 5 and all(line.endswith(" .") for line in nt)
