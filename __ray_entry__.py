@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": rel.segment_order_stats,
         "nation_order_rollup": rel.nation_order_rollup,
         "props_stats": rel.props_stats,
+        "big_customers": rel.big_customers,
+        "orders_by_month": rel.orders_by_month,
         # dedup / sort / top-k (SURVEY §2.6-2.7)
         "latest_event_per_user": rel.latest_event_per_user,
         "top5_orders": rel.top5_orders,
@@ -313,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": rel.SEGMENT_ORDER_STATS_SQL,
         "nation_order_rollup": rel.NATION_ORDER_ROLLUP_SQL,
         "props_stats": rel.PROPS_STATS_SQL,
+        "big_customers": rel.BIG_CUSTOMERS_SQL,
+        "orders_by_month": rel.ORDERS_BY_MONTH_SQL,
         "latest_event_per_user": rel.LATEST_EVENT_SQL,
         "top5_orders": rel.TOP5_ORDERS_SQL,
         "order_priority_counts": rel.ORDER_PRIORITY_SQL,

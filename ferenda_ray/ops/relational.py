@@ -475,6 +475,47 @@ FROM events GROUP BY event_type
 """
 
 
+def big_customers(sf_dir: str, min_orders: int = 12):
+    """Grouped count + post-aggregation filter (HAVING): customers with
+    ≥ min_orders orders."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    return agg.filter(expr=f"n_orders >= {min_orders}")
+
+
+BIG_CUSTOMERS_SQL = """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 12
+"""
+
+
+def orders_by_month(sf_dir: str):
+    """Date-bucketed histogram: orders and exact revenue per month."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return df[["month", "price_c"]]
+
+    agg = (ds.map_batches(trunc, batch_format="pandas")
+           .groupby("month")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("price_c", alias_name="price_c")))
+    return _unscale(agg, {"sum_totalprice": ("price_c", 100.0, None)},
+                    drop=["price_c"])
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS sum_totalprice
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
 # -- D/O: dedup, sort, top-k ---------------------------------------------
 
 def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
