@@ -241,7 +241,8 @@ def default_link_state(n_entities: int = ent.N_ENTITIES):
 
 
 def build_triples_ds(pages_path: str, *, link_concurrency=None,
-                     batch_size: int = 64, dedupe_snapshots: bool = True):
+                     batch_size: int = 64, dedupe_snapshots: bool = True,
+                     content_filter: list[str] | None = None):
     """pages parquet → canonical triples Dataset (lazy; not materialized).
 
     ``link_concurrency=None`` (default) runs triple-emit+linking as
@@ -259,6 +260,13 @@ def build_triples_ds(pages_path: str, *, link_concurrency=None,
     if link_concurrency is None:
         # single-pass fused path: extract+parse+emit+link in one task fn
         ds = read_pages(pages_path)
+        if content_filter:
+            from ferenda_ray.stages.extract import raw_prefilter
+
+            ds = ds.map_batches(
+                functools.partial(raw_prefilter, needles=content_filter),
+                batch_format="pyarrow", batch_size=batch_size,
+            )
         if dedupe_snapshots:
             max_ref = ray.put(latest_per_url_map(pages_path))
             ds = ds.map_batches(

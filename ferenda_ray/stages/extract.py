@@ -193,6 +193,25 @@ class _Extractor(HTMLParser):
         return self.lang, title, self.blocks
 
 
+def raw_prefilter(batch: pa.Table, needles: list[str]) -> pa.Table:
+    """Filter-before-parse (Sparser, VLDB'18 — see PAPERS.md): drop
+    pages whose RAW html bytes can't possibly satisfy a content
+    predicate, BEFORE the expensive parse. A vectorized Arrow substring
+    scan over the binary column costs ~1% of a parse; rows are kept if
+    ANY needle occurs. False positives are fine (the real predicate
+    re-checks after parse); false negatives are impossible for plain
+    substring predicates."""
+    import pyarrow.compute as pc
+
+    if not needles:
+        return batch
+    col = batch.column("html")
+    mask = pc.match_substring(col, needles[0])
+    for n in needles[1:]:
+        mask = pc.or_(mask, pc.match_substring(col, n))
+    return batch.filter(mask)
+
+
 def page_text(blocks: list[dict]) -> str:
     """Rule 8 of the spec: the canonical page text."""
     return "\n\n".join(b["text"] for b in blocks)

@@ -72,3 +72,25 @@ def test_generator_determinism():
     b = pages.gen_rows(7)
     assert a == b
     assert pages.corpus_table(10).equals(pages.corpus_table(10))
+
+
+def test_raw_prefilter_sparser_style(ray_session):
+    """Filter-before-parse: only pages whose raw bytes contain a needle
+    survive; no false negatives for substring predicates."""
+    import pyarrow as pa
+
+    from ferenda_ray.sources import pages as pgen
+    from ferenda_ray.stages.extract import raw_prefilter
+
+    tab = pgen.corpus_table(60)
+    out = raw_prefilter(tab, ["RFC "])
+    assert 0 < out.num_rows < tab.num_rows
+    # every surviving page really contains the needle...
+    assert all(b"RFC " in h for h in out.column("html").to_pylist())
+    # ...and every dropped page really does not (no false negatives)
+    kept = set(out.column("url").to_pylist())
+    for u, h in zip(tab.column("url").to_pylist(),
+                    tab.column("html").to_pylist()):
+        if u not in kept:
+            assert b"RFC " not in h
+    assert raw_prefilter(tab, []).num_rows == tab.num_rows
