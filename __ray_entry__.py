@@ -42,8 +42,7 @@ def _pages_path(n_pages: int) -> str:
 def _kg_triples_ds(n_pages: int = 300):
     from ferenda_ray.pipelines.kg import build_triples_ds
 
-    return build_triples_ds(_pages_path(n_pages), link_concurrency=2,
-                            batch_size=64)
+    return build_triples_ds(_pages_path(n_pages), batch_size=64)
 
 
 def entry() -> Any:
@@ -92,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,
+        "lineitems_shipped_within": win.lineitems_shipped_within,
         "user_sessions": win.user_sessions,
         "events_running_total": win.events_running_total,
         "users_in_both": win.users_in_both,
@@ -301,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "events_asof_orders": win.EVENTS_ASOF_ORDERS_SQL,
+        "lineitems_shipped_within": win.LINEITEMS_SHIPPED_WITHIN_SQL,
         "user_sessions": win.USER_SESSIONS_SQL,
         "events_running_total": win.EVENTS_RUNNING_TOTAL_SQL,
         "users_in_both": win.USERS_IN_BOTH_SQL,

@@ -115,6 +115,72 @@ FROM events e ASOF JOIN o
 """
 
 
+# -- range (interval) join ------------------------------------------------
+
+def lineitems_shipped_within(sf_dir: str, days: int = 30,
+                             num_buckets: int = 16):
+    """Range (interval) join: per order, how many of its lineitems
+    shipped inside [o_orderdate, o_orderdate + days). Same union+bucket
+    cogroup shape as the as-of join; the per-bucket interval match is a
+    vectorized pandas equi-merge on the key followed by an interval
+    mask (per-key row counts bound the blowup — the partitioning
+    assumption)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderdate"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"l_orderkey": "key"})
+        df["side"] = 0
+        df["o_orderdate"] = pd.Series([pd.NaT] * len(df),
+                                      dtype="datetime64[us]")
+        return _bucket_col(df, "key", num_buckets)
+
+    def tag_od(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_orderkey": "key"})
+        df["side"] = 1
+        df["l_linenumber"] = pd.Series([pd.NA] * len(df), dtype="Int64")
+        df["l_shipdate"] = pd.Series([pd.NaT] * len(df),
+                                     dtype="datetime64[us]")
+        cols = ["key", "l_linenumber", "l_shipdate", "side", "o_orderdate"]
+        return _bucket_col(df[cols], "key", num_buckets)
+
+    width = pd.Timedelta(days=days)
+
+    def interval_count(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                              "n_shipped": pd.Series(dtype="int64")})
+        left = g[g.side == 0][["key", "l_linenumber", "l_shipdate"]]
+        right = g[g.side == 1][["key", "o_orderdate"]]
+        if left.empty or right.empty:
+            return empty
+        m = right.merge(left, on="key", how="inner")
+        m = m[(m.l_shipdate >= m.o_orderdate)
+              & (m.l_shipdate < m.o_orderdate + width)]
+        if m.empty:
+            return empty
+        out = (m.groupby("key", as_index=False)
+               .agg(n_shipped=("l_linenumber", "size"))
+               .rename(columns={"key": "o_orderkey"}))
+        return out.astype({"o_orderkey": "int64", "n_shipped": "int64"})
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+    return both.groupby("bucket").map_groups(interval_count,
+                                             batch_format="pandas")
+
+
+LINEITEMS_SHIPPED_WITHIN_SQL = """
+SELECT o.o_orderkey, count(*) AS n_shipped
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+"""
+
+
 # -- gap sessionization ---------------------------------------------------
 
 def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN,

@@ -52,3 +52,10 @@ def test_sessions_gap_semantics(ray_session):
     out = win.user_sessions(SF).to_pandas()
     assert (out.n_sessions >= 1).all()
     assert (out.n_sessions <= out.n_events).all()
+
+
+def test_range_join(ray_session, con):
+    con.execute("CREATE VIEW IF NOT EXISTS lineitem AS "
+                f"SELECT * FROM '{SF}/lineitem.parquet'")
+    _check(win.lineitems_shipped_within(SF, num_buckets=4),
+           win.LINEITEMS_SHIPPED_WITHIN_SQL, con)
