@@ -176,6 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return news_feeds(faceted_data(_kg_triples_ds(_n_pages(sf_dir))))
 
+    def kg_hits(sf_dir: str):
+        from ferenda_ray.ops.graph import edges_from_triples, hits
+
+        return hits(edges_from_triples(_kg_triples_ds(_n_pages(sf_dir))),
+                    n_iter=5)
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -282,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_skeleton": kg_skeleton,
             "kg_toc_pagesets": kg_toc_pagesets,
             "kg_news_feeds": kg_news_feeds,
+            "kg_hits": kg_hits,
             "kg_degree_histogram": kg_degree_histogram,
             "kg_nt_dump": kg_nt_dump,
             "kg_page_near_dups": kg_page_near_dups,

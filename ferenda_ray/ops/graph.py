@@ -190,3 +190,70 @@ def degree_histogram(edges_ds):
     graphanalyze degree-plot data."""
     ind = in_degrees(edges_ds)
     return ind.groupby("in_degree").aggregate(Count(alias_name="n_nodes"))
+
+
+def hits(edges_ds, n_iter: int = 10):
+    """HITS hub/authority scores (reference ``graphanalyze.py:896-925``
+    ranks with pagerank AND HITS). Same bounded-iteration shape as
+    :func:`pagerank`: per round, one map_batches emits contributions
+    against the broadcast score vectors, grouped sums reduce per node;
+    L2 normalization on the driver (node-level state stays small).
+    Returns a pandas DataFrame (url, authority, hub), deterministically
+    ordered."""
+    edges_ds = edges_ds.materialize()  # consumed 2x per iteration
+    from ray.data.aggregate import Sum
+
+    nodes = set()
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        nodes.update(b.column("src").to_pylist())
+        nodes.update(b.column("dst").to_pylist())
+    nodes = sorted(nodes)
+    if not nodes:
+        return pd.DataFrame({"url": [], "authority": [], "hub": []})
+    auth = {u: 1.0 for u in nodes}
+    hub = {u: 1.0 for u in nodes}
+
+    for _ in range(n_iter):
+        state_ref = ray.put(hub)
+
+        def auth_contrib(b: pa.Table, _ref=state_ref) -> pa.Table:
+            from ferenda_ray.state import fetch
+
+            h = fetch(_ref)
+            return pa.table({
+                "node": b.column("dst"),
+                "c": pa.array([h[s] for s in b.column("src").to_pylist()],
+                              pa.float64()),
+            })
+
+        sums = (edges_ds.map_batches(auth_contrib, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+        got = dict(zip(sums["node"], sums["c"]))
+        norm = (sum(v * v for v in got.values()) ** 0.5) or 1.0
+        auth = {u: got.get(u, 0.0) / norm for u in nodes}
+
+        a_ref = ray.put(auth)
+
+        def hub_contrib(b: pa.Table, _ref=a_ref) -> pa.Table:
+            from ferenda_ray.state import fetch
+
+            a = fetch(_ref)
+            return pa.table({
+                "node": b.column("src"),
+                "c": pa.array([a[d] for d in b.column("dst").to_pylist()],
+                              pa.float64()),
+            })
+
+        sums = (edges_ds.map_batches(hub_contrib, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+        got = dict(zip(sums["node"], sums["c"]))
+        norm = (sum(v * v for v in got.values()) ** 0.5) or 1.0
+        hub = {u: got.get(u, 0.0) / norm for u in nodes}
+
+    out = pd.DataFrame({"url": nodes,
+                        "authority": [auth[u] for u in nodes],
+                        "hub": [hub[u] for u in nodes]})
+    return out.sort_values(["authority", "url"],
+                           ascending=[False, True]).reset_index(drop=True)

@@ -142,3 +142,26 @@ def test_kmeans_deterministic_and_partitions(ray_session):
     df2 = kmeans("/root/testdata/sf0.001", k=6, n_iter=4).to_pandas()
     assert (df.sort_values("vec_id").cluster.to_numpy()
             == df2.sort_values("vec_id").cluster.to_numpy()).all()
+
+
+def test_hits_scores(ray_session):
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import hits
+
+    # star: hubs h1,h2 -> authority a (plus a->b chain)
+    edges = rd.from_items([
+        {"src": "h1", "dst": "a"}, {"src": "h2", "dst": "a"},
+        {"src": "h1", "dst": "b"}, {"src": "a", "dst": "b"},
+    ])
+    df = hits(edges, n_iter=8)
+    top_auth = df.iloc[0]
+    assert top_auth.url in ("a", "b")
+    hubs = df.set_index("url").hub
+    assert hubs["h1"] > hubs["h2"]  # h1 points at both authorities
+    # determinism
+    df2 = hits(rd.from_items([
+        {"src": "h1", "dst": "a"}, {"src": "h2", "dst": "a"},
+        {"src": "h1", "dst": "b"}, {"src": "a", "dst": "b"},
+    ]), n_iter=8)
+    assert df.equals(df2)

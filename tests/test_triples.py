@@ -121,3 +121,12 @@ def test_canonical_map_sameas_then_mint():
     assert cmap[ent.entity_uri(4)] == minted4
     # the sameAs duplicate collapses onto entity 4's minted URI
     assert cmap[ent.entity_uri(7)] == minted4
+
+
+def test_nt_escaping_edge_cases():
+    import pyarrow as pa
+
+    from ferenda_ray.stages.materialize import _nt_escape
+
+    assert _nt_escape('say "hi"\nnew\tline\\end') == \
+        'say \\"hi\\"\\nnew\\tline\\\\end'
