@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (training-data components)
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
+        "stopword_scores": text.stopword_scores,
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
         "doc_structure": text.doc_structure,
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
+        "stopword_scores": text.STOPWORD_SCORES_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,

@@ -241,3 +241,41 @@ def doc_structure(sf_dir: str):
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# -- stopword ratio (quality filtering signal; SQL-oracle-checked) ---------
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for",
+             "it", "on", "with", "as", "at", "by")
+
+
+def stopword_scores(sf_dir: str):
+    """Per-doc stopword ratio over lowercase alpha tokens — the
+    classic fluency/quality signal of corpus filtering pipelines,
+    vectorized via polars list kernels."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sw = list(STOPWORDS)
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        toks = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
+        out = df.select(
+            pl.col("doc_id"),
+            (toks.list.eval(pl.element().is_in(sw)).list.sum()
+             .cast(pl.Float64)
+             / toks.list.len().cast(pl.Float64)).alias("stopword_ratio"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+STOPWORD_SCORES_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                            t -> t IN ('the','and','of','to','a','in','is',
+                                       'that','for','it','on','with','as',
+                                       'at','by'))) AS DOUBLE)
+       / len(regexp_extract_all(lower(text), '[a-z]+')) AS stopword_ratio
+FROM documents
+"""
