@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
         "doc_structure": text.doc_structure,
+        "tokenize_ids": text.tokenize_ids,
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,

@@ -279,3 +279,42 @@ SELECT doc_id,
        / len(regexp_extract_all(lower(text), '[a-z]+')) AS stopword_ratio
 FROM documents
 """
+
+
+# -- tokenization to input ids (training-feed component) -------------------
+
+_BPEISH = __import__("re").compile(
+    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+VOCAB_SIZE = 32768
+
+
+def encode_ids(text: str) -> list[int]:
+    """Deterministic token-id encoding: BPE-ish regex tokens hashed into
+    a fixed vocab (a stand-in for a real BPE table — none ships here;
+    the Ray-side plumbing is what a training feed needs: bounded ids,
+    stable across workers/runs)."""
+    from ferenda_ray.util import stable_uint
+
+    return [stable_uint(t, VOCAB_SIZE) for t in _BPEISH.findall(text)]
+
+
+def tokenize_ids(sf_dir: str, max_len: int = 512):
+    """documents → (doc_id, input_ids list<int32>, n_tokens) — the
+    tokenize-for-training stage; truncation to max_len, vectorized
+    emission, narrow output blocks ready for iter_batches consumption
+    by a trainer."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids_col, n_col = [], []
+        for t in b.column("text").to_pylist():
+            ids = encode_ids(t or "")
+            n_col.append(len(ids))
+            ids_col.append(ids[:max_len])
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "input_ids": pa.array(ids_col, pa.list_(pa.int32())),
+            "n_tokens": pa.array(n_col, pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

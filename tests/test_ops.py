@@ -78,3 +78,16 @@ def test_ann_topk(ray_session, con):
     from ferenda_ray.ops.ann import ANN_TOPK_SQL, bruteforce_topk
 
     _cmp(bruteforce_topk(SF), con, ANN_TOPK_SQL, float_cols=("cos_sim",))
+
+
+def test_tokenize_ids(ray_session):
+    from ferenda_ray.ops.text import VOCAB_SIZE, encode_ids, tokenize_ids
+
+    df = tokenize_ids("/root/testdata/sf0.001", max_len=64).to_pandas()
+    assert len(df) == 500
+    assert (df.n_tokens > 0).all()
+    first = df.sort_values("doc_id").iloc[0]
+    assert len(first.input_ids) <= 64
+    assert all(0 <= i < VOCAB_SIZE for i in first.input_ids)
+    # deterministic across calls/processes
+    assert encode_ids("Hello, world 42!") == encode_ids("Hello, world 42!")
