@@ -144,6 +144,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return build_sections_ds(_pages_path(_n_pages(sf_dir)))
 
+    def kg_fulltext_search(sf_dir: str, term: str = "RFC"):
+        """Fulltext query path over the sections table (reference S12
+        ``fulltextindex.query`` analog): term match → (url, fragment,
+        title) hits, deterministic order."""
+        import pyarrow.compute as pc
+
+        from ferenda_ray.pipelines.kg import build_sections_ds
+
+        def match(b):
+            return b.filter(
+                pc.match_substring(b.column("text"), term)
+            ).select(["url", "fragment", "title"])
+
+        return (build_sections_ds(_pages_path(_n_pages(sf_dir)))
+                .map_batches(match, batch_format="pyarrow")
+                .sort(["url", "fragment"]))
+
     def kg_entries_stats(sf_dir: str):
         from ray.data.aggregate import Count, Sum
 
@@ -286,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_incoming_refs": kg_incoming_refs,
             "kg_pagerank": kg_pagerank,
             "kg_sections": kg_sections,
+            "kg_fulltext_search": kg_fulltext_search,
             "kg_entries_stats": kg_entries_stats,
             "kg_skeleton": kg_skeleton,
             "kg_toc_pagesets": kg_toc_pagesets,
