@@ -46,10 +46,13 @@ def cmd_run(args) -> int:
 
 def cmd_sections(args) -> int:
     from ferenda_ray.pipelines.kg import build_sections_ds
+    from ferenda_ray.stages.materialize import materialize_table
 
-    build_sections_ds(args.pages,
-                      batch_size=args.batch_size).write_parquet(args.out)
-    print(json.dumps({"out": args.out}))
+    man = materialize_table(
+        build_sections_ds(args.pages, batch_size=args.batch_size),
+        args.out, key_cols=["about"], num_buckets=32)
+    print(json.dumps({"out": args.out, "buckets_written": len(man),
+                      "rows": int(man.n_rows.sum()) if len(man) else 0}))
     return 0
 
 

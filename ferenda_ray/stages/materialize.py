@@ -266,3 +266,86 @@ def write_nt(triples_ds, out_dir: str):
 
     return nt_lines(triples_ds).map_batches(
         dump, batch_format="pyarrow", batch_size=None).to_pandas()
+
+
+# -- generic resumable partitioned materialize -----------------------------
+
+def materialize_table(ds, out_dir: str, *, key_cols: list[str],
+                      num_buckets: int = 32, resume: bool = True,
+                      dedup: bool = False):
+    """The triple-materialize machinery generalized to ANY table:
+    hash-bucket by ``key_cols`` → two-phase filesystem shuffle →
+    one parquet partition + manifest row per bucket, resumable. Gives
+    every derived product (sections, facets, generated HTML …) the
+    same checkpoint-resume semantics as the triple store.
+
+    ``dedup=True`` keeps one row per distinct ``key_cols`` tuple
+    (deterministic survivor: full-row sort)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            pl.concat_str([pl.col(c).cast(pl.Utf8) for c in key_cols],
+                          separator="\x1f").hash(seed=42).alias("_kh"))
+        df = df.with_columns(
+            (pl.col("_kh") % num_buckets).cast(pl.Int32).alias("bucket"))
+        return df.to_arrow()
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    skip = done_buckets(out_dir) if resume else set()
+    if skip:
+        skip_arr = sorted(skip)
+
+        def _filter(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.invert(pc.is_in(
+                b.column("bucket"), value_set=pa.array(skip_arr, pa.int32()))))
+
+        ds = ds.map_batches(_filter, batch_format="pyarrow")
+
+    import shutil
+
+    stage_root = os.environ.get("FERENDA_RAY_STAGE_ROOT")
+    stage_dir = (os.path.join(stage_root,
+                              "ferenda_stage-" + uuid.uuid4().hex[:12])
+                 if stage_root else os.path.join(out_dir, "_stage"))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    ds.write_parquet(stage_dir, partition_cols=["bucket"])
+    try:
+        buckets = sorted(
+            int(n.split("=", 1)[1]) for n in os.listdir(stage_dir)
+            if n.startswith("bucket=")
+        ) if os.path.isdir(stage_dir) else []
+        if not buckets:
+            return pd.DataFrame(columns=["bucket", "n_rows", "t_ms"])
+        import ray
+
+        merge = ray.remote(_merge_generic)
+        rows = ray.get([merge.remote(b, out_dir, stage_dir, dedup)
+                        for b in buckets])
+        return pd.DataFrame(rows, columns=["bucket", "n_rows", "t_ms"])
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def _merge_generic(bucket: int, out_dir: str, stage_dir: str,
+                   dedup: bool) -> tuple:
+    import pyarrow.dataset as pads
+
+    t0 = time.perf_counter()
+    t = pads.dataset(os.path.join(stage_dir, f"bucket={bucket}")).to_table()
+    g = pl.from_arrow(t)
+    sort_cols = [c for c in g.columns if c != "_kh"]
+    g = g.sort(sort_cols)
+    if dedup:
+        g = g.unique(subset=["_kh"], keep="first", maintain_order=True)
+    g = g.drop("_kh")
+    part_dir = os.path.join(out_dir, f"bucket={bucket:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(g.to_arrow(), tmp)
+    os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+    t_ms = (time.perf_counter() - t0) * 1000
+    _write_manifest_row(out_dir, bucket, len(g), t_ms)
+    return bucket, len(g), t_ms

@@ -71,3 +71,21 @@ def test_pr_harness_perfect_on_small():
 
     res = pr_check.main(40)
     assert res["precision"] == 1.0 and res["recall"] == 1.0, res
+
+
+def test_materialize_table_generic_resume(small_pages, tmp_path):
+    from ferenda_ray.stages.materialize import materialize_table
+
+    out = str(tmp_path / "sections")
+    ds = kg.build_sections_ds(small_pages)
+    m = materialize_table(ds, out, key_cols=["about"], num_buckets=4)
+    assert sorted(m.bucket) == [0, 1, 2, 3]
+    import ray.data as rd
+
+    total = m.n_rows.sum()
+    df = rd.read_parquet(out).to_pandas()
+    assert len(df) == total and "about" in df.columns and "_kh" not in df.columns
+    # resume: nothing rewritten
+    m2 = materialize_table(kg.build_sections_ds(small_pages), out,
+                           key_cols=["about"], num_buckets=4)
+    assert len(m2) == 0
