@@ -56,7 +56,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
+    from ferenda_ray.ops import (ann, dedup, relational as rel, sketch, text,
                                  windows as win)
 
     q: dict[str, Callable[[str], Any]] = {
@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": text.fingerprints,
         "doc_structure": text.doc_structure,
         "tokenize_ids": text.tokenize_ids,
+        # sketch aggregates (scale path for distinct/frequency)
+        "top_terms": sketch.top_terms,
+        "frequent_terms": sketch.frequent_terms,
+        "hll_distinct_users": sketch.hll_distinct_users,
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,
@@ -323,7 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
+    from ferenda_ray.ops import (ann, dedup, relational as rel, sketch, text,
                                  windows as win)
 
     return {
@@ -356,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "stopword_scores": text.STOPWORD_SCORES_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
+        "top_terms": sketch.TOP_TERMS_SQL,
+        "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
         # minhash/simhash near-dup, ivf/knn, kg_* (pipeline over the
         # synthesized pages corpus), media_features

@@ -1,0 +1,262 @@
+"""Sketch-based aggregation operators — the scale path for distinct
+counting and frequency estimation over 100 TB inputs, where exact
+groupby/`count(DISTINCT ...)` would be an all-to-all shuffle of every
+key.
+
+Three operators, each a mergeable-summary pattern (partial summary per
+batch inside ``map_batches``, tiny merge afterwards — no wide shuffle of
+raw keys):
+
+* :func:`hll_distinct_users` — HyperLogLog (Flajolet et al. 2007)
+  count-distinct.  Per-batch 2^p-byte register arrays, merged by
+  elementwise max; the only data movement is one 16 KiB row per block.
+  Replaces the exact two-level groupby of
+  ``relational.count_distinct_users`` when the key cardinality itself is
+  huge (e.g. distinct URLs in a 100 TB crawl).  Approximate → no SQL
+  oracle (rows-only driver check); accuracy asserted in
+  ``tests/test_sketch.py`` against the exact count.
+* :func:`top_terms` — exact distributed word count, top-k.  Per-batch
+  combiner (explode → local group count) shrinks the shuffle input from
+  one row per token to one row per *distinct term per batch* before the
+  global ``groupby(term).sum``.  Exact → DuckDB oracle.
+* :func:`frequent_terms` — Misra-Gries heavy hitters (mergeable
+  summaries, Agarwal et al. 2012) with an exact-recount second pass:
+  pass 1 keeps, per batch, only terms with batch_count·capacity >
+  batch_tokens (any term with global count > N/capacity must exceed the
+  per-batch threshold in at least one batch, so the candidate union is a
+  superset of the true heavy hitters); pass 2 recounts only the
+  candidate set (broadcast via ``ray.put``) exactly.  The final answer —
+  terms with exact count·capacity > N — is provably exact, so it has a
+  DuckDB oracle despite being sketch-driven.
+
+Reference parity note: the reference engine has no sketches (its A4
+stats are exact in-memory dict counts, ``wsgiapp.py:352-506``); these
+are the beyond-reference scale additions the task brief calls for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 14  # 2^14 registers = 16 KiB / summary; rel. std error ≈ 1.04/√m ≈ 0.8%
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (SplitMix64 finalizer) — library- and
+    version-independent, vectorized."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D35A2505859AE9)
+    return z ^ (z >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros of nonzero uint64 values, vectorized
+    (binary descent — 6 masked passes, no float round-trip)."""
+    r = np.zeros(x.shape, np.int64)
+    cur = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - s))
+        r[mask] += s
+        cur[mask] = cur[mask] << np.uint64(s)
+    return r
+
+
+def hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Fold 64-bit hashes into a 2^p-register HLL summary (uint8)."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # Low 64-p bits, shifted to the top; sentinel bit caps rank at 64-p+1.
+    tail = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    rank = (_clz64(tail) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate with the standard
+    small-range (linear counting) correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = float(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(raw)
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hashes for an int or string column."""
+    if pa.types.is_integer(col.type):
+        return _splitmix64(np.asarray(col.to_numpy(zero_copy_only=False),
+                                      dtype=np.uint64))
+    # Strings: polars' xxhash is vectorized; mix again so the final
+    # distribution doesn't depend on polars' seed handling.
+    s = pl.Series("k", col.to_pylist() if isinstance(col, pa.ChunkedArray)
+                  else col.to_pylist())
+    return _splitmix64(s.hash(seed=0).to_numpy().astype(np.uint64))
+
+
+def hll_distinct(ds: rd.Dataset, column: str, p: int = HLL_P) -> int:
+    """Approximate count-distinct of ``ds[column]`` via mergeable HLL
+    summaries.  Shuffle volume: one 2^p-byte row per input block."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = hll_registers(_hash_column(b.column(column)), p)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        stacked = np.stack([np.frombuffer(r.as_py(), np.uint8)
+                            for r in b.column("registers")])
+        merged = np.maximum.reduce(stacked)
+        return pa.table({"registers": pa.array([merged.tobytes()], pa.binary())})
+
+    # Two-level merge: fan-in ≤1024 summaries per merge task, then a
+    # single final task — at 100 TB (~10^5 blocks) no single task ever
+    # holds more than ~16 MiB of summaries.
+    merged = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=1024)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .take_all()  # exactly one 16 KiB row
+    )
+    regs = np.frombuffer(merged[0]["registers"], np.uint8)
+    return int(round(hll_estimate(regs)))
+
+
+def hll_distinct_users(sf_dir: str):
+    """events → single row {n_users_est} (approximate; see module doc).
+    Driver check is rows-only; accuracy is gated in tests."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    return pd.DataFrame({"n_users_est": pd.array([est], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Exact top-k terms (distributed word count with per-batch combiner)
+# ---------------------------------------------------------------------------
+
+_TERM_RE = r"[a-z0-9]+"
+
+
+def _batch_term_counts(b: pa.Table) -> pl.DataFrame:
+    """Explode text → per-batch exact term counts (the combiner)."""
+    df = (
+        pl.from_arrow(b)
+        .select(pl.col("text").str.to_lowercase()
+                .str.extract_all(_TERM_RE).alias("term"))
+        .explode("term")
+        .drop_nulls()
+    )
+    return df.group_by("term").len().select(
+        pl.col("term"), pl.col("len").cast(pl.Int64).alias("cnt"))
+
+
+def top_terms(sf_dir: str, k: int = 50):
+    """Exact global top-k terms over documents.text, deterministic
+    tie-break (cnt desc, term asc)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _batch_term_counts(b).to_arrow()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return counts.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+TOP_TERMS_SQL = """
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents) t
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent terms (sketch pass + exact recount)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 200  # report terms with count·capacity > total_tokens
+
+
+def frequent_terms(sf_dir: str, capacity: int = MG_CAPACITY):
+    """Terms whose exact global count satisfies cnt·capacity > N
+    (N = total tokens) — computed without ever shuffling the full term
+    multiset.  Pass 1 (sketch): per-batch counts thresholded at
+    batch_cnt·capacity > batch_tokens; the union of survivors provably
+    contains every global heavy hitter (≤ capacity candidates per
+    batch).  Pass 2: exact recount of the broadcast candidate set only.
+    Output: (term, cnt) sorted by term — exact, oracle-checked."""
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["text"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        counts = _batch_term_counts(b)
+        total = int(counts["cnt"].sum() or 0)
+        kept = counts.filter(pl.col("cnt") * capacity > total)
+        # Sentinel row carries the batch token total ('' is never a term).
+        out = pl.concat([kept,
+                         pl.DataFrame({"term": [""],
+                                       "cnt": pl.Series([total], dtype=pl.Int64)})])
+        return out.to_arrow()
+
+    # Candidate summary is tiny (≤ capacity rows per batch) → driver-side.
+    rows = (ds.map_batches(sketch, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())
+    n_total = sum(r["cnt"] for r in rows if r["term"] == "")
+    candidates = sorted(r["term"] for r in rows if r["term"] != "")
+    cand_ref = ray.put(set(candidates))
+
+    def recount(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts = _batch_term_counts(b)
+        return counts.filter(pl.col("term").is_in(list(cand))).to_arrow()
+
+    exact = (
+        rd.read_parquet(path, columns=["text"])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(lambda r: r["cnt"] * capacity > n_total)
+    )
+    return exact.sort("term")
+
+
+FREQUENT_TERMS_SQL = """
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+     tot AS (SELECT count(*) AS n FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY term
+HAVING count(*) * 200 > (SELECT n FROM tot)
+ORDER BY term
+"""

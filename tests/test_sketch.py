@@ -1,0 +1,57 @@
+"""Sketch-aggregate tests: HLL accuracy + mergeability, Misra-Gries
+exactness vs DuckDB, top-terms vs DuckDB (sf0.001 driver tables)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from ferenda_ray.ops import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_registers_merge_associative():
+    rng = np.random.default_rng(7)
+    h = sketch._splitmix64(rng.integers(0, 2**63, 5000, dtype=np.uint64))
+    whole = sketch.hll_registers(h)
+    merged = np.maximum(sketch.hll_registers(h[:2000]),
+                        sketch.hll_registers(h[2000:]))
+    assert np.array_equal(whole, merged)
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 200_000])
+def test_hll_estimate_accuracy(n):
+    ids = np.arange(n, dtype=np.uint64)
+    est = sketch.hll_estimate(sketch.hll_registers(sketch._splitmix64(ids)))
+    assert abs(est - n) / n < 0.03  # p=14 → σ ≈ 0.8%
+
+
+def test_hll_distinct_users_vs_exact(ray_session):
+    out = sketch.hll_distinct_users(SF)
+    est = int(out["n_users_est"].iloc[0])
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    # Small cardinality → linear-counting regime, near-exact.
+    assert abs(est - exact) / exact < 0.02
+
+
+def test_top_terms_matches_duckdb(ray_session):
+    got = sketch.top_terms(SF).to_pandas()
+    want = duckdb.sql(
+        sketch.TOP_TERMS_SQL.replace(
+            "FROM documents", f"FROM '{SF}/documents.parquet'")
+    ).df()
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["cnt"]) == list(want["cnt"])
+
+
+def test_frequent_terms_exact_vs_duckdb(ray_session):
+    got = sketch.frequent_terms(SF).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(
+        sketch.FREQUENT_TERMS_SQL.replace(
+            "FROM documents", f"FROM '{SF}/documents.parquet'")
+    ).df()
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["cnt"]) == list(want["cnt"])
+    assert len(got) > 0  # threshold actually selects something at sf0.001
