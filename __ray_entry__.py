@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": sketch.top_terms,
         "frequent_terms": sketch.frequent_terms,
         "hll_distinct_users": sketch.hll_distinct_users,
+        "value_quantiles": sketch.value_quantiles,
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann.ANN_TOPK_SQL,
         "top_terms": sketch.TOP_TERMS_SQL,
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
+        "value_quantiles": sketch.VALUE_QUANTILES_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
         # minhash/simhash near-dup, ivf/knn, kg_* (pipeline over the
         # synthesized pages corpus), media_features

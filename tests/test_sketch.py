@@ -46,6 +46,24 @@ def test_top_terms_matches_duckdb(ray_session):
     assert list(got["cnt"]) == list(want["cnt"])
 
 
+def test_value_quantiles_exact_vs_duckdb(ray_session):
+    got = sketch.value_quantiles(SF)
+    want = duckdb.sql(
+        sketch.VALUE_QUANTILES_SQL.replace(
+            "FROM events", f"FROM '{SF}/events.parquet'")
+    ).df()
+    for c in ("p50", "p90", "p95", "p99"):
+        assert got[c].iloc[0] == want[c].iloc[0]  # exact element, bit-equal
+
+
+def test_exact_quantiles_constant_and_empty(ray_session):
+    import ray.data as rd
+
+    const = sketch.exact_quantiles(
+        lambda: rd.from_items([{"v": 3.5}] * 10), "v", [0.5, 0.99])
+    assert const == {0.5: 3.5, 0.99: 3.5}
+
+
 def test_frequent_terms_exact_vs_duckdb(ray_session):
     got = sketch.frequent_terms(SF).to_pandas().reset_index(drop=True)
     want = duckdb.sql(
