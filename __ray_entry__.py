@@ -56,7 +56,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, sketch, text,
+    from ferenda_ray.ops import (ann, dedup, relational as rel, sample,
+                                 sketch, text,
                                  windows as win)
 
     q: dict[str, Callable[[str], Any]] = {
@@ -95,6 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": sketch.frequent_terms,
         "hll_distinct_users": sketch.hll_distinct_users,
         "value_quantiles": sketch.value_quantiles,
+        # deterministic sampling (training-data curation)
+        "sample_events": sample.sample_events,
+        "stratified_sample": sample.stratified_sample,
+        "sample_documents": sample.sample_documents,
         # windowed / ordered custom operators (as-of join, sessions,
         # running totals, termset union+semi-join)
         "events_asof_orders": win.events_asof_orders,
@@ -328,7 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, sketch, text,
+    from ferenda_ray.ops import (ann, dedup, relational as rel, sample,
+                                 sketch, text,
                                  windows as win)
 
     return {
@@ -364,6 +370,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": sketch.TOP_TERMS_SQL,
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         "value_quantiles": sketch.VALUE_QUANTILES_SQL,
+        "sample_events": sample.SAMPLE_EVENTS_SQL,
+        "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,
         # minhash/simhash near-dup, ivf/knn, kg_* (pipeline over the
         # synthesized pages corpus), media_features

@@ -1,0 +1,141 @@
+"""Sampling operators for training-data curation — subsample a corpus
+deterministically (so reruns and resumed jobs pick the same rows), with
+per-group quotas for balanced corpora.
+
+* :func:`sample_events` — systematic hash sample: keep rows where a
+  Lehmer-style mix of the key falls under the rate threshold.  Pure
+  per-batch filter (no shuffle, no state); the mix is int64-safe so the
+  DuckDB oracle computes the identical predicate → exact *(sql)* check.
+* :func:`stratified_sample` — deterministic n-per-group quota: order
+  rows within each group by (mix(key), key) and keep the first n.
+  Mergeable top-n pattern: per-batch partial top-n per group inside
+  ``map_batches`` (bounds shuffle input to n rows per group per block),
+  then a final per-group top-n.  Oracle via ``row_number() OVER``.
+* :func:`reservoir_sample` — seeded uniform k-reservoir over a Dataset
+  of unknown size (Vitter's Algorithm R per block + weighted merge);
+  random by design → rows-only driver check, statistical properties
+  gated in tests.
+
+The reference has no sampling surface (its closest is `downloadmax`
+islice sampling, `decorators.py:355-371`); these are beyond-reference
+training-pipeline additions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+import ray.data as rd
+
+# Lehmer-style multiplicative mix, safe in signed 64-bit for keys < 2^31
+# and exactly reproducible in ANSI SQL: (key * 48271) % 2147483647.
+_MIX_A = 48271
+_MIX_M = 2147483647
+
+
+def _mix(keys: np.ndarray) -> np.ndarray:
+    return (keys.astype(np.int64) * _MIX_A) % _MIX_M
+
+
+def sample_events(sf_dir: str, pct: int = 7):
+    """Systematic ``pct``-percent sample of events keyed on event_id
+    (deterministic: same rows every run, no RNG, no shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "value"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b.column("event_id").to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(_mix(keys) % 100 < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("event_id")
+
+
+SAMPLE_EVENTS_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE (event_id * 48271) % 2147483647 % 100 < 7
+ORDER BY event_id
+"""
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 20):
+    """First ``n_per_group`` events per event_type in deterministic
+    pseudo-random order (mix(event_id), event_id).  Partial top-n per
+    batch caps the shuffle at n rows/group/block; the final per-group
+    selection runs on that tiny residue."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def partial_topn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(
+            ((pl.col("event_id") * _MIX_A) % _MIX_M).alias("rk"))
+        return (df.sort(["rk", "event_id"])
+                .group_by("event_type", maintain_order=True)
+                .head(n_per_group).to_arrow())
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "event_id"]).head(n_per_group)
+        return g.drop(columns=["rk"])
+
+    return (ds.map_batches(partial_topn, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(final_topn, batch_format="pandas")
+            .sort(["event_type", "event_id"]))
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT event_id, event_type, value
+FROM (SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (event_id * 48271) % 2147483647,
+                                         event_id) AS rn
+      FROM events)
+WHERE rn <= 20
+ORDER BY event_type, event_id
+"""
+
+
+def reservoir_sample(ds: rd.Dataset, k: int, seed: int = 0) -> pd.DataFrame:
+    """Uniform k-sample without knowing |ds| up front: per-block
+    reservoirs (item count + seeded RNG keyed on block content hash so
+    the result is reproducible for a given dataset+seed), merged by
+    weighted selection.  Returns a small pandas frame (k rows)."""
+
+    def block_reservoir(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.append_column("_n_src", pa.array([], pa.int64()))
+        # Seed from stable content (first key column's first value + n),
+        # not from global state → deterministic per block.  util.hash64
+        # is process-independent (unlike builtin hash()).
+        from ferenda_ray.util import hash64
+
+        first = str(b.column(0)[0].as_py())
+        rng = np.random.default_rng(
+            np.uint64(seed) + np.uint64(hash64(f"{first}|{n}") % (2**32)))
+        idx = rng.choice(n, size=min(k, n), replace=False)
+        out = b.take(pa.array(np.sort(idx)))
+        return out.append_column(
+            "_n_src", pa.array([n] * len(idx), pa.int64()))
+
+    parts = ds.map_batches(block_reservoir, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if len(parts) <= k:
+        return parts.drop(columns=["_n_src"])
+    # Weighted merge: each block's rows stand for n_src/|reservoir| items.
+    rng = np.random.default_rng(seed)
+    w = parts["_n_src"].to_numpy(dtype=np.float64)
+    w = w / w.sum()
+    pick = rng.choice(len(parts), size=k, replace=False, p=w)
+    return parts.iloc[np.sort(pick)].drop(columns=["_n_src"]) \
+                .reset_index(drop=True)
+
+
+def sample_documents(sf_dir: str, k: int = 50):
+    """k-document reservoir over the documents table (rows-only)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return reservoir_sample(ds, k)
