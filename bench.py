@@ -99,8 +99,8 @@ def run_kg(n_pages: int) -> dict:
 
 def run_queries() -> dict[str, float]:
     """A representative operator slice over the sf tables."""
-    from ferenda_ray.ops import (ann, dedup, relational as rel, text,
-                                 windows as win)
+    from ferenda_ray.ops import (ann, dedup, relational as rel, sketch,
+                                 text, windows as win)
 
     out: dict[str, float] = {}
     for name, fn in [
@@ -114,6 +114,8 @@ def run_queries() -> dict[str, float]:
         ("events_asof_orders", win.events_asof_orders),
         ("user_sessions", win.user_sessions),
         ("props_stats", rel.props_stats),
+        ("top_terms", sketch.top_terms),
+        ("value_quantiles", sketch.value_quantiles),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
