@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": sketch.frequent_terms,
         "hll_distinct_users": sketch.hll_distinct_users,
         "value_quantiles": sketch.value_quantiles,
+        "grouped_value_quantiles": sketch.grouped_value_quantiles,
         # deterministic sampling (training-data curation)
         "sample_events": sample.sample_events,
         "stratified_sample": sample.stratified_sample,
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": sketch.TOP_TERMS_SQL,
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         "value_quantiles": sketch.VALUE_QUANTILES_SQL,
+        "grouped_value_quantiles": sketch.GROUPED_QUANTILES_SQL,
         "sample_events": sample.SAMPLE_EVENTS_SQL,
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,

@@ -341,6 +341,126 @@ def exact_quantiles(ds_factory, column: str, ps: list[float],
     return out
 
 
+def exact_grouped_quantiles(ds_factory, group: str, column: str,
+                            ps: list[float], bins: int = Q_BINS
+                            ) -> pd.DataFrame:
+    """Per-group exact order statistics, same three-pass scheme as
+    :func:`exact_quantiles` but with one histogram per group key.
+    Intended for low-cardinality group columns (the per-group summaries
+    — groups × bins × 8 B — are collected driver-side); a 10^6-group
+    variant would keep them as a Dataset keyed by (group, bin)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = {r[group]: r for r in
+             ds_factory().groupby(group)
+             .aggregate(Min(column), Max(column), Count()).take_all()}
+    params = {g: (r[f"min({column})"], r[f"max({column})"], r["count()"])
+              for g, r in stats.items()}
+    par_ref = ray.put(params)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        par = ray.get(par_ref)
+        df = pl.from_arrow(b)
+        groups, bufs = [], []
+        for (g,), sub in df.group_by(group):
+            vmin, vmax, _ = par[g]
+            if vmax == vmin:
+                continue
+            w = (vmax - vmin) / bins
+            v = sub[column].to_numpy()
+            bi = np.clip(((v - vmin) / w).astype(np.int64), 0, bins - 1)
+            groups.append(g)
+            bufs.append(np.bincount(bi, minlength=bins)
+                        .astype(np.int64).tobytes())
+        return pa.table({group: pa.array(groups, pa.string()),
+                         "h": pa.array(bufs, pa.binary())})
+
+    def merge_group(gdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.frombuffer(h, np.int64) for h in gdf["h"]])
+        return pd.DataFrame({group: [gdf[group].iloc[0]],
+                             "h": [stacked.sum(axis=0).tobytes()]})
+
+    hists = {r[group]: np.frombuffer(r["h"], np.int64) for r in
+             ds_factory().map_batches(hist_partial, batch_format="pyarrow")
+             .groupby(group).map_groups(merge_group, batch_format="pandas")
+             .take_all()}
+
+    # (group, bin) pairs that hold a requested rank.
+    need: dict[str, set[int]] = {}
+    ranks: dict[str, dict[float, tuple[int, int]]] = {}
+    for g, (vmin, vmax, n) in params.items():
+        ranks[g] = {}
+        if vmax == vmin:
+            continue
+        cum = np.cumsum(hists[g])
+        for p in ps:
+            r = max(int(np.ceil(p * n)) - 1, 0)
+            b = int(np.searchsorted(cum, r + 1, side="left"))
+            ranks[g][p] = (b, r - (int(cum[b - 1]) if b > 0 else 0))
+            need.setdefault(g, set()).add(b)
+    need_ref = ray.put({g: np.array(sorted(s), np.int64)
+                        for g, s in need.items()})
+
+    def refine(b: pa.Table) -> pa.Table:
+        par, nd = ray.get(par_ref), ray.get(need_ref)
+        df = pl.from_arrow(b)
+        gs, bs, vs = [], [], []
+        for (g,), sub in df.group_by(group):
+            if g not in nd:
+                continue
+            vmin, vmax, _ = par[g]
+            w = (vmax - vmin) / bins
+            v = sub[column].to_numpy()
+            bi = np.clip(((v - vmin) / w).astype(np.int64), 0, bins - 1)
+            mask = np.isin(bi, nd[g])
+            gs.extend([g] * int(mask.sum()))
+            bs.extend(bi[mask].tolist())
+            vs.extend(v[mask].tolist())
+        return pa.table({group: pa.array(gs, pa.string()),
+                         "bin": pa.array(bs, pa.int64()),
+                         "v": pa.array(vs, pa.float64())})
+
+    by_gb: dict[tuple[str, int], list[float]] = {}
+    for r in (ds_factory().map_batches(refine, batch_format="pyarrow")
+              .take_all()):
+        by_gb.setdefault((r[group], r["bin"]), []).append(r["v"])
+
+    rows = []
+    for g in sorted(params):
+        vmin, vmax, n = params[g]
+        row = {group: g}
+        for p in ps:
+            if vmax == vmin:
+                row[f"p{int(p * 100)}"] = float(vmin)
+            else:
+                b, off = ranks[g][p]
+                row[f"p{int(p * 100)}"] = float(sorted(by_gb[(g, b)])[off])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def grouped_value_quantiles(sf_dir: str):
+    """Exact p50/p95 of events.value per event_type (discrete
+    quantiles, bit-equal to the DuckDB oracle)."""
+    path = f"{sf_dir}/events.parquet"
+
+    def factory():
+        return rd.read_parquet(path, columns=["event_type", "value"])
+
+    return exact_grouped_quantiles(factory, "event_type", "value",
+                                   [0.5, 0.95])
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def value_quantiles(sf_dir: str):
     """Exact p50/p90/p95/p99 of events.value (discrete quantiles —
     actual stored elements, so bit-identical to the DuckDB oracle)."""

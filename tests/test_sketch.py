@@ -73,3 +73,14 @@ def test_frequent_terms_exact_vs_duckdb(ray_session):
     assert list(got["term"]) == list(want["term"])
     assert list(got["cnt"]) == list(want["cnt"])
     assert len(got) > 0  # threshold actually selects something at sf0.001
+
+
+def test_grouped_quantiles_exact_vs_duckdb(ray_session):
+    got = sketch.grouped_value_quantiles(SF)
+    want = duckdb.sql(
+        sketch.GROUPED_QUANTILES_SQL.replace(
+            "FROM events", f"FROM '{SF}/events.parquet'")
+    ).df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    for c in ("p50", "p95"):
+        assert list(got[c]) == list(want[c])
