@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": text.fingerprints,
         "doc_structure": text.doc_structure,
         "tokenize_ids": text.tokenize_ids,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # sketch aggregates (scale path for distinct/frequency)
         "top_terms": sketch.top_terms,
         "frequent_terms": sketch.frequent_terms,
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "stopword_scores": text.STOPWORD_SCORES_SQL,
+        "tfidf_top_terms": text.TFIDF_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "top_terms": sketch.TOP_TERMS_SQL,

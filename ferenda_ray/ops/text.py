@@ -318,3 +318,85 @@ def tokenize_ids(sf_dir: str, max_len: int = 512):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# -- TF-IDF top terms per document (two-pass, broadcast df) ----------------
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Top-k most characteristic terms per document by tf·(N/df).
+
+    Two passes over documents.text:
+
+    1. document-frequency aggregation — per-batch (doc_id, term) counts
+       (each document is one row, so tf is exact within the batch),
+       reduced to term → df with a ``groupby(term).count`` whose input
+       is *distinct terms per doc*, not raw tokens; df map + N broadcast
+       via ``ray.put`` (scale path for an open vocabulary: keep df as a
+       Dataset and hash-bucket join instead of broadcasting).
+    2. shuffle-free scoring — recompute per-doc tf in-batch, join the
+       broadcast df, score = CAST(tf·N AS DOUBLE)/df (integer product
+       then one exactly-rounded division, so the DuckDB oracle is
+       bit-equal), keep the per-doc top-k (score desc, term asc).
+
+    The raw-token multiset never crosses the wire — only (term, df)
+    rows and the final k rows per doc."""
+    import ray
+    from ray.data.aggregate import Count
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def doc_terms(b: pa.Table) -> pl.DataFrame:
+        return (pl.from_arrow(b)
+                .select("doc_id",
+                        pl.col("text").str.to_lowercase()
+                        .str.extract_all(r"[a-z0-9]+").alias("term"))
+                .explode("term").drop_nulls()
+                .group_by("doc_id", "term").len()
+                .select("doc_id", "term",
+                        pl.col("len").cast(pl.Int64).alias("tf")))
+
+    def distinct_terms(b: pa.Table) -> pa.Table:
+        return doc_terms(b).select("term").to_arrow()
+
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    df_rows = (ds.map_batches(distinct_terms, batch_format="pyarrow")
+               .groupby("term").aggregate(Count(alias_name="df"))
+               .take_all())
+    n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+    df_ref = ray.put(pl.DataFrame(
+        {"term": [r["term"] for r in df_rows],
+         "df": pl.Series([r["df"] for r in df_rows], dtype=pl.Int64)}))
+
+    def score(b: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out = (doc_terms(b)
+               .join(dfm, on="term", how="inner")
+               .with_columns(((pl.col("tf") * n_docs).cast(pl.Float64)
+                              / pl.col("df")).alias("score"))
+               .sort(["doc_id", "score", "term"],
+                     descending=[False, True, False])
+               .group_by("doc_id", maintain_order=True).head(k))
+        return out.to_arrow()
+
+    return (rd.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .sort(["doc_id", "term"]))
+
+
+TFIDF_SQL = """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+                      / df.df AS score
+           FROM tf JOIN df USING (term)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rn
+           FROM scored)
+SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 5
+ORDER BY doc_id, term
+"""

@@ -84,3 +84,17 @@ def test_grouped_quantiles_exact_vs_duckdb(ray_session):
     assert list(got["event_type"]) == list(want["event_type"])
     for c in ("p50", "p95"):
         assert list(got[c]) == list(want[c])
+
+
+def test_tfidf_top_terms_vs_duckdb(ray_session):
+    from ferenda_ray.ops import text
+
+    got = text.tfidf_top_terms(SF).to_pandas()
+    want = duckdb.sql(
+        text.TFIDF_SQL.replace(
+            "FROM documents", f"FROM '{SF}/documents.parquet'")
+    ).df()
+    assert len(got) == len(want) > 0
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["tf"]) == list(want["tf"])
+    assert list(got["score"]) == list(want["score"])  # bit-equal doubles
