@@ -56,7 +56,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, sample,
+    from ferenda_ray.ops import (ann, bloom, dedup, relational as rel, sample,
                                  sketch, text,
                                  windows as win)
 
@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_stats": rel.region_supplier_stats,
         "segment_top_orders": rel.segment_top_orders,
         "customers_without_events": rel.customers_without_events,
+        "customers_with_events": bloom.customers_with_events,
         "parts_in_lineitem_by_brand": rel.parts_in_lineitem_by_brand,
         "segment_order_stats": rel.segment_order_stats,
         "nation_order_rollup": rel.nation_order_rollup,
@@ -335,7 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, dedup, relational as rel, sample,
+    from ferenda_ray.ops import (ann, bloom, dedup, relational as rel, sample,
                                  sketch, text,
                                  windows as win)
 
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "region_supplier_stats": rel.REGION_SUPPLIER_SQL,
         "segment_top_orders": rel.SEGMENT_TOP_ORDERS_SQL,
         "customers_without_events": rel.CUSTOMERS_WITHOUT_EVENTS_SQL,
+        "customers_with_events": bloom.CUSTOMERS_WITH_EVENTS_SQL,
         "parts_in_lineitem_by_brand": rel.PARTS_IN_LINEITEM_SQL,
         "segment_order_stats": rel.SEGMENT_ORDER_STATS_SQL,
         "nation_order_rollup": rel.NATION_ORDER_ROLLUP_SQL,
