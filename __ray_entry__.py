@@ -56,7 +56,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, bloom, dedup, relational as rel, sample,
+    from ferenda_ray.ops import (ann, bloom, dedup, profile,
+                                 relational as rel, sample,
                                  sketch, text,
                                  windows as win)
 
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": sketch.hll_distinct_users,
         "value_quantiles": sketch.value_quantiles,
         "grouped_value_quantiles": sketch.grouped_value_quantiles,
+        "profile_events": profile.profile_events,
         # deterministic sampling (training-data curation)
         "sample_events": sample.sample_events,
         "stratified_sample": sample.stratified_sample,
@@ -336,7 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, bloom, dedup, relational as rel, sample,
+    from ferenda_ray.ops import (ann, bloom, dedup, profile,
+                                 relational as rel, sample,
                                  sketch, text,
                                  windows as win)
 
@@ -376,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         "value_quantiles": sketch.VALUE_QUANTILES_SQL,
         "grouped_value_quantiles": sketch.GROUPED_QUANTILES_SQL,
+        "profile_events": profile.PROFILE_EVENTS_SQL,
         "sample_events": sample.SAMPLE_EVENTS_SQL,
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # rows-only (non-SQL-expressible): lang_id, fingerprints,

@@ -98,3 +98,14 @@ def test_tfidf_top_terms_vs_duckdb(ray_session):
     assert list(got["term"]) == list(want["term"])
     assert list(got["tf"]) == list(want["tf"])
     assert list(got["score"]) == list(want["score"])  # bit-equal doubles
+
+
+def test_profile_events_vs_duckdb(ray_session):
+    from ferenda_ray.ops import profile
+
+    got = profile.profile_events(SF).to_pandas()
+    want = duckdb.sql(
+        profile.PROFILE_EVENTS_SQL.replace(
+            "FROM events", f"FROM '{SF}/events.parquet'")
+    ).df()
+    assert got.reset_index(drop=True).equals(want)
