@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_structure": text.doc_structure,
         "tokenize_ids": text.tokenize_ids,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "curate_documents": text.curate_documents,
         # sketch aggregates (scale path for distinct/frequency)
         "top_terms": sketch.top_terms,
         "frequent_terms": sketch.frequent_terms,
@@ -373,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.QUALITY_SCORES_SQL,
         "stopword_scores": text.STOPWORD_SCORES_SQL,
         "tfidf_top_terms": text.TFIDF_SQL,
+        "curate_documents": text.CURATE_DOCUMENTS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "top_terms": sketch.TOP_TERMS_SQL,

@@ -400,3 +400,64 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
 SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 5
 ORDER BY doc_id, term
 """
+
+
+# -- corpus curation: per-language median-quality filter -------------------
+
+def _mtl_ds(sf_dir: str):
+    """(doc_id, lang, mean_token_len) — metric formula identical to
+    quality_scores / QUALITY_SCORES_SQL so the oracle is bit-equal."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def metric(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
+        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
+        n_tokens = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
+        return df.select(
+            pl.col("doc_id"), pl.col("lang"),
+            ((n_chars - n_space) / n_tokens).alias("mean_token_len"),
+        ).to_arrow()
+
+    return ds.map_batches(metric, batch_format="pyarrow")
+
+
+def curate_documents(sf_dir: str):
+    """Training-corpus curation: keep documents whose quality metric
+    exceeds their own language's median — the per-group-threshold
+    filter every large-corpus pipeline runs (quality-classifier score >
+    per-language cutoff).  Composition: exact per-group median via the
+    histogram-refinement quantile op (no global sort), thresholds
+    broadcast, then a stateless per-batch filter."""
+    import ray
+
+    from ferenda_ray.ops.sketch import exact_grouped_quantiles
+
+    med = exact_grouped_quantiles(lambda: _mtl_ds(sf_dir),
+                                  "lang", "mean_token_len", [0.5])
+    cutoff = ray.put(dict(zip(med["lang"], med["p50"])))
+
+    def keep(b: pa.Table) -> pa.Table:
+        cut = ray.get(cutoff)
+        df = pl.from_arrow(b)
+        thr = pl.Series([cut[g] for g in df["lang"]])
+        return df.filter(pl.col("mean_token_len") > thr).to_arrow()
+
+    return (_mtl_ds(sf_dir)
+            .map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+CURATE_DOCUMENTS_SQL = """
+WITH m AS (SELECT doc_id, lang,
+                  length(regexp_replace(text, '\\s', '', 'g'))
+                      / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                      AS mean_token_len
+           FROM documents),
+med AS (SELECT lang, quantile_disc(mean_token_len, 0.5) AS cut
+        FROM m GROUP BY lang)
+SELECT m.doc_id, m.lang, m.mean_token_len
+FROM m JOIN med USING (lang)
+WHERE m.mean_token_len > med.cut
+ORDER BY m.doc_id
+"""

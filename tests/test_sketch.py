@@ -109,3 +109,16 @@ def test_profile_events_vs_duckdb(ray_session):
             "FROM events", f"FROM '{SF}/events.parquet'")
     ).df()
     assert got.reset_index(drop=True).equals(want)
+
+
+def test_curate_documents_vs_duckdb(ray_session):
+    from ferenda_ray.ops import text
+
+    got = text.curate_documents(SF).to_pandas()
+    want = duckdb.sql(
+        text.CURATE_DOCUMENTS_SQL.replace(
+            "FROM documents", f"FROM '{SF}/documents.parquet'")
+    ).df()
+    assert len(got) == len(want) > 0
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["mean_token_len"]) == list(want["mean_token_len"])
