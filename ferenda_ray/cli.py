@@ -7,6 +7,8 @@ subcommand per pipeline stage/product:
     python -m ferenda_ray.cli generate --pages P --out D
     python -m ferenda_ray.cli ntdump   --pages P --out D
     python -m ferenda_ray.cli status   --out D
+    python -m ferenda_ray.cli profile  --table T.parquet --columns c1 c2
+    python -m ferenda_ray.cli curate   --documents documents.parquet --out D
     python -m ferenda_ray.cli gen-corpus --out D --pages-count N
 
 Owns its Ray session (ray.init/shutdown) — library code never does.
@@ -114,6 +116,32 @@ def cmd_dump(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column profile of a parquet table (n/nulls/min/max), one
+    JSON line per column — the pre/post-transform data-quality check."""
+    import ray.data as rd
+
+    from ferenda_ray.ops.profile import profile_numeric
+
+    ds = rd.read_parquet(args.table, columns=args.columns)
+    for row in profile_numeric(ds, args.columns).take_all():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Per-language median-quality curation filter over a documents
+    table; writes the kept (doc_id, lang, mean_token_len) as parquet."""
+    import os
+
+    from ferenda_ray.ops.text import curate_documents
+
+    kept = curate_documents(os.path.dirname(args.documents) or ".")
+    kept.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from ferenda_ray.sources.pages import generate_corpus_ds
 
@@ -147,6 +175,15 @@ def main(argv=None) -> int:
     sp.add_argument("--subject", default="")
     sp.add_argument("--limit", type=int, default=20)
     sp.set_defaults(fn=cmd_dump)
+    sp = sub.add_parser("profile")
+    sp.add_argument("--table", required=True, help="parquet path")
+    sp.add_argument("--columns", nargs="+", required=True)
+    sp.set_defaults(fn=cmd_profile)
+    sp = sub.add_parser("curate")
+    sp.add_argument("--documents", required=True,
+                    help="documents.parquet path")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_curate)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
     sp.add_argument("--pages-count", type=int, required=True)
