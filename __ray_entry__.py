@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": win.events_asof_orders,
         "lineitems_shipped_within": win.lineitems_shipped_within,
         "user_sessions": win.user_sessions,
+        "funnel_stages": win.funnel_stages,
         "events_running_total": win.events_running_total,
         "users_in_both": win.users_in_both,
         # near-dup detection
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": win.USER_SESSIONS_SQL,
         "events_running_total": win.EVENTS_RUNNING_TOTAL_SQL,
         "users_in_both": win.USERS_IN_BOTH_SQL,
+        "funnel_stages": win.FUNNEL_SQL,
         "q1_pricing_summary": rel.Q1_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "count_distinct_users": rel.COUNT_DISTINCT_SQL,

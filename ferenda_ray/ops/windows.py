@@ -304,3 +304,63 @@ FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
 JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
   ON e.user_id = o.o_custkey
 """
+
+
+# -- funnel analysis (ordered-sequence detection per user) -----------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_stages(sf_dir: str, num_buckets: int = 16):
+    """Per-user funnel progression: furthest step of
+    view → click → purchase reached IN ORDER (each step strictly after
+    the previous step's first occurrence). Same hash-bucket
+    partitioning as :func:`user_sessions` — one shuffle on
+    ``hash(user_id) % B``, then fully vectorized per bucket (no
+    per-user Python loop). Output (user_id, funnel_stage 0-3)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_col(df, "user_id", num_buckets)
+
+    def stages(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g.user_id.unique()})
+        prev = None  # user_id -> first ts of the previous step, in order
+        reached = pd.Series(0, index=users.user_id, dtype="int64")
+        for i, step in enumerate(FUNNEL_STEPS, start=1):
+            ev = g[g.event_type == step]
+            if prev is not None:
+                cut = ev.user_id.map(prev)
+                ev = ev[ev.ts > cut.fillna(pd.Timestamp.max)]
+            first = ev.groupby("user_id").ts.min()
+            reached.loc[first.index] = i
+            prev = first
+        return pd.DataFrame({"user_id": reached.index,
+                             "funnel_stage": reached.to_numpy()})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(stages, batch_format="pandas")
+            .sort("user_id"))
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t2 IS NOT NULL THEN 3
+                 WHEN c.t1 IS NOT NULL THEN 2
+                 WHEN v.t0 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""

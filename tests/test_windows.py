@@ -59,3 +59,42 @@ def test_range_join(ray_session, con):
                 f"SELECT * FROM '{SF}/lineitem.parquet'")
     _check(win.lineitems_shipped_within(SF, num_buckets=4),
            win.LINEITEMS_SHIPPED_WITHIN_SQL, con)
+
+
+def test_funnel_stages_vs_duckdb(ray_session):
+    import duckdb
+
+    from ferenda_ray.ops import windows as win
+
+    sf = "/root/testdata/sf0.001"
+    got = win.funnel_stages(sf).to_pandas()
+    want = duckdb.sql(
+        win.FUNNEL_SQL.replace("FROM events",
+                               f"FROM '{sf}/events.parquet'")).df()
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["funnel_stage"]) == list(want["funnel_stage"])
+    assert set(got["funnel_stage"]) - {0} != set()  # some progression
+
+
+def test_funnel_requires_order(ray_session):
+    """A purchase BEFORE the first qualifying click must not count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    import ray.data as rd
+    from ferenda_ray.ops import windows as win
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 09:00",   # purchase before view
+                              "2024-01-01 10:00", "2024-01-01 12:00"]),
+        "event_type": ["view", "click", "purchase", "purchase", "view"],
+    })
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    rows.to_parquet(os.path.join(d, "events.parquet"))
+    out = win.funnel_stages(d).to_pandas().set_index("user_id")
+    assert out.loc[1, "funnel_stage"] == 2  # view→click, purchase too early
+    assert out.loc[2, "funnel_stage"] == 1  # view only (purchase first)
