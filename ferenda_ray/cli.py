@@ -110,7 +110,18 @@ def cmd_dump(args) -> int:
 
     ds = read_triples(args.out)
     if args.subject:
-        ds = ds.filter(expr=f"subj == '{args.subject}'")
+        # compute-kernel equality, NOT an interpolated filter expression
+        # (a subject containing a quote must not break/inject filter
+        # syntax)
+        subject = args.subject
+
+        def eq(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return b.filter(pc.equal(b.column("subj"), pa.scalar(subject)))
+
+        ds = ds.map_batches(eq, batch_format="pyarrow")
     for row in nt_lines(ds).limit(args.limit).take(args.limit):
         print(row["line"])
     return 0

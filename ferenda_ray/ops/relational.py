@@ -131,13 +131,16 @@ def events_hourly(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
-    def trunc(df: pd.DataFrame) -> pd.DataFrame:
-        df["hour"] = df["ts"].dt.floor("h")
-        df["value_c"] = (df["value"] * 100).round().astype("int64")
-        return df.drop(columns=["ts", "value"])
+    def trunc(b: pa.Table) -> pa.Table:
+        # Arrow-native temporal floor: no pandas round-trip in the map
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
+            "value_c": _cents(b.column("value")),
+        })
 
     agg = (
-        ds.map_batches(trunc, batch_format="pandas")
+        ds.map_batches(trunc, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n_events"),
                    Sum("value_c", alias_name="value_c"))
@@ -238,7 +241,8 @@ def region_supplier_stats(sf_dir: str):
 
     def attach(b: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
-        names = [lk[k] for k in b.column("s_nationkey").to_pylist()]
+        names = pd.Series(
+            b.column("s_nationkey").to_numpy(zero_copy_only=False)).map(lk)
         return pa.table({"r_name": pa.array(names, pa.string()),
                          "bal_c": _cents(b.column("s_acctbal"))})
 
@@ -262,47 +266,78 @@ GROUP BY r_name
 """
 
 
+N_JOIN_BUCKETS = 32
+
+
 def segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """TPC-H Q3-shaped: revenue per order for one customer segment,
-    top-k. Customer keys for the segment are broadcast as a semi-join
-    filter on orders; surviving orderkeys broadcast onto lineitem; one
-    grouped sum; global top-k via sort().limit()."""
+    top-k. Customer keys for the segment are broadcast (customer is the
+    dimension side); the orders ⋉ lineitem semi-join runs as ONE
+    hash-bucket cogroup on o_orderkey — both fact tables stream, the
+    driver never reads either (round 1 built a driver-side orderkey
+    set: a scale-killer). Per-batch pre-aggregation of lineitem revenue
+    by orderkey shrinks the shuffle before it happens."""
     import pyarrow.parquet as pq
+
+    from ferenda_ray.util import bucket_ints
 
     cust = pq.read_table(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
-    keys = set(
-        pa.table(cust).filter(
+    keys = pa.array(
+        cust.filter(
             pc.equal(cust.column("c_mktsegment"), pa.scalar(segment))
-        ).column("c_custkey").to_pylist()
-    )
-    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    okeys = {
-        ok for ok, ck in zip(orders.column("o_orderkey").to_pylist(),
-                             orders.column("o_custkey").to_pylist())
-        if ck in keys
-    }
-    okeys_ref = ray.put(okeys)
+        ).column("c_custkey").to_pylist(), pa.int64())
+    keys_ref = ray.put(keys)
 
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
+    def order_side(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
 
-    def filt_rev(b: pa.Table) -> pa.Table:
-        ok = ray.get(okeys_ref)
-        mask = pa.array([x in ok for x in b.column("l_orderkey").to_pylist()],
-                        pa.bool_())
-        b = b.filter(mask)
+        b = b.filter(pc.is_in(b.column("o_custkey"), value_set=fetch(keys_ref)))
+        key = b.column("o_orderkey")
+        n = len(key)
+        return pa.table({
+            "key": key,
+            "rev_c4": pa.array([0] * n, pa.int64()),
+            "side": pa.array([0] * n, pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(key.to_numpy(zero_copy_only=False),
+                            N_JOIN_BUCKETS), pa.int32()),
+        })
+
+    def line_side(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return pa.table({"o_orderkey": b.column("l_orderkey"),
+        part = pa.table({"key": b.column("l_orderkey"),
                          "rev_c4": _cents(rev, 10_000)})
+        # per-batch combiner: one partial sum per orderkey per batch
+        part = part.group_by("key").aggregate([("rev_c4", "sum")])
+        key = part.column("key")
+        return pa.table({
+            "key": key,
+            "rev_c4": part.column("rev_c4_sum"),
+            "side": pa.array([1] * len(key), pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(key.to_numpy(zero_copy_only=False),
+                            N_JOIN_BUCKETS), pa.int32()),
+        })
 
+    def join_sum(g: pd.DataFrame) -> pd.DataFrame:
+        ok = set(g[g.side == 0].key)
+        li = g[(g.side == 1) & g.key.isin(ok)]
+        agg = li.groupby("key", sort=True)["rev_c4"].sum()
+        return pd.DataFrame({"o_orderkey": pd.Series(agg.index, dtype="int64"),
+                             "rev_c4": pd.Series(agg.values, dtype="int64")})
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
     agg = (
-        ds.map_batches(filt_rev, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        orders.map_batches(order_side, batch_format="pyarrow")
+        .union(lineitem.map_batches(line_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_sum, batch_format="pandas")
         # deterministic top-k: tie-break on orderkey, matching the oracle
         .sort(["rev_c4", "o_orderkey"], descending=[True, True])
         .limit(k)
@@ -326,26 +361,52 @@ ORDER BY revenue DESC, o_orderkey DESC LIMIT 10
 
 def customers_without_events(sf_dir: str):
     """Anti-join (J5 ``Skeleton`` referenced-but-undefined analog):
-    customers whose key never appears as an events user. The key set is
-    broadcast; the filter runs inside map_batches (at scale: a Bloom
-    filter of the key set, same shape)."""
-    import pyarrow.parquet as pq
+    customers whose key never appears as an events user, as a bucketed
+    indicator cogroup — the events side is reduced to per-batch
+    DISTINCT user_ids (narrow int partials) before the shuffle, and the
+    driver never materializes the fact-table key set (round-1
+    scale-killer). Same shape as ``ops/graph.skeleton``."""
+    from ferenda_ray.util import bucket_ints
 
-    ukeys = set(
-        pq.read_table(_t(sf_dir, "events"), columns=["user_id"])
-        .column("user_id").to_pylist()
-    )
-    ref = ray.put(ukeys)
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name", "c_acctbal"])
+    def event_side(b: pa.Table) -> pa.Table:
+        uids = pc.unique(b.column("user_id"))
+        n = len(uids)
+        return pa.table({
+            "key": uids,
+            "c_name": pa.array([""] * n, pa.string()),
+            "c_acctbal": pa.array([0.0] * n, pa.float64()),
+            "side": pa.array([1] * n, pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(uids.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
 
-    def anti(b: pa.Table) -> pa.Table:
-        uk = ray.get(ref)
-        mask = pa.array([x not in uk for x in b.column("c_custkey").to_pylist()],
-                        pa.bool_())
-        return b.filter(mask)
+    def cust_side(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey")
+        n = len(key)
+        return pa.table({
+            "key": key,
+            "c_name": b.column("c_name"),
+            "c_acctbal": b.column("c_acctbal"),
+            "side": pa.array([0] * n, pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(key.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
 
-    return ds.map_batches(anti, batch_format="pyarrow")
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g[g.side == 1].key)
+        out = g[(g.side == 0) & ~g.key.isin(seen)]
+        out = out.rename(columns={"key": "c_custkey"})
+        return out[["c_custkey", "c_name", "c_acctbal"]]
+
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    return (cust.map_batches(cust_side, batch_format="pyarrow")
+            .union(events.map_batches(event_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(anti, batch_format="pandas"))
 
 
 CUSTOMERS_WITHOUT_EVENTS_SQL = """
@@ -356,24 +417,50 @@ WHERE c_custkey NOT IN (SELECT user_id FROM events)
 
 def parts_in_lineitem_by_brand(sf_dir: str):
     """Semi-join (J4 keyword wikipedia semi-join analog): parts that
-    actually appear in lineitem, counted per brand."""
-    import pyarrow.parquet as pq
+    actually appear in lineitem, counted per brand — bucketed indicator
+    cogroup on partkey. The lineitem side (the BIGGEST fact table,
+    which round 1 pulled into a driver set) is reduced to per-batch
+    DISTINCT l_partkey partials before the shuffle."""
+    from ferenda_ray.util import bucket_ints
 
-    pkeys = set(
-        pq.read_table(_t(sf_dir, "lineitem"), columns=["l_partkey"])
-        .column("l_partkey").to_pylist()
-    )
-    ref = ray.put(pkeys)
-    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    def line_side(b: pa.Table) -> pa.Table:
+        keys = pc.unique(b.column("l_partkey"))
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "p_brand": pa.array([""] * n, pa.string()),
+            "side": pa.array([1] * n, pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(keys.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
 
-    def semi(b: pa.Table) -> pa.Table:
-        pk = ray.get(ref)
-        mask = pa.array([x in pk for x in b.column("p_partkey").to_pylist()],
-                        pa.bool_())
-        return b.filter(mask)
+    def part_side(b: pa.Table) -> pa.Table:
+        key = b.column("p_partkey")
+        n = len(key)
+        return pa.table({
+            "key": key,
+            "p_brand": b.column("p_brand"),
+            "side": pa.array([0] * n, pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(key.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
 
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g[g.side == 1].key)
+        out = g[(g.side == 0) & g.key.isin(seen)]
+        return out[["p_brand"]]
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand"])
+    lineitem = rd.read_parquet(_t(sf_dir, "lineitem"),
+                               columns=["l_partkey"])
     return (
-        ds.map_batches(semi, batch_format="pyarrow")
+        part.map_batches(part_side, batch_format="pyarrow")
+        .union(lineitem.map_batches(line_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(semi, batch_format="pandas")
         .groupby("p_brand")
         .aggregate(Count(alias_name="n_parts"))
     )
@@ -400,7 +487,8 @@ def segment_order_stats(sf_dir: str):
 
     def attach(b: pa.Table) -> pa.Table:
         seg = ray.get(seg_ref)
-        s = [seg[k] for k in b.column("o_custkey").to_pylist()]
+        s = pd.Series(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)).map(seg)
         return pa.table({"c_mktsegment": pa.array(s, pa.string()),
                          "price_c": _cents(b.column("o_totalprice"))})
 
@@ -494,12 +582,15 @@ def orders_by_month(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderdate", "o_totalprice"])
 
-    def trunc(df: pd.DataFrame) -> pd.DataFrame:
-        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
-        df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
-        return df[["month", "price_c"]]
+    def trunc(b: pa.Table) -> pa.Table:
+        # Arrow-native month floor: no pandas round-trip in the map
+        return pa.table({
+            "month": pc.floor_temporal(b.column("o_orderdate"),
+                                       unit="month"),
+            "price_c": _cents(b.column("o_totalprice")),
+        })
 
-    agg = (ds.map_batches(trunc, batch_format="pandas")
+    agg = (ds.map_batches(trunc, batch_format="pyarrow")
            .groupby("month")
            .aggregate(Count(alias_name="n_orders"),
                       Sum("price_c", alias_name="price_c")))
@@ -646,7 +737,8 @@ def nation_order_rollup(sf_dir: str):
 
     def attach(b: pa.Table) -> pa.Table:
         lk = ray.get(ref)
-        names = [lk[k] for k in b.column("o_custkey").to_pylist()]
+        names = pd.Series(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)).map(lk)
         return pa.table({"n_name": pa.array(names, pa.string()),
                          "price_c": _cents(b.column("o_totalprice"))})
 

@@ -45,16 +45,30 @@ def read_pages(path: str):
     return rd.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
 
 
-def latest_per_url_map(path: str) -> dict[str, object]:
-    """url → max(warc_ts), computed over a NARROW read (2 columns).
+def _tie_digest(html) -> str:
+    """Deterministic content digest used to break max-warc_ts ties."""
+    import hashlib
+
+    return hashlib.sha1(
+        html if isinstance(html, (bytes, bytearray)) else bytes(html)
+    ).hexdigest()
+
+
+def latest_per_url_map(path: str) -> dict[str, tuple[int, str | None]]:
+    """url → (max(warc_ts) in epoch-µs, tie-break digest or None),
+    computed over a NARROW read (2 columns).
 
     The (url, warc_ts) projection is small relative to the html payload
     (~1/1000th), so a driver-side pyarrow group_by is the fast path — a
     distributed groupby here costs seconds of fixed scheduling overhead
     that dominates small runs and caps scaling. At 10^12 urls the
-    url→max_ts map outgrows the driver either way; the documented scale
-    path (module docstring) swaps this broadcast for a hash-bucket join.
-    """
+    url→max_ts map outgrows the driver either way; the scale path is
+    :func:`latest_filter_join`.
+
+    Ties (several snapshots of a url sharing max warc_ts — possible in
+    real crawl data) are broken deterministically: the winner is the
+    snapshot with the smallest sha1(html). html is read ONLY for tied
+    urls (a filtered second scan; ties are rare)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
@@ -62,14 +76,39 @@ def latest_per_url_map(path: str) -> dict[str, object]:
     g = t.group_by("url").aggregate([("warc_ts", "max")])
     # store epoch-microseconds so the per-batch filter compares int64s
     us = pc.cast(g.column("warc_ts_max"), pa.int64()).to_pylist()
-    return dict(zip(g.column("url").to_pylist(), us))
+    max_map = dict(zip(g.column("url").to_pylist(), us))
+
+    from collections import Counter
+
+    at_max: Counter = Counter()
+    for u, ts in zip(t.column("url").to_pylist(),
+                     pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()):
+        if max_map[u] == ts:
+            at_max[u] += 1
+    tied = [u for u, c in at_max.items() if c > 1]
+    winner: dict[str, str] = {}
+    if tied:
+        tt = pads.dataset(path).to_table(
+            columns=["url", "warc_ts", "html"],
+            filter=pc.field("url").isin(tied))
+        for u, ts, h in zip(
+            tt.column("url").to_pylist(),
+            pc.cast(tt.column("warc_ts"), pa.int64()).to_pylist(),
+            tt.column("html").to_pylist(),
+        ):
+            if ts == max_map[u]:
+                d = _tie_digest(h)
+                if u not in winner or d < winner[u]:
+                    winner[u] = d
+    return {u: (m, winner.get(u)) for u, m in max_map.items()}
 
 
 def latest_filter(batch: pa.Table, max_ref) -> pa.Table:
     """Broadcast semi-join: keep only the newest snapshot of each url.
     Stateless task; broadcast map resolved once per worker via the
     state cache. Vectorized: compare epoch-microsecond int64s, no
-    per-row timestamp object construction."""
+    per-row timestamp object construction; the sha1 tie-break runs only
+    for rows of urls that actually have a max-ts tie (rare)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -79,9 +118,59 @@ def latest_filter(batch: pa.Table, max_ref) -> pa.Table:
     urls = batch.column("url").to_pylist()
     ts_us = pc.cast(batch.column("warc_ts"), pa.int64()).to_numpy(
         zero_copy_only=False)
-    want = np.fromiter((max_us.get(u, -1) for u in urls), dtype=np.int64,
-                       count=len(urls))
-    return batch.filter(pa.array(ts_us == want, pa.bool_()))
+    want = np.fromiter((max_us.get(u, (-1, None))[0] for u in urls),
+                       dtype=np.int64, count=len(urls))
+    mask = ts_us == want
+    if mask.any():
+        html_col = None
+        for i in np.nonzero(mask)[0]:
+            w = max_us.get(urls[i], (None, None))[1]
+            if w is not None:
+                if html_col is None:
+                    html_col = batch.column("html")
+                if _tie_digest(html_col[i].as_py()) != w:
+                    mask[i] = False
+    return batch.filter(pa.array(mask, pa.bool_()))
+
+
+def latest_filter_join(ds, *, num_buckets: int = 64):
+    """Scale-path latest-per-url (the hash-bucket semi-join promised by
+    the module docstring, for when the url→max_ts map outgrows the
+    driver): the page stream is bucketed by ``hash(url) % B`` and each
+    bucket task keeps the newest snapshot per url locally — the driver
+    holds nothing. The wide html column crosses the shuffle once, which
+    is unavoidable once the map can't be broadcast.
+
+    Filter semantics are BIT-IDENTICAL to the broadcast path
+    (``tests/test_pipeline.py``): keep rows with ts == max(url), and
+    among max-ts ties only those whose sha1(html) is the minimum."""
+    import pandas as pd
+
+    from ferenda_ray.util import stable_uint
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [stable_uint(u, num_buckets)
+                   for u in b.column("url").to_pylist()]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        ts = g["warc_ts"].astype("datetime64[us]").astype("int64")
+        g["_ts"] = ts
+        out = []
+        for _, grp in g.groupby("url", sort=False):
+            m = grp["_ts"].max()
+            top = grp[grp["_ts"] == m]
+            if len(top) > 1:
+                digs = top["html"].map(_tie_digest)
+                top = top[digs == digs.min()]
+            out.append(top)
+        res = pd.concat(out) if out else g.iloc[:0]
+        return res.drop(columns=["_ts", "bucket"])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(keep_latest, batch_format="pandas"))
 
 
 _LINKER_CACHE: dict = {}
@@ -267,7 +356,9 @@ def build_triples_ds(pages_path: str, *, link_concurrency=None,
                 functools.partial(raw_prefilter, needles=content_filter),
                 batch_format="pyarrow", batch_size=batch_size,
             )
-        if dedupe_snapshots:
+        if dedupe_snapshots == "join":
+            ds = latest_filter_join(ds)
+        elif dedupe_snapshots:
             max_ref = ray.put(latest_per_url_map(pages_path))
             ds = ds.map_batches(
                 functools.partial(latest_filter, max_ref=max_ref),
@@ -306,7 +397,9 @@ def build_docs_ds(pages_path: str, *, batch_size: int = 64,
     import functools
 
     ds = read_pages(pages_path)
-    if dedupe_snapshots:
+    if dedupe_snapshots == "join":
+        ds = latest_filter_join(ds)
+    elif dedupe_snapshots:
         max_ref = ray.put(latest_per_url_map(pages_path))
         ds = ds.map_batches(
             functools.partial(latest_filter, max_ref=max_ref),

@@ -60,8 +60,13 @@ def add_keys(batch: pa.Table, num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
     df = df.with_columns(
         (pl.col("key_hash") % num_buckets).cast(pl.Int32).alias("bucket")
     )
-    # batch-local dedup, deterministic survivor
-    df = df.sort(KEY_COLS + ["url"]).unique(subset=["key_hash"],
+    # batch-local dedup, deterministic survivor. Dedup keys on the KEY
+    # COLUMNS themselves, not key_hash: a 64-bit hash collision between
+    # distinct triples would silently drop one, and at 10^9+ triples
+    # collisions are expected. key_hash is only the bucket key (note:
+    # polars' hash is not guaranteed stable across polars versions, so
+    # bucket ASSIGNMENT — and hence resume — assumes a pinned polars).
+    df = df.sort(KEY_COLS + ["url"]).unique(subset=KEY_COLS,
                                             keep="first", maintain_order=True)
     out = df.to_arrow()
     # polars emits large_string; keep schema stable for ray blocks
@@ -78,7 +83,7 @@ def merge_bucket(bucket: int, out_dir: str, stage_dir: str) -> tuple:
     frag_dir = os.path.join(stage_dir, f"bucket={bucket}")
     t = pads.dataset(frag_dir).to_table()
     g = pl.from_arrow(t).sort(KEY_COLS + ["url"]).unique(
-        subset=["key_hash"], keep="first", maintain_order=True
+        subset=KEY_COLS, keep="first", maintain_order=True
     ).drop("key_hash")
     part_dir = os.path.join(out_dir, f"bucket={bucket:05d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -322,7 +327,7 @@ def materialize_table(ds, out_dir: str, *, key_cols: list[str],
         import ray
 
         merge = ray.remote(_merge_generic)
-        rows = ray.get([merge.remote(b, out_dir, stage_dir, dedup)
+        rows = ray.get([merge.remote(b, out_dir, stage_dir, dedup, key_cols)
                         for b in buckets])
         return pd.DataFrame(rows, columns=["bucket", "n_rows", "t_ms"])
     finally:
@@ -330,7 +335,7 @@ def materialize_table(ds, out_dir: str, *, key_cols: list[str],
 
 
 def _merge_generic(bucket: int, out_dir: str, stage_dir: str,
-                   dedup: bool) -> tuple:
+                   dedup: bool, key_cols: list[str]) -> tuple:
     import pyarrow.dataset as pads
 
     t0 = time.perf_counter()
@@ -339,7 +344,9 @@ def _merge_generic(bucket: int, out_dir: str, stage_dir: str,
     sort_cols = [c for c in g.columns if c != "_kh"]
     g = g.sort(sort_cols)
     if dedup:
-        g = g.unique(subset=["_kh"], keep="first", maintain_order=True)
+        # dedup on the key columns themselves, not the 64-bit _kh (hash
+        # collisions between distinct keys must not drop rows)
+        g = g.unique(subset=key_cols, keep="first", maintain_order=True)
     g = g.drop("_kh")
     part_dir = os.path.join(out_dir, f"bucket={bucket:05d}")
     os.makedirs(part_dir, exist_ok=True)

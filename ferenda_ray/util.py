@@ -181,3 +181,16 @@ def stable_uint(s: str, mod: int) -> int:
     """Stable bucket id in [0, mod) for partitioning."""
     h = hashlib.sha1(s.encode("utf-8", "surrogatepass")).digest()
     return struct.unpack("<Q", h[:8])[0] % mod
+
+
+def bucket_ints(keys, mod: int):
+    """Vectorized stable bucket ids in [0, mod) for an int64 key array
+    (SplitMix64-finalizer mix so sequential keys spread; numpy, no
+    per-row python)."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    k = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    k = k ^ (k >> np.uint64(31))
+    return (k % np.uint64(mod)).astype(np.int32)

@@ -119,3 +119,53 @@ def test_page_near_dups_find_snapshots(ray_session, tmp_path):
     assert len(df) > 0
     assert (df.jaccard >= 0.5).all()
     assert not df.duplicated(subset=["doc_a", "doc_b"]).any()
+
+
+def test_hamming64_high_bit():
+    """ADVICE round-1 bug: numpy-int64 combining of simhash halves
+    overflowed when bit 31 of the hi-half XOR was set, so a true
+    hamming-2 pair differing in bit 63 computed 62 and was dropped."""
+    h1 = (1 << 63) | (1 << 1)
+    lo1, hi1 = h1 & 0xFFFFFFFF, h1 >> 32
+    assert dedup.hamming64(lo1, hi1, 0, 0) == 2
+    # pandas iteration yields numpy scalars — must not overflow either
+    assert dedup.hamming64(np.int64(lo1), np.int64(hi1),
+                           np.int64(0), np.int64(0)) == 2
+    assert dedup.hamming64(np.int64(0xFFFFFFFF), np.int64(0xFFFFFFFF),
+                           np.int64(0), np.int64(0)) == 64
+
+
+def test_dup_clusters_long_chain(ray_session):
+    """A chain component with diameter > 10 must fully converge (the old
+    silent 10-round cap split it into multiple clusters)."""
+    import ray.data as rd
+
+    edges = pd.DataFrame({"doc_a": pd.Series(range(12), dtype="int64"),
+                          "doc_b": pd.Series(range(1, 13), dtype="int64")})
+    out = dedup.dup_clusters(rd.from_pandas(edges))
+    assert sorted(out.doc_id) == list(range(13))
+    assert (out.cluster == 0).all()
+
+
+def test_dup_clusters_matches_unionfind(corpus_dir):
+    """Distributed min-label propagation must equal a sequential
+    union-find on the same edge set."""
+    import ray.data as rd
+
+    pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.3).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = dedup.dup_clusters(rd.from_pandas(pairs[["doc_a", "doc_b"]]))
+    assert dict(zip(got.doc_id, got.cluster)) == want

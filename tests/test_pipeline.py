@@ -130,3 +130,57 @@ def test_actor_pool_variant_matches_fused(ray_session, pages_parquet):
         fused.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(fused.columns)],
         actor.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(actor.columns)],
     )
+
+
+def test_latest_join_path_bit_equal(ray_session, pages_parquet):
+    """The hash-bucket latest-per-url semi-join (scale path) must be
+    bit-identical to the broadcast path."""
+    a = (kg.build_triples_ds(pages_parquet, batch_size=16,
+                             dedupe_snapshots=True).to_pandas()
+         .sort_values(["subj", "pred", "obj", "lang", "datatype", "url"])
+         .reset_index(drop=True))
+    b = (kg.build_triples_ds(pages_parquet, batch_size=16,
+                             dedupe_snapshots="join").to_pandas()
+         .sort_values(["subj", "pred", "obj", "lang", "datatype", "url"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_latest_tie_break_deterministic(ray_session, tmp_path):
+    """Two snapshots of one url with the SAME max warc_ts must collapse
+    to exactly one deterministic winner (min sha1(html)) in both the
+    broadcast and join paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    html_a = b"<html><head><title>A</title></head><body><p>pa pb pc</p></body></html>"
+    html_b = b"<html><head><title>B</title></head><body><p>pd pe pf</p></body></html>"
+    ts = pd.Timestamp("2024-01-01T00:00:00")
+    tab = pa.table({
+        "url": pa.array(["https://example.org/d1"] * 2, pa.string()),
+        "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+        "html": pa.array([html_a, html_b], pa.binary()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    p = str(tmp_path / "tie.parquet")
+    pq.write_table(tab, p)
+
+    import hashlib
+
+    want = min([html_a, html_b], key=lambda h: hashlib.sha1(h).hexdigest())
+
+    import functools
+
+    max_ref = ray.put(kg.latest_per_url_map(p))
+    kept_bcast = (rd.read_parquet(p)
+                  .map_batches(functools.partial(kg.latest_filter,
+                                                 max_ref=max_ref),
+                               batch_format="pyarrow")
+                  .to_pandas())
+    kept_join = kg.latest_filter_join(rd.read_parquet(p)).to_pandas()
+    for kept in (kept_bcast, kept_join):
+        assert len(kept) == 1
+        assert bytes(kept.html.iloc[0]) == want

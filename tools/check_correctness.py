@@ -64,6 +64,10 @@ def main(sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    only = os.environ.get("GRAFT_ONLY")
+    if only:
+        wanted = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in wanted}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
