@@ -25,11 +25,18 @@ import sys
 
 
 def _init_ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # FERENDA_RAY_CLI_CPUS caps the session (tests run the CLI as a
+        # subprocess NEXT TO the pytest Ray session — two unbounded
+        # local sessions contend for the whole machine and flake)
+        cpus = os.environ.get("FERENDA_RAY_CLI_CPUS")
         ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 num_cpus=int(cpus) if cpus else None)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -430,52 +430,74 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 # -- embedding cosine near-dup --------------------------------------------
 
+from ferenda_ray.util import list_col_matrix as _list_col_matrix
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Near-dup pairs over the embeddings table: blocked brute-force
-    cosine — each batch of vectors is scored against the full broadcast
-    matrix (float64 matmul), pairs above threshold kept (a < b).
+    """EXACT all-pairs cosine ≥ threshold over the embeddings table via
+    BLOCK-PAIR streaming — the driver never loads the matrix (round 1
+    broadcast the full normalized matrix from the driver):
 
-    At web scale the broadcast matrix becomes an IVF/LSH index; the
-    per-batch matmul pattern is unchanged (see ops/ann.py)."""
-    import pyarrow.parquet as pq
+    * phase 1 stages L2-normalized float64 shards with ``write_parquet``
+      (distributed; shards on shared storage, like the two-phase
+      materialize shuffle);
+    * phase 2 streams the table again; each batch matmuls against ONE
+      staged shard at a time, so worker memory = batch × shard, and the
+      pair extraction is a vectorized nonzero, not a python loop.
 
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.array(tab.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    O(n²) compute is inherent to an exact cosine join at a threshold
+    this low (0.4 is far below any LSH-able regime); the approximate
+    scale path is the IVF centroid blocking in ``ops/ann.py``."""
+    import glob
+    import os
+    import uuid
+
+    stage_dir = os.path.join(
+        os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp"),
+        "ferenda_emb_stage-" + uuid.uuid4().hex[:12])
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
-    def score(b: pa.Table) -> pa.Table:
-        from ferenda_ray.state import fetch
-
-        all_ids, all_mat = fetch(ref)
-        vids = np.array(b.column("vec_id").to_pylist(), dtype=np.int64)
-        vm = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+    def normalize_batch(b: pa.Table) -> pa.Table:
+        vm = _list_col_matrix(b.column("embedding"))
         n = np.linalg.norm(vm, axis=1)
         n[n == 0] = 1.0
         vm = vm / n[:, None]
-        sims = vm @ all_mat.T  # (batch, N)
-        a_o, b_o, s_o = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for c in hits:
-                if vids[r] < all_ids[c]:  # each pair once, no self
-                    a_o.append(int(vids[r]))
-                    b_o.append(int(all_ids[c]))
-                    s_o.append(round(float(sims[r, c]), 4))
-        return pa.table(
-            {
-                "vec_a": pa.array(a_o, pa.int64()),
-                "vec_b": pa.array(b_o, pa.int64()),
-                "cos_sim": pa.array(s_o, pa.float64()),
-            }
-        )
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "embedding": pa.array(list(vm), pa.list_(pa.float64())),
+        })
+
+    normalized = ds.map_batches(normalize_batch, batch_format="pyarrow",
+                                batch_size=2048)
+    normalized.write_parquet(stage_dir)
+    shards = sorted(glob.glob(os.path.join(stage_dir, "*.parquet")))
+
+    def score(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        vm = _list_col_matrix(b.column("embedding"))
+        n = np.linalg.norm(vm, axis=1)
+        n[n == 0] = 1.0
+        vm = vm / n[:, None]
+        a_all, b_all, s_all = [], [], []
+        for path in shards:
+            t = pq.read_table(path)
+            oids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            om = _list_col_matrix(t.column("embedding"))
+            sims = vm @ om.T  # (batch, shard)
+            mask = (sims >= threshold) & (vids[:, None] < oids[None, :])
+            r, c = np.nonzero(mask)
+            a_all.append(vids[r])
+            b_all.append(oids[c])
+            s_all.append(np.round(sims[r, c], 4))
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(a_all), pa.int64()),
+            "vec_b": pa.array(np.concatenate(b_all), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(s_all), pa.float64()),
+        })
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=1024)
 

@@ -1,27 +1,42 @@
 """Citation-graph analytics over the triples table (reference
 ``sources/general/graphanalyze.py:537-925``: degree distributions,
-pagerank/HITS ranking via networkx — rebuilt as groupby-aggregate
-iterations, no networkx, no driver-side graph).
+pagerank/HITS ranking via networkx — rebuilt distributed, no networkx,
+no driver-side graph).
 
-Edges = reference-predicate triples ``(subj → obj)``; every operator
-streams over an edge Dataset:
+Edges = reference-predicate triples ``(subj → obj)``.
 
-* degrees: one grouped count per side
-* pagerank: bounded power iterations, each = one broadcast of the rank
-  vector + one grouped sum (at 10^12 edges the rank vector itself
-  becomes a Dataset and the broadcast becomes a bucketed join; the
-  iteration structure is unchanged)
-* reverse-reference annotation (reference J1/J2
-  ``relate_dependencies``/``construct_annotations``,
-  ``documentrepository.py:1946-2008``): incoming-reference lists per
-  target via groupby-collect.
+Iterative algorithms (pagerank, HITS) use a BSP-on-partitioned-files
+design (the same two-phase filesystem-shuffle tier as
+``stages/materialize.py``):
+
+* the edge set is hash-partitioned ONCE by node bucket and written as
+  hive-partitioned parquet (edges keyed by src and by dst, node table
+  per bucket) — at 10^12 edges this one-time partitioning is the only
+  move the edges ever make;
+* each power-iteration round is two waves of per-bucket ray tasks:
+  a map wave joins the (bucket-aligned) score vector to its edge
+  partition in pandas and writes PRE-AGGREGATED contribution partials
+  into the destination buckets' directories, a reduce wave sums each
+  bucket's partials into the next score vector. Only the score vector
+  moves per round; the driver holds scalars (dangling mass, norms).
+
+This beats per-round Dataset shuffles by ~50× wall here (Ray's sort
+exchange has a multi-second fixed barrier per round; measured in
+BASELINE.md §4), and it is the honest cluster design: on multi-node the
+stage root is shared storage, per-bucket tasks are independent and
+retryable.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -83,72 +98,282 @@ def incoming_refs(edges_ds, num_buckets: int = 32):
             .groupby("bucket").map_groups(collect, batch_format="pandas"))
 
 
-def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10):
-    """PageRank over the edge Dataset with bounded power iterations.
+# -- BSP machinery for iterative node-score algorithms ----------------------
 
-    Each round: broadcast the current rank/out-degree maps (ray.put),
-    one map_batches emits per-edge contributions, one grouped sum per
-    dst; dangling mass and teleport handled on the driver. Node set and
-    rank vectors stay small relative to edges (node-level state);
-    returns a pandas DataFrame (url, rank).
+def _graph_stage_root() -> str:
+    base = os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp")
+    return os.path.join(base, "ferenda_graph-" + uuid.uuid4().hex[:12])
 
-    The edge Dataset is materialized ONCE up front — it is consumed
-    n_iter+2 times, and a lazy Dataset would re-execute its whole
-    upstream pipeline (extract→parse→link!) on every power iteration.
-    This is the one legitimate mid-pipeline materialize: edges are the
-    iteration's working set (narrow: two string columns)."""
-    edges_ds = edges_ds.materialize()
-    nodes_df = (
-        edges_ds.map_batches(
-            lambda b: pa.table(
-                {"url": pa.concat_arrays(
-                    [b.column("src").combine_chunks().cast(pa.string()),
-                     b.column("dst").combine_chunks().cast(pa.string())]
-                )}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("url")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    nodes = nodes_df["url"].tolist()
-    n = len(nodes)
-    if n == 0:
-        return pd.DataFrame({"url": [], "rank": []})
-    out_df = out_degrees(edges_ds).to_pandas()
-    outdeg = dict(zip(out_df["src"], out_df["out_degree"]))
-    rank = {u: 1.0 / n for u in nodes}
 
-    for _ in range(n_iter):
-        state_ref = ray.put((rank, outdeg))
+def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
+    """One-time partitioning: edges hive-written by hash(src) AND by
+    hash(dst); per-bucket node tables (url, outdeg) reduced from
+    endpoint indicator rows. Returns the global node count."""
+    from ferenda_ray.util import stable_uint
 
-        def contrib(b: pa.Table) -> pa.Table:
-            from ferenda_ray.state import fetch
+    def tag(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_pylist()
+        dst = b.column("dst").to_pylist()
+        return pa.table({
+            "src": b.column("src"),
+            "dst": b.column("dst"),
+            "sb": pa.array([stable_uint(s, num_buckets) for s in src],
+                           pa.int32()),
+            "db": pa.array([stable_uint(d, num_buckets) for d in dst],
+                           pa.int32()),
+        })
 
-            r, od = fetch(state_ref)
-            src = b.column("src").to_pylist()
-            dst = b.column("dst").to_pylist()
-            c = [r[s] / od[s] for s in src]
-            return pa.table({"dst": pa.array(dst, pa.string()),
-                             "c": pa.array(c, pa.float64())})
+    tagged = edges_ds.map_batches(tag, batch_format="pyarrow").materialize()
+    tagged.select_columns(["src", "dst", "sb"]).write_parquet(
+        os.path.join(root, "edges_by_src"), partition_cols=["sb"])
+    tagged.select_columns(["src", "dst", "db"]).write_parquet(
+        os.path.join(root, "edges_by_dst"), partition_cols=["db"])
 
-        from ray.data.aggregate import Sum
+    def endpoints(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_pylist()
+        dst = b.column("dst").to_pylist()
+        return pa.table({
+            "url": pa.concat_arrays([
+                b.column("src").combine_chunks().cast(pa.string()),
+                b.column("dst").combine_chunks().cast(pa.string())]),
+            "out": pa.array([1] * len(src) + [0] * len(dst), pa.int64()),
+            "nb": pa.array([stable_uint(u, num_buckets)
+                            for u in src + dst], pa.int32()),
+        })
 
-        sums = (
-            edges_ds.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
-        got = dict(zip(sums["dst"], sums["c"]))
-        dangling = sum(rank[u] for u in nodes if u not in outdeg)
-        base = (1.0 - damping) / n + damping * dangling / n
-        rank = {u: base + damping * got.get(u, 0.0) for u in nodes}
+    (tagged.map_batches(endpoints, batch_format="pyarrow")
+     .write_parquet(os.path.join(root, "nodes_raw"), partition_cols=["nb"]))
 
-    out = pd.DataFrame({"url": nodes, "rank": [rank[u] for u in nodes]})
-    return out.sort_values(["rank", "url"],
-                           ascending=[False, True]).reset_index(drop=True)
+    @ray.remote
+    def build_nodes(b: int) -> int:
+        import pyarrow.dataset as pads
+
+        d = os.path.join(root, "nodes_raw", f"nb={b}")
+        if not os.path.isdir(d):
+            pq.write_table(pa.table({"url": pa.array([], pa.string()),
+                                     "outdeg": pa.array([], pa.int64())}),
+                           os.path.join(root, f"nodes-{b:05d}.parquet"))
+            return 0
+        t = pads.dataset(d).to_table()
+        g = (t.to_pandas().groupby("url", sort=True)["out"].sum()
+             .rename("outdeg").reset_index())
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       os.path.join(root, f"nodes-{b:05d}.parquet"))
+        return len(g)
+
+    counts = ray.get([build_nodes.remote(b) for b in range(num_buckets)])
+    return int(sum(counts))
+
+
+def _bucket_edges(root: str, kind: str, b: int) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    col = "sb" if kind == "edges_by_src" else "db"
+    d = os.path.join(root, kind, f"{col}={b}")
+    if not os.path.isdir(d):
+        return pd.DataFrame({"src": pd.Series([], dtype="object"),
+                             "dst": pd.Series([], dtype="object")})
+    df = pads.dataset(d).to_table(columns=["src", "dst"]).to_pandas()
+    # fragment-file order is not guaranteed; pin row order so float
+    # contribution sums are bit-reproducible run to run
+    return df.sort_values(["src", "dst"], kind="mergesort",
+                          ignore_index=True)
+
+
+def _nodes_df(root: str, b: int) -> pd.DataFrame:
+    return pq.read_table(os.path.join(root, f"nodes-{b:05d}.parquet")
+                         ).to_pandas()
+
+
+def _write_partials(root: str, tag: str, from_bucket: int,
+                    df: pd.DataFrame, bucket_col: str) -> None:
+    """Filesystem exchange: split a pre-aggregated partial frame by
+    destination bucket, one fragment file per (source task, dest
+    bucket)."""
+    for db, grp in df.groupby(bucket_col, sort=True):
+        d = os.path.join(root, tag, f"b={int(db)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(grp.drop(columns=[bucket_col]),
+                                 preserve_index=False),
+            os.path.join(d, f"part-{from_bucket:05d}.parquet"))
+
+
+def _read_partials(root: str, tag: str, b: int) -> pd.DataFrame | None:
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(root, tag, f"b={b}", "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pq.read_table(f).to_pandas() for f in files])
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
+             num_buckets: int = 16):
+    """PageRank with bounded power iterations on the BSP tier (module
+    docstring): edges partitioned once, the rank vector is per-bucket
+    parquet (never a driver dict — round 1 re-broadcast a driver rank
+    map per round), each round = one map wave (rank ⋈ edge partition,
+    local pre-aggregation by dst) + one reduce wave (sum partials →
+    next rank). Driver state per round: the dangling-mass scalar.
+    Returns a pandas DataFrame (url, rank) — node-level output."""
+    root = _graph_stage_root()
+    try:
+        n = _stage_graph(edges_ds, root, num_buckets)
+        if n == 0:
+            return pd.DataFrame({"url": [], "rank": []})
+
+        from ferenda_ray.util import stable_uint
+
+        @ray.remote
+        def init_rank(b: int) -> None:
+            nd = _nodes_df(root, b)
+            nd["rank"] = 1.0 / n
+            pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
+                           os.path.join(root, f"rank0-{b:05d}.parquet"))
+
+        ray.get([init_rank.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def pr_map(b: int, r: int) -> float:
+            rank = pq.read_table(
+                os.path.join(root, f"rank{r}-{b:05d}.parquet")).to_pandas()
+            edges = _bucket_edges(root, "edges_by_src", b)
+            if len(edges):
+                j = edges.merge(rank, left_on="src", right_on="url")
+                j["c"] = j["rank"] / j["outdeg"]
+                part = (j.groupby("dst", sort=True)["c"].sum()
+                        .reset_index().rename(columns={"dst": "url"}))
+                part["db"] = [stable_uint(u, num_buckets) for u in part.url]
+                _write_partials(root, f"contrib{r}", b, part, "db")
+            return float(rank.loc[rank.outdeg == 0, "rank"].sum())
+
+        @ray.remote
+        def pr_reduce(b: int, r: int, base: float) -> None:
+            nd = _nodes_df(root, b)
+            partials = _read_partials(root, f"contrib{r}", b)
+            if partials is not None:
+                got = partials.groupby("url", sort=True)["c"].sum()
+                c = got.reindex(nd.url).fillna(0.0).values
+            else:
+                c = np.zeros(len(nd))
+            nd["rank"] = base + damping * c
+            pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
+                           os.path.join(root, f"rank{r + 1}-{b:05d}.parquet"))
+
+        for r in range(n_iter):
+            dangling = sum(ray.get(
+                [pr_map.remote(b, r) for b in range(num_buckets)]))
+            base = (1.0 - damping) / n + damping * dangling / n
+            ray.get([pr_reduce.remote(b, r, base)
+                     for b in range(num_buckets)])
+
+        out = pd.concat([
+            pq.read_table(os.path.join(root, f"rank{n_iter}-{b:05d}.parquet"),
+                          columns=["url", "rank"]).to_pandas()
+            for b in range(num_buckets)])
+        return out.sort_values(["rank", "url"], ascending=[False, True]
+                               ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
+    """HITS hub/authority scores (reference ``graphanalyze.py:896-925``)
+    on the same BSP tier as :func:`pagerank`: per half-step, a map wave
+    joins the (bucket-aligned) score vector to its edge partition and
+    writes pre-aggregated partials into destination buckets, a reduce
+    wave sums them; the L2 norm is the sum of per-bucket scalars and is
+    applied when the NEXT wave reads the scores (scores stored raw).
+    Returns a pandas DataFrame (url, authority, hub)."""
+    root = _graph_stage_root()
+    try:
+        n = _stage_graph(edges_ds, root, num_buckets)
+        if n == 0:
+            return pd.DataFrame({"url": [], "authority": [], "hub": []})
+
+        from ferenda_ray.util import stable_uint
+
+        @ray.remote
+        def half_step(b: int, edges_kind: str, key: str, other: str,
+                      score_tag: str, out_tag: str, norm: float,
+                      default: float) -> None:
+            """map: scores[score_tag][b] (÷ norm; ``default`` for nodes
+            absent from a sparse score file) ⋈ edges on ``key`` → local
+            sum per ``other`` → partials into dest buckets."""
+            sf = os.path.join(root, f"{score_tag}-{b:05d}.parquet")
+            edges = _bucket_edges(root, edges_kind, b)
+            if not len(edges):
+                return
+            if os.path.exists(sf):
+                sc = pq.read_table(sf).to_pandas()
+                lut = sc.set_index("url")["val"]
+                vals = (lut.reindex(edges[key]).fillna(default).values
+                        / norm)
+            else:
+                vals = np.full(len(edges), default / norm)
+            part = pd.DataFrame({"url": edges[other].values, "c": vals})
+            part = part.groupby("url", sort=True)["c"].sum().reset_index()
+            part["db"] = [stable_uint(u, num_buckets) for u in part.url]
+            _write_partials(root, out_tag, b, part, "db")
+
+        @ray.remote
+        def reduce_sum(b: int, in_tag: str, score_tag: str) -> float:
+            partials = _read_partials(root, in_tag, b)
+            if partials is None:
+                return 0.0
+            got = partials.groupby("url", sort=True)["c"].sum().reset_index()
+            got = got.rename(columns={"c": "val"})
+            pq.write_table(pa.Table.from_pandas(got, preserve_index=False),
+                           os.path.join(root, f"{score_tag}-{b:05d}.parquet"))
+            return float((got["val"] ** 2).sum())
+
+        hub_tag, auth_tag = "hub", "auth"
+        hub_norm = 1.0
+        hub_default = 1.0  # initial hub = 1 for every node (no file yet)
+        auth_norm = 1.0
+        for i in range(n_iter):
+            # authority(v) = Σ hub(u), u→v
+            ray.get([half_step.remote(b, "edges_by_src", "src", "dst",
+                                      f"{hub_tag}{i}", f"ac{i}",
+                                      hub_norm, hub_default)
+                     for b in range(num_buckets)])
+            sq = ray.get([reduce_sum.remote(b, f"ac{i}", f"{auth_tag}{i}")
+                          for b in range(num_buckets)])
+            auth_norm = (sum(sq) ** 0.5) or 1.0
+            # hub(u) = Σ auth(v), u→v
+            ray.get([half_step.remote(b, "edges_by_dst", "dst", "src",
+                                      f"{auth_tag}{i}", f"hc{i}",
+                                      auth_norm, 0.0)
+                     for b in range(num_buckets)])
+            sq = ray.get([reduce_sum.remote(b, f"hc{i}",
+                                            f"{hub_tag}{i + 1}")
+                          for b in range(num_buckets)])
+            hub_norm = (sum(sq) ** 0.5) or 1.0
+            hub_default = 0.0
+
+        def read_scores(tag: str, norm: float, col: str) -> pd.DataFrame:
+            frames = []
+            for b in range(num_buckets):
+                f = os.path.join(root, f"{tag}-{b:05d}.parquet")
+                if os.path.exists(f):
+                    frames.append(pq.read_table(f).to_pandas())
+            sc = (pd.concat(frames) if frames
+                  else pd.DataFrame({"url": [], "val": []}))
+            sc[col] = sc["val"] / norm
+            return sc[["url", col]]
+
+        nodes = pd.concat([_nodes_df(root, b)[["url"]]
+                           for b in range(num_buckets)])
+        a = read_scores(f"{auth_tag}{n_iter - 1}", auth_norm, "authority")
+        h = read_scores(f"{hub_tag}{n_iter}", hub_norm, "hub")
+        out = nodes.merge(a, on="url", how="left").merge(h, on="url",
+                                                         how="left")
+        out[["authority", "hub"]] = out[["authority", "hub"]].fillna(0.0)
+        return out.sort_values(["authority", "url"], ascending=[False, True]
+                               ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def skeleton(triples_ds):
@@ -190,70 +415,3 @@ def degree_histogram(edges_ds):
     graphanalyze degree-plot data."""
     ind = in_degrees(edges_ds)
     return ind.groupby("in_degree").aggregate(Count(alias_name="n_nodes"))
-
-
-def hits(edges_ds, n_iter: int = 10):
-    """HITS hub/authority scores (reference ``graphanalyze.py:896-925``
-    ranks with pagerank AND HITS). Same bounded-iteration shape as
-    :func:`pagerank`: per round, one map_batches emits contributions
-    against the broadcast score vectors, grouped sums reduce per node;
-    L2 normalization on the driver (node-level state stays small).
-    Returns a pandas DataFrame (url, authority, hub), deterministically
-    ordered."""
-    edges_ds = edges_ds.materialize()  # consumed 2x per iteration
-    from ray.data.aggregate import Sum
-
-    nodes = set()
-    for b in edges_ds.iter_batches(batch_format="pyarrow"):
-        nodes.update(b.column("src").to_pylist())
-        nodes.update(b.column("dst").to_pylist())
-    nodes = sorted(nodes)
-    if not nodes:
-        return pd.DataFrame({"url": [], "authority": [], "hub": []})
-    auth = {u: 1.0 for u in nodes}
-    hub = {u: 1.0 for u in nodes}
-
-    for _ in range(n_iter):
-        state_ref = ray.put(hub)
-
-        def auth_contrib(b: pa.Table, _ref=state_ref) -> pa.Table:
-            from ferenda_ray.state import fetch
-
-            h = fetch(_ref)
-            return pa.table({
-                "node": b.column("dst"),
-                "c": pa.array([h[s] for s in b.column("src").to_pylist()],
-                              pa.float64()),
-            })
-
-        sums = (edges_ds.map_batches(auth_contrib, batch_format="pyarrow")
-                .groupby("node").aggregate(Sum("c", alias_name="c"))
-                .to_pandas())
-        got = dict(zip(sums["node"], sums["c"]))
-        norm = (sum(v * v for v in got.values()) ** 0.5) or 1.0
-        auth = {u: got.get(u, 0.0) / norm for u in nodes}
-
-        a_ref = ray.put(auth)
-
-        def hub_contrib(b: pa.Table, _ref=a_ref) -> pa.Table:
-            from ferenda_ray.state import fetch
-
-            a = fetch(_ref)
-            return pa.table({
-                "node": b.column("src"),
-                "c": pa.array([a[d] for d in b.column("dst").to_pylist()],
-                              pa.float64()),
-            })
-
-        sums = (edges_ds.map_batches(hub_contrib, batch_format="pyarrow")
-                .groupby("node").aggregate(Sum("c", alias_name="c"))
-                .to_pandas())
-        got = dict(zip(sums["node"], sums["c"]))
-        norm = (sum(v * v for v in got.values()) ** 0.5) or 1.0
-        hub = {u: got.get(u, 0.0) / norm for u in nodes}
-
-    out = pd.DataFrame({"url": nodes,
-                        "authority": [auth[u] for u in nodes],
-                        "hub": [hub[u] for u in nodes]})
-    return out.sort_values(["authority", "url"],
-                           ascending=[False, True]).reset_index(drop=True)

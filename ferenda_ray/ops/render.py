@@ -27,6 +27,23 @@ import pyarrow as pa
 
 # -- generate (tree → html) ----------------------------------------------
 
+def _render_inline(elem: dict) -> str:
+    """Text span → HTML, emitting <a rel="dct:references"> anchors for
+    in-tree LinkSubject citation parts (reference
+    ``citationparser.py:120-145`` node insertion + RDFa rendering)."""
+    parts = elem.get("parts")
+    if not parts:
+        return escape(elem.get("text", ""))
+    out = []
+    for p in parts:
+        if p.get("kind") == "LinkSubject":
+            out.append(f'<a href={quoteattr(p["uri"])} '
+                       f'rel="dct:references">{escape(p["text"])}</a>')
+        else:
+            out.append(escape(p.get("text", "")))
+    return "".join(out)
+
+
 def _render_elem(elem: dict, out: list[str], url: str) -> None:
     kind = elem["kind"]
     if kind == "Body":
@@ -44,14 +61,21 @@ def _render_elem(elem: dict, out: list[str], url: str) -> None:
         lvl = int(elem.get("level", 2))
         out.append(f"<h{lvl}>{escape(elem['text'])}</h{lvl}>")
     elif kind == "Paragraph":
-        out.append(f"<p>{escape(elem['text'])}</p>")
+        out.append(f"<p>{_render_inline(elem)}</p>")
     elif kind == "Preformatted":
         out.append(f"<pre>{escape(elem['text'])}</pre>")
     elif kind in ("UnorderedList", "OrderedList"):
         tag = "ol" if kind == "OrderedList" else "ul"
         out.append(f"<{tag}>")
         for ch in elem.get("children", []):
-            out.append(f"<li>{escape(ch.get('text', ''))}</li>")
+            # a ListItem may host nested sublists (children)
+            li = [f"<li>{_render_inline(ch)}"]
+            for sub in ch.get("children", []):
+                sub_out: list[str] = []
+                _render_elem(sub, sub_out, url)
+                li.extend(sub_out)
+            li.append("</li>")
+            out.append("".join(li) if len(li) == 2 else "\n".join(li))
         out.append(f"</{tag}>")
 
 

@@ -78,6 +78,7 @@ class _Extractor(HTMLParser):
         self._loose_parts: list[str] = []      # text outside any block
         self._in_title = False
         self._title_parts: list[str] = []
+        self._list_stack: list[bool] = []      # open ul/ol; True = ordered
 
     # -- flushing ---------------------------------------------------------
     def _flush_block(self) -> None:
@@ -106,7 +107,14 @@ class _Extractor(HTMLParser):
                 kind, level = "listitem", 0
             else:
                 kind, level = "paragraph", 0
-        self.blocks.append({"kind": kind, "level": level, "text": text})
+        blk = {"kind": kind, "level": level, "text": text}
+        if kind == "listitem":
+            # list-context metadata for the FSM's nested-list re-nesting
+            # (reference elements.py:632-660 Ordered/UnorderedList);
+            # text segmentation (the frozen spec above) is unchanged
+            blk["depth"] = max(1, len(self._list_stack))
+            blk["ordered"] = bool(self._list_stack and self._list_stack[-1])
+        self.blocks.append(blk)
 
     def _flush_loose(self) -> None:
         if not self._loose_parts:
@@ -140,6 +148,14 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        if tag in ("ul", "ol"):
+            # a nested list opening inside an open <li> must flush the
+            # li text FIRST (at its own depth) before the push; the
+            # flush boundary is the same one the next <li> start would
+            # force, so extracted text is unchanged
+            self._flush_block()
+            self._list_stack.append(tag == "ol")
+            return
         if tag in BLOCK_TAGS:
             self._flush_block()
             self._flush_loose()
@@ -163,6 +179,8 @@ class _Extractor(HTMLParser):
                      "nav", "figure"):
             self._flush_block()
             self._flush_loose()
+            if tag in ("ul", "ol") and self._list_stack:
+                self._list_stack.pop()
 
     def handle_data(self, data: str) -> None:
         if self._in_title:

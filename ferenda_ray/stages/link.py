@@ -52,25 +52,47 @@ def format_rfc_uri(num: str, section: str | None = None) -> str:
     return f"{uri}#S{section}" if section else uri
 
 
-def scan_citations(text: str) -> list[str]:
-    """All citation target URIs in a text span, in match order.
-
-    'section X of RFC Y' wins over the bare 'RFC Y' inside it (the
-    reference resolves overlaps by grammar priority,
-    citationparser.py:97-131).
-    """
-    out: list[str] = []
+def _citation_matches(text: str):
+    """Grammar-priority citation matching → three span groups
+    ((start, end, uri) each): section-of-RFC, bare RFC not covered by
+    the former, URLs ('section X of RFC Y' wins over the bare 'RFC Y'
+    inside it — the reference resolves overlaps by grammar priority,
+    citationparser.py:97-131)."""
+    sec, rfc, urls = [], [], []
     covered: list[tuple[int, int]] = []
     for m in _SECTION_OF_RFC.finditer(text):
-        out.append(format_rfc_uri(m.group(2), m.group(1)))
+        sec.append((m.start(), m.end(),
+                    format_rfc_uri(m.group(2), m.group(1))))
         covered.append(m.span())
     for m in _RFC.finditer(text):
         if any(a <= m.start() < b for a, b in covered):
             continue
-        out.append(format_rfc_uri(m.group(1)))
+        rfc.append((m.start(), m.end(), format_rfc_uri(m.group(1))))
     for m in _URL.finditer(text):
-        out.append(m.group(0).rstrip(_TRAIL_PUNCT))
-    return out
+        u = m.group(0).rstrip(_TRAIL_PUNCT)
+        urls.append((m.start(), m.start() + len(u), u))
+    return sec, rfc, urls
+
+
+def scan_citations(text: str) -> list[str]:
+    """All citation target URIs in a text span, in grammar-priority
+    match order."""
+    sec, rfc, urls = _citation_matches(text)
+    return [uri for group in (sec, rfc, urls) for _, _, uri in group]
+
+
+def scan_citation_spans(text: str) -> list[tuple[int, int, str]]:
+    """Non-overlapping citation spans sorted by position — the input to
+    in-tree ``LinkSubject`` annotation (reference
+    ``citationparser.py:120-145`` inserts LinkSubject nodes in place of
+    matched text)."""
+    sec, rfc, urls = _citation_matches(text)
+    spans: list[tuple[int, int, str]] = []
+    for group in (sec, rfc, urls):
+        for s, e, uri in group:
+            if not any(a < e and s < b for a, b, _ in spans):
+                spans.append((s, e, uri))
+    return sorted(spans)
 
 
 class EntityLinker:

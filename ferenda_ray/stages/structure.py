@@ -86,15 +86,40 @@ def make_pre(parser) -> dict:
 
 
 def make_list(parser) -> dict:
-    """Consume the run of consecutive listitem chunks into one List."""
-    elem = {"kind": "UnorderedList", "children": []}
+    """Consume the run of consecutive listitem chunks into a (possibly
+    NESTED) list tree, driven by the extractor's per-item ``depth`` /
+    ``ordered`` metadata (reference ``elements.py:632-660``
+    OrderedList/UnorderedList/ListItem nesting; items without metadata —
+    e.g. hand-written FSM fixtures — stay a flat UnorderedList)."""
+    first = parser.reader.peek()
+    root = {"kind": "OrderedList" if first.get("ordered")
+            else "UnorderedList", "children": []}
+    stack: list[tuple[int, dict]] = [(first.get("depth", 1), root)]
     while not parser.reader.eof:
         nxt = parser.reader.peek()
         if nxt["kind"] != "listitem":
             break
+        d = nxt.get("depth", 1)
+        if (d <= stack[0][0]
+                and (root["kind"] == "OrderedList") != bool(nxt.get("ordered"))):
+            break  # ol↔ul change at top level → sibling list (next parse)
         parser.reader.next()
-        elem["children"].append({"kind": "ListItem", "text": nxt["text"]})
-    return elem
+        while len(stack) > 1 and d < stack[-1][0]:
+            stack.pop()
+        if d > stack[-1][0]:
+            # deeper item: open a sublist under the last item of the
+            # current list (synthesize a host item for malformed input)
+            cur = stack[-1][1]
+            if not cur["children"]:
+                cur["children"].append({"kind": "ListItem", "text": ""})
+            host = cur["children"][-1]
+            sub = {"kind": "OrderedList" if nxt.get("ordered")
+                   else "UnorderedList", "children": []}
+            host.setdefault("children", []).append(sub)
+            stack.append((d, sub))
+        stack[-1][1]["children"].append(
+            {"kind": "ListItem", "text": nxt["text"]})
+    return root
 
 
 def _depth(ordinal: str) -> int:
@@ -140,6 +165,45 @@ def serialize_tree(tree: dict) -> str:
     """Canonical JSON serialization of an element tree (reference analog:
     ``elements.serialize``, ``elements.py:53-67``)."""
     return json.dumps(tree, ensure_ascii=False, sort_keys=True)
+
+
+# -- in-tree citation annotation (LinkSubject) ------------------------------
+
+def _link_parts(text: str) -> list[dict] | None:
+    """Split a text span around its citation spans into Str/LinkSubject
+    parts (reference ``citationparser.py:120-145`` inserts LinkSubject
+    nodes in place of matched text). None when there is nothing to
+    link."""
+    from ferenda_ray.stages.link import scan_citation_spans
+
+    spans = scan_citation_spans(text)
+    if not spans:
+        return None
+    parts: list[dict] = []
+    pos = 0
+    for s, e, uri in spans:
+        if s > pos:
+            parts.append({"kind": "Str", "text": text[pos:s]})
+        parts.append({"kind": "LinkSubject", "uri": uri,
+                      "text": text[s:e]})
+        pos = e
+    if pos < len(text):
+        parts.append({"kind": "Str", "text": text[pos:]})
+    return parts
+
+
+def annotate_citations(elem: dict) -> dict:
+    """Recursively attach ``parts`` (Str/LinkSubject sequence) to every
+    text-bearing Paragraph/ListItem containing citations, IN the tree —
+    so the generate stage emits linked HTML. ``text`` is kept verbatim
+    (plaintext derivations and triple emission are unchanged)."""
+    if elem.get("kind") in ("Paragraph", "ListItem") and elem.get("text"):
+        parts = _link_parts(elem["text"])
+        if parts:
+            elem["parts"] = parts
+    for ch in elem.get("children", []):
+        annotate_citations(ch)
+    return elem
 
 
 # -- sections derivation --------------------------------------------------
@@ -200,7 +264,8 @@ def structure_batch(batch: pa.Table) -> pa.Table:
     trees = []
     for bj in batch.column("blocks").to_pylist():
         try:
-            trees.append(serialize_tree(parse_blocks(json.loads(bj))))
+            trees.append(serialize_tree(
+                annotate_citations(parse_blocks(json.loads(bj)))))
         except Exception:
             trees.append(serialize_tree({"kind": "Body", "children": []}))
     out = batch.drop_columns(["blocks"])

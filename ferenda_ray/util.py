@@ -194,3 +194,16 @@ def bucket_ints(keys, mod: int):
     k = (k ^ (k >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     k = k ^ (k >> np.uint64(31))
     return (k % np.uint64(mod)).astype(np.int32)
+
+
+def list_col_matrix(col, dtype="float64"):
+    """Arrow list<float> column → (n, dim) numpy matrix via
+    list_flatten (respects slices; no per-row python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(a).to_numpy(zero_copy_only=False).astype(dtype)
+    n = len(a)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)

@@ -11,10 +11,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(*args):
+    # cap the subprocess Ray session: it runs NEXT TO the session-scoped
+    # pytest Ray session, and two unbounded local sessions contending
+    # for the whole machine flaked this test under full-suite load
     out = subprocess.run(
         [sys.executable, "-m", "ferenda_ray.cli", *args],
-        capture_output=True, text=True, cwd=REPO, timeout=180,
-        env={**os.environ, "RAY_ADDRESS": "local"},
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={**os.environ, "RAY_ADDRESS": "local",
+             "FERENDA_RAY_CLI_CPUS": "4"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout.strip().splitlines()

@@ -3,6 +3,7 @@
 testutil.py:812-851, 929-948). Regenerate with GOLDEN_REGEN=1."""
 
 import json
+import re
 import os
 import pathlib
 
@@ -15,11 +16,21 @@ KIND = {"H1": ("heading", 1), "H2": ("heading", 2), "H3": ("heading", 3),
         "H4": ("heading", 4), "P": ("paragraph", 0), "L": ("listitem", 0),
         "PRE": ("preformatted", 0)}
 
+_LIST_TAG = re.compile(r"^L(\d*)(O?)$")  # L, L2, LO, L2O … (depth, ordered)
+
 
 def load_blocks(path: pathlib.Path) -> list[dict]:
     blocks = []
     for line in path.read_text().splitlines():
         tag, _, text = line.partition("|")
+        m = _LIST_TAG.match(tag)
+        if m and tag != "L":
+            blk = {"kind": "listitem", "level": 0,
+                   "text": text.replace("\\n", "\n"),
+                   "depth": int(m.group(1) or 1),
+                   "ordered": bool(m.group(2))}
+            blocks.append(blk)
+            continue
         kind, level = KIND[tag]
         blocks.append({"kind": kind, "level": level,
                        "text": text.replace("\\n", "\n")})

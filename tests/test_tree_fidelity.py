@@ -1,0 +1,98 @@
+"""Element-tree fidelity: nested list extraction + FSM re-nesting, and
+in-tree LinkSubject citation annotation surfacing as anchors in
+generated HTML (reference elements.py:632-660, citationparser.py:120-145)."""
+
+import json
+
+from ferenda_ray.ops.render import generate_html
+from ferenda_ray.stages.extract import extract_page
+from ferenda_ray.stages.link import scan_citation_spans, scan_citations
+from ferenda_ray.stages.structure import annotate_citations, parse_blocks
+
+NESTED_HTML = b"""<!DOCTYPE html><html lang="en"><head><title>T</title></head>
+<body><h1>T</h1><h2>1. Lists</h2>
+<ul><li>alpha</li><li>beta
+<ol><li>beta-one</li><li>beta-two</li></ol>
+</li><li>gamma</li></ul>
+</body></html>"""
+
+
+def test_extractor_list_depth_metadata():
+    lang, title, text, blocks = extract_page(NESTED_HTML)
+    items = [b for b in blocks if b["kind"] == "listitem"]
+    assert [(b["text"], b["depth"], b["ordered"]) for b in items] == [
+        ("alpha", 1, False), ("beta", 1, False),
+        ("beta-one", 2, True), ("beta-two", 2, True),
+        ("gamma", 1, False)]
+    # the frozen text spec is unchanged: blocks in document order
+    assert "beta\n\nbeta-one\n\nbeta-two\n\ngamma" in text
+
+
+def test_fsm_nests_lists_from_metadata():
+    _, _, _, blocks = extract_page(NESTED_HTML)
+    tree = parse_blocks(blocks)
+    sec = tree["children"][1]
+    ul = sec["children"][0]
+    assert ul["kind"] == "UnorderedList"
+    assert [c["text"] for c in ul["children"]] == ["alpha", "beta", "gamma"]
+    sub = ul["children"][1]["children"][0]
+    assert sub["kind"] == "OrderedList"
+    assert [c["text"] for c in sub["children"]] == ["beta-one", "beta-two"]
+
+
+def test_scan_citation_spans_match_scan_citations():
+    text = ("as defined in section 4.2 of RFC 793 this applies; "
+            "see RFC 1234 and https://example.org/x.")
+    uris = scan_citations(text)
+    spans = scan_citation_spans(text)
+    assert sorted(uris) == sorted(u for _, _, u in spans)
+    # spans are non-overlapping, positioned, and slice the right text
+    for s, e, uri in spans:
+        assert 0 <= s < e <= len(text)
+    assert text[spans[0][0]:spans[0][1]] == "section 4.2 of RFC 793"
+
+
+def test_annotate_citations_parts_preserve_text():
+    tree = {"kind": "Body", "children": [
+        {"kind": "Paragraph",
+         "text": "see RFC 793 for details at https://example.org/a."}]}
+    annotate_citations(tree)
+    p = tree["children"][0]
+    assert "".join(part["text"] for part in p["parts"]) == p["text"]
+    kinds = [part["kind"] for part in p["parts"]]
+    assert "LinkSubject" in kinds
+    uris = [part["uri"] for part in p["parts"]
+            if part["kind"] == "LinkSubject"]
+    assert "https://example.org/rfc/793" in uris
+    assert "https://example.org/a" in uris
+
+
+def test_generate_html_links_citations_and_nests_lists():
+    _, title, _, blocks = extract_page(NESTED_HTML)
+    tree = annotate_citations(parse_blocks(
+        blocks + [{"kind": "paragraph", "level": 0,
+                   "text": "covered by section 2 of RFC 793 here."}]))
+    html = generate_html("https://example.org/d", title, tree)
+    assert '<a href="https://example.org/rfc/793#S2" rel="dct:references">' \
+        in html
+    assert "<ol><li>beta-one</li><li>beta-two</li></ol>" in html.replace(
+        "\n", "")
+
+
+def test_kg_generate_emits_anchor_elements(ray_session, tmp_path):
+    """End-to-end: the generate stage over the synthetic corpus emits
+    anchor elements for scanned citations (VERDICT round-1 item 5)."""
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.render import generate_batch
+    from ferenda_ray.pipelines.kg import build_docs_ds
+    from ferenda_ray.sources.pages import corpus_table
+
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(40), p)
+    htmls = (build_docs_ds(p)
+             .map_batches(generate_batch, batch_format="pyarrow")
+             .to_pandas())
+    joined = "\n".join(htmls.html)
+    assert 'rel="dct:references"' in joined
+    assert '<a href="https://example.org/rfc/' in joined
