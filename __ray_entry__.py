@@ -362,8 +362,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
+        "doc_pages": text.doc_pages,
+        "pdf_textboxes": pdf_textboxes,
     }
     return q
+
+
+def pdf_textboxes(sf_dir: str):
+    """PDF intermediate-format parse stage (S6): deterministic
+    synthetic pdf2xml docs → glued textbox rows (the binary→pdf2xml
+    converter itself is the documented stub in stages/multimodal.py)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.pdf import pdf_textbox_rows, synthetic_pdf2xml
+
+    n = 60 if "0.01" in sf_dir else 20
+    tab = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "fmt": pa.array(["pdf2xml"] * n, pa.string()),
+        "data": pa.array([synthetic_pdf2xml(i) for i in range(n)],
+                         pa.binary()),
+    })
+    return (rd.from_arrow(tab)
+            .map_batches(pdf_textbox_rows, batch_format="pyarrow")
+            .sort(["doc_id", "page", "top"]))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -10,6 +10,8 @@ rows-only checks.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import polars as pl
 import pyarrow as pa
@@ -461,3 +463,53 @@ FROM m JOIN med USING (lang)
 WHERE m.mean_token_len > med.cut
 ORDER BY m.doc_id
 """
+
+
+# -- TextReader surface (reference textreader.py:11-352) --------------------
+
+_HYPHEN_WRAP = re.compile(r"(\w)-\n(\w)")
+_SOFT_WRAP = re.compile(r"(?<=\S)\n(?=\S)")
+
+
+def dehyphenate(text: str) -> str:
+    """Join words hard-hyphenated across line breaks ("exam-\\nple" →
+    "example"; reference TextReader linesep handling)."""
+    return _HYPHEN_WRAP.sub(r"\1\2", text)
+
+
+def dewrap(text: str) -> str:
+    """Unwrap hard line-wrapped paragraphs: single newlines inside a
+    paragraph become spaces, blank-line paragraph breaks are kept
+    (reference ``TextReader.readparagraph`` unit semantics)."""
+    return _SOFT_WRAP.sub(" ", dehyphenate(text))
+
+
+def text_pages(text: str, page_break: str = "\f") -> list[str]:
+    """Page-based iteration (reference ``TextReader.getiterator(
+    readpage)``): split on form-feed, preserving page order; empty
+    trailing pages dropped."""
+    pages = text.split(page_break)
+    while pages and not pages[-1].strip():
+        pages.pop()
+    return pages
+
+
+def doc_pages(sf_dir: str):
+    """Flat-map documents into (doc_id, page_no, dewrapped page text)
+    rows — the reference's page-iterating TextReader consumption shape
+    over the documents table."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def flat(b: pa.Table) -> pa.Table:
+        ids, pnos, texts = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for i, page in enumerate(text_pages(t)):
+                ids.append(d)
+                pnos.append(i)
+                texts.append(dewrap(page))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "page_no": pa.array(pnos, pa.int32()),
+                         "text": pa.array(texts, pa.large_string())})
+
+    return ds.map_batches(flat, batch_format="pyarrow")

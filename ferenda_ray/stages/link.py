@@ -113,16 +113,34 @@ class EntityLinker:
         self.emb_index: dict[str, np.ndarray] = {}
         if emb_uris is not None and emb_matrix is not None:
             self.emb_index = {u: emb_matrix[i] for i, u in enumerate(emb_uris)}
+        self._all_labels = list(alias_to_uri)
+        self._fuzzy_cache: dict[str, list[str]] = {}
+
+    def _fuzzy_all(self, mention: str) -> list[str]:
+        got = self._fuzzy_cache.get(mention)
+        if got is None:
+            got = difflib.get_close_matches(
+                mention, self._all_labels, n=3, cutoff=self.FUZZY_CUTOFF)
+            if len(self._fuzzy_cache) < 100_000:  # bound worker memory
+                self._fuzzy_cache[mention] = got
+        return got
 
     def link(self, mention: str) -> str | None:
         uri = self.alias_to_uri.get(mention)
         if uri is not None:
             return uri
         cands = self.block.get(mention.split(" ", 1)[0])
-        if not cands:
-            return None
-        close = difflib.get_close_matches(mention, cands, n=3,
-                                          cutoff=self.FUZZY_CUTOFF)
+        close = (difflib.get_close_matches(mention, cands, n=3,
+                                           cutoff=self.FUZZY_CUTOFF)
+                 if cands else [])
+        if not close:
+            # reference parity: ``lookup_resource`` fuzzy-matches the
+            # WHOLE commondata (documentrepository.py:478-525); the
+            # first-word blocking above cannot recall a mention
+            # misspelled in its first word, so a blocked miss falls
+            # back to the full label list (rare path, memoized per
+            # worker).
+            close = self._fuzzy_all(mention)
         if not close:
             return None
         if len(close) == 1 or not self.emb_index:

@@ -96,3 +96,18 @@ def test_kg_generate_emits_anchor_elements(ray_session, tmp_path):
     joined = "\n".join(htmls.html)
     assert 'rel="dct:references"' in joined
     assert '<a href="https://example.org/rfc/' in joined
+
+
+def test_fuzzy_link_first_word_misspelled():
+    """Reference parity (lookup_resource fuzzy-matches the WHOLE
+    commondata): a mention misspelled in its FIRST word must still
+    link via the unblocked fallback."""
+    from ferenda_ray.stages.link import EntityLinker
+
+    linker = EntityLinker({"Acme Systems": "https://example.org/entity/acme",
+                           "Orbit Labs": "https://example.org/entity/orbit"})
+    # first word misspelled → blocked index misses, fallback recalls
+    assert linker.link("Acme Systems") == "https://example.org/entity/acme"
+    assert linker.link("Acne Systems") == "https://example.org/entity/acme"
+    assert linker.link("Orbyt Labs") == "https://example.org/entity/orbit"
+    assert linker.link("Zzz Qqq") is None
