@@ -1,0 +1,61 @@
+"""Shared BSP-on-partitioned-files helpers (the filesystem-shuffle tier
+used by ``stages/materialize.py``, ``ops/graph.py`` pagerank/HITS and
+``ops/dedup.py`` verification): hive-partitioned parquet exchange with
+per-bucket ray tasks instead of Ray's sort-based groupby barrier, whose
+multi-second fixed cost per exchange dominates iterative / multi-round
+algorithms (measured, BASELINE.md §4).
+
+On a multi-node cluster the stage root lives on shared storage (set
+``FERENDA_RAY_STAGE_ROOT``); per-bucket tasks are independent,
+idempotent and retryable.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def stage_root(prefix: str) -> str:
+    base = os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp")
+    return os.path.join(base, f"{prefix}-{uuid.uuid4().hex[:12]}")
+
+
+def write_partials(root: str, tag: str, from_part: int,
+                   df: pd.DataFrame, bucket_col: str) -> None:
+    """Exchange step: split a (pre-aggregated) partial frame by
+    destination bucket, one fragment file per (source task, dest
+    bucket)."""
+    for db, grp in df.groupby(bucket_col, sort=True):
+        d = os.path.join(root, tag, f"b={int(db)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(grp.drop(columns=[bucket_col]),
+                                 preserve_index=False),
+            os.path.join(d, f"part-{from_part:05d}.parquet"))
+
+
+def read_partials(root: str, tag: str, bucket: int) -> pd.DataFrame | None:
+    """Read one bucket's fragments in deterministic (file-name) order."""
+    files = sorted(_glob.glob(os.path.join(root, tag, f"b={bucket}",
+                                           "*.parquet")))
+    if not files:
+        return None
+    return pd.concat([pq.read_table(f).to_pandas() for f in files])
+
+
+def read_hive_bucket(root: str, tag: str, col: str, bucket: int,
+                     columns: list[str]) -> pa.Table | None:
+    """Read one ``{tag}/{col}={bucket}`` hive partition (as written by
+    ``Dataset.write_parquet(partition_cols=[col])``); None if absent."""
+    import pyarrow.dataset as pads
+
+    d = os.path.join(root, tag, f"{col}={bucket}")
+    if not os.path.isdir(d):
+        return None
+    return pads.dataset(d).to_table(columns=columns)

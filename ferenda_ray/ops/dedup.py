@@ -25,6 +25,7 @@ Scale design (ray guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -190,107 +191,125 @@ def minhash_candidates(sf_dir: str, sh_ds=None):
 
 
 def _verified_pairs(sh_ds, cand_ds, threshold: float,
-                    num_buckets: int = N_SHUFFLE_BUCKETS):
+                    num_buckets: int = 16):
     """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
-    bucketed join — no driver-side shingle dict (round-1 scale-killer):
+    bucketed join on the BSP filesystem tier (``ferenda_ray/bsp``) —
+    no driver-side shingle dict (round-1 scale-killer), and no Ray
+    sort-exchange barriers (each costs seconds of fixed wall;
+    BASELINE.md §4):
 
     1. Bloom bitset (128 KiB, constant driver state) over candidate doc
        ids prefilters the shingle stream to (probable) candidate docs —
-       false positives only add rows that find no pair partner.
-    2. doc_id-keyed bucket cogroup attaches each candidate doc's
-       shingle list to its pair-reference rows.
-    3. pair-keyed bucket cogroup brings both sides of a pair together
-       and computes exact Jaccard.
+       false positives only add rows that find no pair partner; the
+       surviving shingles and the pair-reference rows are hive-written
+       by hash(doc_id) bucket (map-only, no barrier).
+    2. attach wave (one ray task per bucket): join shingles to pair
+       refs in-bucket, exchange (pair, side, shingles) partials by
+       pair-hash bucket.
+    3. jaccard wave: both sides of each pair meet; exact Jaccard.
 
-    Only candidate docs' shingles ever shuffle; candidates ≪ corpus by
-    LSH construction.
+    Only candidate docs' shingles ever move; candidates ≪ corpus by
+    LSH construction. Returns the verified pairs as a Ray Dataset.
     """
+    import shutil
+
+    from ferenda_ray.bsp import (read_hive_bucket, read_partials,
+                                 stage_root, write_partials)
     from ferenda_ray.ops.bloom import bloom_build, bloom_contains
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_ints
 
-    cand = cand_ds.materialize()  # small: LSH candidate pairs
+    root = stage_root("ferenda_dedup")
+    try:
+        cand = cand_ds.materialize()  # small: LSH candidate pairs
 
-    def cand_ids(b: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [b.column("doc_a").combine_chunks().cast(pa.int64()),
-             b.column("doc_b").combine_chunks().cast(pa.int64())])
-        return pa.table({"doc_id": both})
+        def cand_ids(b: pa.Table) -> pa.Table:
+            both = pa.concat_arrays(
+                [b.column("doc_a").combine_chunks().cast(pa.int64()),
+                 b.column("doc_b").combine_chunks().cast(pa.int64())])
+            return pa.table({"doc_id": both})
 
-    packed = bloom_build(cand.map_batches(cand_ids, batch_format="pyarrow"),
-                         "doc_id")
-    packed_ref = ray.put(packed)
+        packed = bloom_build(
+            cand.map_batches(cand_ids, batch_format="pyarrow"), "doc_id")
+        packed_ref = ray.put(packed)
 
-    def shingle_side(b: pa.Table) -> pa.Table:
-        pk = ray.get(packed_ref)
-        keys = np.asarray(b.column("doc_id").to_numpy(zero_copy_only=False))
-        b = b.filter(pa.array(bloom_contains(pk, keys)))
-        ids = b.column("doc_id").to_pylist()
-        return pa.table({
-            "key": pa.array(ids, pa.int64()),
-            "pair_a": pa.array([0] * len(ids), pa.int64()),
-            "pair_b": pa.array([0] * len(ids), pa.int64()),
-            "side": pa.array([2] * len(ids), pa.int8()),
-            "sh": b.column("sh"),
-            "bucket": pa.array([stable_uint(str(i), num_buckets)
-                                for i in ids], pa.int32()),
-        })
+        def shingle_side(b: pa.Table) -> pa.Table:
+            pk = ray.get(packed_ref)
+            keys = np.asarray(
+                b.column("doc_id").to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(bloom_contains(pk, keys)))
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "sh": b.column("sh"),
+                "b": pa.array(bucket_ints(ids, num_buckets), pa.int32()),
+            })
 
-    def ref_side(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").to_pylist()
-        bb = b.column("doc_b").to_pylist()
-        key, pa_, pb, side = [], [], [], []
-        for x, y in zip(a, bb):
-            key.extend((x, y))
-            pa_.extend((x, x))
-            pb.extend((y, y))
-            side.extend((0, 1))
-        return pa.table({
-            "key": pa.array(key, pa.int64()),
-            "pair_a": pa.array(pa_, pa.int64()),
-            "pair_b": pa.array(pb, pa.int64()),
-            "side": pa.array(side, pa.int8()),
-            "sh": pa.array([[]] * len(key), pa.list_(pa.int64())),
-            "bucket": pa.array([stable_uint(str(k), num_buckets)
-                                for k in key], pa.int32()),
-        })
+        def ref_side(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy(zero_copy_only=False)
+            bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+            key = np.concatenate([a, bb])
+            return pa.table({
+                "key": pa.array(key, pa.int64()),
+                "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "pair_b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "side": pa.array([0] * len(a) + [1] * len(bb), pa.int8()),
+                "b": pa.array(bucket_ints(key, num_buckets), pa.int32()),
+            })
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        shs = g[g.side == 2]
-        lut = dict(zip(shs.key, shs.sh))
-        refs = g[g.side != 2].copy()
-        if not len(refs):
-            return pd.DataFrame({"pair_a": pd.Series([], dtype="int64"),
-                                 "pair_b": pd.Series([], dtype="int64"),
-                                 "side": pd.Series([], dtype="int8"),
-                                 "sh": pd.Series([], dtype="object"),
-                                 "bucket2": pd.Series([], dtype="int32")})
-        refs["sh"] = [lut.get(k, []) for k in refs.key]
-        refs["bucket2"] = np.array(
-            [stable_uint(f"{a}:{b}", num_buckets)
-             for a, b in zip(refs.pair_a, refs.pair_b)], dtype="int32")
-        return refs[["pair_a", "pair_b", "side", "sh", "bucket2"]]
+        (sh_ds.map_batches(shingle_side, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "sh"), partition_cols=["b"]))
+        (cand.map_batches(ref_side, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "refs"), partition_cols=["b"]))
 
-    def jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
-        a_o, b_o, j_o = [], [], []
-        for (a, b), grp in g.groupby(["pair_a", "pair_b"], sort=True):
-            sides = {s: set(v) for s, v in zip(grp["side"], grp["sh"])}
-            sa, sb = sides.get(0, set()), sides.get(1, set())
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= threshold:
-                a_o.append(a)
-                b_o.append(b)
-                j_o.append(round(j, 6))
-        return pd.DataFrame({"doc_a": pd.Series(a_o, dtype="int64"),
-                             "doc_b": pd.Series(b_o, dtype="int64"),
-                             "jaccard": pd.Series(j_o, dtype="float64")})
+        @ray.remote
+        def attach(b: int) -> None:
+            refs = read_hive_bucket(root, "refs", "b", b,
+                                    ["key", "pair_a", "pair_b", "side"])
+            if refs is None or not refs.num_rows:
+                return
+            sh = read_hive_bucket(root, "sh", "b", b, ["doc_id", "sh"])
+            lut = ({} if sh is None else
+                   dict(zip(sh.column("doc_id").to_pylist(),
+                            sh.column("sh").to_pylist())))
+            df = refs.to_pandas().sort_values(
+                ["pair_a", "pair_b", "side"], kind="mergesort")
+            df["sh"] = [lut.get(k, []) for k in df.key]
+            pa_ = df.pair_a.to_numpy()
+            pb_ = df.pair_b.to_numpy()
+            df["pb"] = bucket_ints(pa_ * np.int64(1000003) + pb_,
+                                   num_buckets)
+            write_partials(root, "pairs", b,
+                           df[["pair_a", "pair_b", "side", "sh", "pb"]],
+                           "pb")
 
-    both = (sh_ds.map_batches(shingle_side, batch_format="pyarrow")
-            .union(cand.map_batches(ref_side, batch_format="pyarrow")))
-    return (both.groupby("bucket")
-            .map_groups(attach, batch_format="pandas")
-            .groupby("bucket2")
-            .map_groups(jaccard_group, batch_format="pandas"))
+        ray.get([attach.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def jaccard(b: int) -> pd.DataFrame:
+            g = read_partials(root, "pairs", b)
+            a_o, b_o, j_o = [], [], []
+            if g is not None:
+                for (a, bb), grp in g.groupby(["pair_a", "pair_b"],
+                                              sort=True):
+                    sides = {s: set(v) for s, v in zip(grp["side"],
+                                                       grp["sh"])}
+                    sa, sb = sides.get(0, set()), sides.get(1, set())
+                    union = len(sa | sb)
+                    j = len(sa & sb) / union if union else 0.0
+                    if j >= threshold:
+                        a_o.append(a)
+                        b_o.append(bb)
+                        j_o.append(round(j, 6))
+            return pd.DataFrame({
+                "doc_a": pd.Series(a_o, dtype="int64"),
+                "doc_b": pd.Series(b_o, dtype="int64"),
+                "jaccard": pd.Series(j_o, dtype="float64")})
+
+        frames = ray.get([jaccard.remote(b) for b in range(num_buckets)])
+        out = pd.concat(frames, ignore_index=True)
+        return rd.from_pandas(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
@@ -512,114 +531,108 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 
 # -- duplicate clustering (connected components) ---------------------------
 
-def dup_clusters(pairs_ds, num_buckets: int = 32, max_rounds: int = 64):
+def dup_clusters(pairs_ds, num_buckets: int = 16, max_rounds: int = 64):
     """Connected components over dup pairs via iterative min-label
-    propagation as Ray groupby rounds: the label table is a DATASET,
-    each round = one bucketed cogroup that sends every node's current
-    label across its edges and takes the per-node min; the driver sees
-    only a changed-count scalar. Converges in O(component diameter)
-    rounds; raises if ``max_rounds`` is exhausted before convergence
-    (never returns a silently-unconverged labelling).
+    propagation on the BSP filesystem tier (``ferenda_ray/bsp``, same
+    shape as ``graph.pagerank``): symmetric edges are hive-partitioned
+    ONCE by hash(src); the label table is per-bucket parquet; each
+    round = a map wave (labels ⋈ edge partition → min-candidate
+    partials per destination bucket) + a reduce wave (per-node min +
+    changed count). The driver sees one changed-count scalar per round.
+    Converges in O(component diameter) rounds; raises if ``max_rounds``
+    is exhausted (never returns a silently-unconverged labelling).
 
     Returns (doc_id, cluster) with cluster = min doc_id of the
     component, sorted by doc_id."""
-    from ray.data.aggregate import Sum
+    import shutil
 
-    from ferenda_ray.util import stable_uint
+    import pyarrow.parquet as pq
 
-    edges = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    from ferenda_ray.bsp import (read_hive_bucket, read_partials,
+                                 stage_root, write_partials)
+    from ferenda_ray.util import bucket_ints
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [b.column("doc_a").combine_chunks().cast(pa.int64()),
-             b.column("doc_b").combine_chunks().cast(pa.int64())])
-        return pa.table({"node": both, "label": both})
-
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .materialize())
-
-    def sym_edges(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").combine_chunks().cast(pa.int64())
-        bb = b.column("doc_b").combine_chunks().cast(pa.int64())
-        return pa.table({"src": pa.concat_arrays([a, bb]),
-                         "dst": pa.concat_arrays([bb, a])})
-
-    edges_sym = edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
-
-    def bucket_of(vals):
-        return pa.array([stable_uint(str(v), num_buckets) for v in vals],
-                        pa.int32())
-
-    for _ in range(max_rounds):
-        # round = two bucketed cogroups:
-        #  (1) key=src: join edges to labels, emit (dst, candidate label)
-        #  (2) key=node: min over candidates + own label, flag changes
-        def label_side(b: pa.Table) -> pa.Table:
-            nodes = b.column("node").to_pylist()
+    root = stage_root("ferenda_cc")
+    try:
+        def sym_edges(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy(zero_copy_only=False)
+            bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+            src = np.concatenate([a, bb])
+            dst = np.concatenate([bb, a])
             return pa.table({
-                "key": b.column("node").combine_chunks().cast(pa.int64()),
-                "val": b.column("label").combine_chunks().cast(pa.int64()),
-                "side": pa.array([0] * len(nodes), pa.int8()),
-                "bucket": bucket_of(nodes),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "b": pa.array(bucket_ints(src, num_buckets), pa.int32()),
             })
 
-        def edge_side(b: pa.Table) -> pa.Table:
-            srcs = b.column("src").to_pylist()
-            return pa.table({
-                "key": b.column("src").combine_chunks().cast(pa.int64()),
-                "val": b.column("dst").combine_chunks().cast(pa.int64()),
-                "side": pa.array([1] * len(srcs), pa.int8()),
-                "bucket": bucket_of(srcs),
-            })
+        (pairs_ds.select_columns(["doc_a", "doc_b"])
+         .map_batches(sym_edges, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "edges"), partition_cols=["b"]))
 
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g.side == 0]
-            lut = dict(zip(lab.key, lab.val))
-            edg = g[g.side == 1]
-            # candidate labels sent across edges + each node's own label
-            node = list(lab.key) + list(edg.val)
-            cand = list(lab.val) + [lut[s] for s in edg.key]
-            own = [1] * len(lab) + [0] * len(edg)
-            return pd.DataFrame({
-                "node": pd.Series(node, dtype="int64"),
-                "cand": pd.Series(cand, dtype="int64"),
-                "own": pd.Series(own, dtype="int64"),
-                "bucket2": np.array([stable_uint(str(n), num_buckets)
-                                     for n in node], dtype="int32"),
-            })
+        @ray.remote
+        def init_labels(b: int) -> None:
+            t = read_hive_bucket(root, "edges", "b", b, ["src"])
+            nodes = (np.unique(t.column("src").to_numpy(
+                zero_copy_only=False)) if t is not None
+                else np.array([], dtype=np.int64))
+            pq.write_table(
+                pa.table({"node": pa.array(nodes, pa.int64()),
+                          "label": pa.array(nodes, pa.int64())}),
+                os.path.join(root, f"labels-{b:05d}.parquet"))
 
-        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-            mins = g.groupby("node", sort=True)["cand"].min()
-            # every node's own-label row lands in this bucket too (same
-            # hash key), so reindex is total
-            own = g[g.own == 1].set_index("node")["cand"]
-            return pd.DataFrame({
-                "node": pd.Series(mins.index, dtype="int64"),
-                "label": pd.Series(mins.values, dtype="int64"),
-                "changed": pd.Series(
-                    (mins.values < own.reindex(mins.index).values)
-                    .astype("int64")),
-            })
+        ray.get([init_labels.remote(b) for b in range(num_buckets)])
 
-        new_labels = (
-            labels.map_batches(label_side, batch_format="pyarrow")
-            .union(edges_sym.map_batches(edge_side, batch_format="pyarrow"))
-            .groupby("bucket").map_groups(propagate, batch_format="pandas")
-            .groupby("bucket2").map_groups(reduce_min, batch_format="pandas")
-            .materialize())
-        n_changed = new_labels.sum("changed")
-        labels = new_labels.drop_columns(["changed"]).materialize()
-        if not n_changed:
-            break
-    else:
-        raise RuntimeError(
-            f"dup_clusters: min-label propagation did not converge in "
-            f"{max_rounds} rounds (component diameter too large?)")
+        @ray.remote
+        def propagate(b: int, r: int) -> None:
+            lab = pq.read_table(
+                os.path.join(root, f"labels-{b:05d}.parquet")).to_pandas()
+            t = read_hive_bucket(root, "edges", "b", b, ["src", "dst"])
+            if t is None or not t.num_rows:
+                return
+            e = t.to_pandas().merge(lab, left_on="src", right_on="node")
+            # local pre-aggregation: min candidate label per dst
+            part = (e.groupby("dst", sort=True)["label"].min()
+                    .reset_index().rename(columns={"dst": "node",
+                                                   "label": "cand"}))
+            part["nb"] = bucket_ints(part.node.to_numpy(), num_buckets)
+            write_partials(root, f"cand{r}", b, part, "nb")
 
-    out = labels.to_pandas().rename(columns={"node": "doc_id",
-                                             "label": "cluster"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+        @ray.remote
+        def reduce_min(b: int, r: int) -> int:
+            f = os.path.join(root, f"labels-{b:05d}.parquet")
+            lab = pq.read_table(f).to_pandas()
+            cands = read_partials(root, f"cand{r}", b)
+            if cands is None or not len(lab):
+                return 0
+            got = (cands.groupby("node", sort=True)["cand"].min()
+                   .reindex(lab.node))
+            new = np.minimum(lab.label.values,
+                             got.fillna(np.iinfo(np.int64).max).values)
+            changed = int((new < lab.label.values).sum())
+            if changed:
+                pq.write_table(
+                    pa.table({"node": pa.array(lab.node.values, pa.int64()),
+                              "label": pa.array(new, pa.int64())}), f)
+            return changed
+
+        for r in range(max_rounds):
+            ray.get([propagate.remote(b, r) for b in range(num_buckets)])
+            changed = sum(ray.get([reduce_min.remote(b, r)
+                                   for b in range(num_buckets)]))
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"dup_clusters: min-label propagation did not converge in "
+                f"{max_rounds} rounds (component diameter too large?)")
+
+        frames = [pq.read_table(os.path.join(root, f"labels-{b:05d}.parquet")
+                                ).to_pandas() for b in range(num_buckets)]
+        out = pd.concat(frames, ignore_index=True).rename(
+            columns={"node": "doc_id", "label": "cluster"})
+        return out.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def page_near_dups(pages_path: str, threshold: float = 0.6,

@@ -101,8 +101,9 @@ def incoming_refs(edges_ds, num_buckets: int = 32):
 # -- BSP machinery for iterative node-score algorithms ----------------------
 
 def _graph_stage_root() -> str:
-    base = os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp")
-    return os.path.join(base, "ferenda_graph-" + uuid.uuid4().hex[:12])
+    from ferenda_ray.bsp import stage_root
+
+    return stage_root("ferenda_graph")
 
 
 def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
@@ -166,18 +167,17 @@ def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
 
 
 def _bucket_edges(root: str, kind: str, b: int) -> pd.DataFrame:
-    import pyarrow.dataset as pads
+    from ferenda_ray.bsp import read_hive_bucket
 
     col = "sb" if kind == "edges_by_src" else "db"
-    d = os.path.join(root, kind, f"{col}={b}")
-    if not os.path.isdir(d):
+    t = read_hive_bucket(root, kind, col, b, ["src", "dst"])
+    if t is None:
         return pd.DataFrame({"src": pd.Series([], dtype="object"),
                              "dst": pd.Series([], dtype="object")})
-    df = pads.dataset(d).to_table(columns=["src", "dst"]).to_pandas()
     # fragment-file order is not guaranteed; pin row order so float
     # contribution sums are bit-reproducible run to run
-    return df.sort_values(["src", "dst"], kind="mergesort",
-                          ignore_index=True)
+    return t.to_pandas().sort_values(["src", "dst"], kind="mergesort",
+                                     ignore_index=True)
 
 
 def _nodes_df(root: str, b: int) -> pd.DataFrame:
@@ -185,27 +185,8 @@ def _nodes_df(root: str, b: int) -> pd.DataFrame:
                          ).to_pandas()
 
 
-def _write_partials(root: str, tag: str, from_bucket: int,
-                    df: pd.DataFrame, bucket_col: str) -> None:
-    """Filesystem exchange: split a pre-aggregated partial frame by
-    destination bucket, one fragment file per (source task, dest
-    bucket)."""
-    for db, grp in df.groupby(bucket_col, sort=True):
-        d = os.path.join(root, tag, f"b={int(db)}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(grp.drop(columns=[bucket_col]),
-                                 preserve_index=False),
-            os.path.join(d, f"part-{from_bucket:05d}.parquet"))
-
-
-def _read_partials(root: str, tag: str, b: int) -> pd.DataFrame | None:
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(root, tag, f"b={b}", "*.parquet")))
-    if not files:
-        return None
-    return pd.concat([pq.read_table(f).to_pandas() for f in files])
+from ferenda_ray.bsp import read_partials as _read_partials
+from ferenda_ray.bsp import write_partials as _write_partials
 
 
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,

@@ -44,18 +44,51 @@ def _render_inline(elem: dict) -> str:
     return "".join(out)
 
 
-def _render_elem(elem: dict, out: list[str], url: str) -> None:
+class _Ctx(dict):
+    def __missing__(self, key):  # unknown placeholder renders empty
+        return ""
+
+
+def _apply_template(tpl: str, elem: dict, url: str, children: str,
+                    inline: str) -> str:
+    """Render one element through a user template string — the
+    transformer extension point (reference ``transformer.py:25-372``
+    applies per-repo XSLT with params; here a per-kind format template
+    with the same substitution surface: element fields, ``*_esc``
+    escaped variants, ``children``/``inline`` pre-rendered HTML,
+    ``url``)."""
+    ctx = _Ctx()
+    for k, v in elem.items():
+        if isinstance(v, (str, int, float)):
+            ctx[k] = v
+            ctx[f"{k}_esc"] = escape(str(v))
+    ctx["children"] = children
+    ctx["inline"] = inline
+    ctx["url"] = url
+    ctx["url_attr"] = quoteattr(url)
+    return tpl.format_map(ctx)
+
+
+def _render_elem(elem: dict, out: list[str], url: str,
+                 templates: dict | None = None) -> None:
     kind = elem["kind"]
+    if templates and kind in templates:
+        kids: list[str] = []
+        for ch in elem.get("children", []):
+            _render_elem(ch, kids, url, templates)
+        out.append(_apply_template(templates[kind], elem, url,
+                                   "\n".join(kids), _render_inline(elem)))
+        return
     if kind == "Body":
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url)
+            _render_elem(ch, out, url, templates)
     elif kind == "Section":
         frag = f"S{elem['ordinal']}"
         out.append(f'<section id={quoteattr(frag)} about='
                    f'{quoteattr(url + "#" + frag)}>')
         out.append(f"<h2>{escape(elem['ordinal'])}. {escape(elem['title'])}</h2>")
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url)
+            _render_elem(ch, out, url, templates)
         out.append("</section>")
     elif kind == "Heading":
         lvl = int(elem.get("level", 2))
@@ -72,7 +105,7 @@ def _render_elem(elem: dict, out: list[str], url: str) -> None:
             li = [f"<li>{_render_inline(ch)}"]
             for sub in ch.get("children", []):
                 sub_out: list[str] = []
-                _render_elem(sub, sub_out, url)
+                _render_elem(sub, sub_out, url, templates)
                 li.extend(sub_out)
             li.append("</li>")
             out.append("".join(li) if len(li) == 2 else "\n".join(li))
@@ -80,16 +113,19 @@ def _render_elem(elem: dict, out: list[str], url: str) -> None:
 
 
 def generate_html(url: str, title: str, tree: dict,
-                  annotations: list[str] | None = None) -> str:
+                  annotations: list[str] | None = None,
+                  templates: dict | None = None) -> str:
     """One parsed doc (+ optional incoming-reference annotations) →
-    self-contained HTML page (deterministic)."""
+    self-contained HTML page (deterministic). ``templates``: optional
+    per-kind format-template overrides (the user-extension point the
+    reference serves with per-repo XSLT; see :func:`_apply_template`)."""
     out = [
         "<!DOCTYPE html>",
         f"<html><head><title>{escape(title)}</title></head>",
         f"<body about={quoteattr(url)}>",
         f"<h1>{escape(title)}</h1>",
     ]
-    _render_elem(tree, out, url)
+    _render_elem(tree, out, url, templates)
     if annotations:
         out.append('<aside class="annotations"><h2>Referenced by</h2><ul>')
         for a in annotations:
@@ -99,16 +135,20 @@ def generate_html(url: str, title: str, tree: dict,
     return "\n".join(out)
 
 
-def generate_batch(batch: pa.Table, annotations_ref=None) -> pa.Table:
+def generate_batch(batch: pa.Table, annotations_ref=None,
+                   templates_ref=None) -> pa.Table:
     """docs batch (url, title, tree) → (url, html). ``annotations_ref``:
-    broadcast dict url → list of citing urls (the J2 annotation join),
+    broadcast dict url → list of citing urls (the J2 annotation join);
+    ``templates_ref``: broadcast per-kind template overrides — both
     resolved once per worker."""
     from ferenda_ray.state import fetch
 
     ann = fetch(annotations_ref) if annotations_ref is not None else {}
+    templates = (fetch(templates_ref) if templates_ref is not None
+                 else None)
     urls = batch.column("url").to_pylist()
     htmls = [
-        generate_html(u, t, json.loads(tj), ann.get(u))
+        generate_html(u, t, json.loads(tj), ann.get(u), templates)
         for u, t, tj in zip(urls, batch.column("title").to_pylist(),
                             batch.column("tree").to_pylist())
     ]

@@ -111,3 +111,24 @@ def test_fuzzy_link_first_word_misspelled():
     assert linker.link("Acne Systems") == "https://example.org/entity/acme"
     assert linker.link("Orbyt Labs") == "https://example.org/entity/orbit"
     assert linker.link("Zzz Qqq") is None
+
+
+def test_template_override_extension_point():
+    """Per-kind template overrides drive the generate transform (the
+    reference's per-repo-XSLT user-extension point, transformer.py)."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": "Intro", "children": [
+            {"kind": "Paragraph", "text": "Hello <world>."}]}]}
+    default = generate_html("https://example.org/d", "T", tree)
+    assert "<p>Hello &lt;world&gt;.</p>" in default
+    custom = generate_html(
+        "https://example.org/d", "T", tree,
+        templates={
+            "Paragraph": '<div class="para">{inline}</div>',
+            "Section": '<article data-ord="{ordinal_esc}">{children}</article>',
+        })
+    assert '<div class="para">Hello &lt;world&gt;.</div>' in custom
+    assert '<article data-ord="1">' in custom
+    assert "<section" not in custom
