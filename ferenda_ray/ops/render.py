@@ -97,6 +97,15 @@ def _render_elem(elem: dict, out: list[str], url: str,
         out.append(f"<p>{_render_inline(elem)}</p>")
     elif kind == "Preformatted":
         out.append(f"<pre>{escape(elem['text'])}</pre>")
+    elif kind == "Table":
+        out.append("<table>")
+        for row in elem.get("children", []):
+            cells = "".join(
+                f"<{'th' if c.get('header') else 'td'}>{_render_inline(c)}"
+                f"</{'th' if c.get('header') else 'td'}>"
+                for c in row.get("children", []))
+            out.append(f"<tr>{cells}</tr>")
+        out.append("</table>")
     elif kind in ("UnorderedList", "OrderedList"):
         tag = "ol" if kind == "OrderedList" else "ul"
         out.append(f"<{tag}>")

@@ -79,6 +79,7 @@ class _Extractor(HTMLParser):
         self._in_title = False
         self._title_parts: list[str] = []
         self._list_stack: list[bool] = []      # open ul/ol; True = ordered
+        self._table_stack: list[dict] = []     # open tables: {"row": idx}
 
     # -- flushing ---------------------------------------------------------
     def _flush_block(self) -> None:
@@ -105,9 +106,17 @@ class _Extractor(HTMLParser):
                 kind, level = "heading", HEADING_LEVEL[tag]
             elif tag == "li":
                 kind, level = "listitem", 0
+            elif tag in ("td", "th") and self._table_stack:
+                kind, level = "cell", 0
             else:
                 kind, level = "paragraph", 0
         blk = {"kind": kind, "level": level, "text": text}
+        if kind == "cell":
+            # table-context metadata for FSM row/table re-nesting
+            # (reference elements.py table model); text spec unchanged
+            blk["row"] = max(0, self._table_stack[-1]["row"])
+            blk["header"] = tag == "th"
+            blk["tdepth"] = len(self._table_stack)
         if kind == "listitem":
             # list-context metadata for the FSM's nested-list re-nesting
             # (reference elements.py:632-660 Ordered/UnorderedList);
@@ -156,6 +165,15 @@ class _Extractor(HTMLParser):
             self._flush_block()
             self._list_stack.append(tag == "ol")
             return
+        if tag == "table":
+            self._flush_block()
+            self._table_stack.append({"row": -1})
+            return
+        if tag == "tr":
+            self._flush_block()
+            if self._table_stack:
+                self._table_stack[-1]["row"] += 1
+            return
         if tag in BLOCK_TAGS:
             self._flush_block()
             self._flush_loose()
@@ -181,6 +199,8 @@ class _Extractor(HTMLParser):
             self._flush_loose()
             if tag in ("ul", "ol") and self._list_stack:
                 self._list_stack.pop()
+            elif tag == "table" and self._table_stack:
+                self._table_stack.pop()
 
     def handle_data(self, data: str) -> None:
         if self._in_title:

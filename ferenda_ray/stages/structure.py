@@ -43,6 +43,10 @@ def is_listitem(parser, chunk) -> bool:
     return chunk["kind"] == "listitem"
 
 
+def is_cell(parser, chunk) -> bool:
+    return chunk["kind"] == "cell"
+
+
 def is_preformatted(parser, chunk) -> bool:
     return chunk["kind"] == "preformatted"
 
@@ -122,6 +126,35 @@ def make_list(parser) -> dict:
     return root
 
 
+def make_table(parser) -> dict:
+    """Consume the run of consecutive cell chunks into a
+    Table → TableRow → TableCell tree using the extractor's row/tdepth
+    metadata (reference ``elements.py`` Table/TableRow/TableCell). A
+    row-index reset marks the start of a SIBLING table (left for the
+    next parse call)."""
+    first = parser.reader.peek()
+    table = {"kind": "Table", "children": []}
+    cur_row = None
+    last_row_idx = -1
+    depth = first.get("tdepth", 1)
+    while not parser.reader.eof:
+        nxt = parser.reader.peek()
+        if nxt["kind"] != "cell":
+            break
+        r = nxt.get("row", 0)
+        if nxt.get("tdepth", 1) != depth or r < last_row_idx:
+            break  # sibling/other table
+        parser.reader.next()
+        if r != last_row_idx:
+            cur_row = {"kind": "TableRow", "children": []}
+            table["children"].append(cur_row)
+            last_row_idx = r
+        cur_row["children"].append({"kind": "TableCell",
+                                    "text": nxt["text"],
+                                    "header": bool(nxt.get("header"))})
+    return table
+
+
 def _depth(ordinal: str) -> int:
     return ordinal.count(".") + 1
 
@@ -140,13 +173,15 @@ def section_or_unwind(parser, chunk):
 def make_parser() -> FSMParser:
     p = FSMParser()
     p.set_recognizers(
-        is_section_heading, is_heading, is_listitem, is_preformatted, is_paragraph
+        is_section_heading, is_heading, is_listitem, is_cell,
+        is_preformatted, is_paragraph
     )
     p.set_transitions(
         {
             ("*", is_section_heading): section_or_unwind,
             ("*", is_heading): (make_heading, None),
             ("*", is_listitem): (make_list, None),
+            ("*", is_cell): (make_table, None),
             ("*", is_preformatted): (make_pre, None),
             ("*", is_paragraph): (make_paragraph, None),
         }

@@ -132,3 +132,40 @@ def test_template_override_extension_point():
     assert '<div class="para">Hello &lt;world&gt;.</div>' in custom
     assert '<article data-ord="1">' in custom
     assert "<section" not in custom
+
+
+TABLE_HTML = b"""<!DOCTYPE html><html><head><title>T</title></head>
+<body><h1>T</h1><h2>1. Data</h2>
+<table><tr><th>Name</th><th>Qty</th></tr>
+<tr><td>alpha</td><td>3</td></tr>
+<tr><td>beta</td><td>5</td></tr></table>
+<p>After table.</p></body></html>"""
+
+
+def test_table_elements_extract_parse_render():
+    """Tables re-nest into Table/TableRow/TableCell (reference
+    elements.py table model) and render back to <table> HTML."""
+    from ferenda_ray.ops.render import generate_html
+
+    _, title, text, blocks = extract_page(TABLE_HTML)
+    cells = [b for b in blocks if b["kind"] == "cell"]
+    assert [(c["text"], c["row"], c["header"]) for c in cells] == [
+        ("Name", 0, True), ("Qty", 0, True),
+        ("alpha", 1, False), ("3", 1, False),
+        ("beta", 2, False), ("5", 2, False)]
+    # cell text still contributes to the frozen page-text spec
+    assert "Name\n\nQty\n\nalpha\n\n3\n\nbeta\n\n5" in text
+
+    tree = parse_blocks(blocks)
+    sec = tree["children"][1]
+    table = sec["children"][0]
+    assert table["kind"] == "Table"
+    assert [len(r["children"]) for r in table["children"]] == [2, 2, 2]
+    assert table["children"][0]["children"][0]["header"] is True
+    # paragraph after the table is a sibling, not swallowed
+    assert sec["children"][1]["kind"] == "Paragraph"
+
+    html = generate_html("https://example.org/t", title, tree)
+    flat = html.replace("\n", "")
+    assert "<table><tr><th>Name</th><th>Qty</th></tr>" in flat
+    assert "<tr><td>beta</td><td>5</td></tr></table>" in flat
