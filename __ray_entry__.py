@@ -102,7 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return 300 if "0.01" in sf_dir else 100
 
     def kg_triples(sf_dir: str):
-        return _kg_triples_ds(_n_pages(sf_dir))
+        n = _n_pages(sf_dir)
+        # materialize the deterministic cache first so the oracle SQL
+        # (kg_oracles.py: live rerun vs cached parquet) can read it
+        _kg_triples_cached(n)
+        return _kg_triples_ds(n)
 
     def kg_facets(sf_dir: str):
         from ferenda_ray.ops.facets import faceted_data
@@ -437,7 +441,17 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": profile.PROFILE_EVENTS_SQL,
         "sample_events": sample.SAMPLE_EVENTS_SQL,
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
-        # rows-only (non-SQL-expressible): lang_id, fingerprints,
-        # minhash/simhash near-dup, ivf/knn, kg_* (pipeline over the
-        # synthesized pages corpus), media_features
+        # KG products: operator-level oracles over the deterministic
+        # triples parquet (see pipelines/kg_oracles.py docstring);
+        # still rows-only (non-SQL-expressible): lang_id, fingerprints,
+        # minhash/simhash near-dup, ivf/knn/kmeans, pagerank/hits,
+        # sections/fulltext (need the extract+FSM stages), generate/
+        # atom (rendering), media_* (actor-pool decode)
+        **_kg_oracles(),
     }
+
+
+def _kg_oracles() -> dict[str, str]:
+    from ferenda_ray.pipelines.kg_oracles import kg_oracle_sql
+
+    return kg_oracle_sql(300)

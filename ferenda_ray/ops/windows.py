@@ -33,6 +33,9 @@ SESSION_GAP_MIN = 30
 
 
 def _bucket_col(df: pd.DataFrame, key: str, num_buckets: int) -> pd.DataFrame:
+    # df may be a slice of the batch (rename/filter upstream) — assign on
+    # a copy to avoid pandas SettingWithCopyWarning chained-write ambiguity
+    df = df.copy()
     df["bucket"] = [stable_uint(str(k), num_buckets) for k in df[key]]
     return df
 

@@ -1,0 +1,115 @@
+"""DuckDB oracle SQL for the KG-product queries.
+
+The KG pipeline runs over a *synthesized* pages corpus (the driver's
+testdata has no pages table), so these oracles cannot be phrased over
+the pre-registered views. Instead they read the pipeline's own
+deterministic triples parquet (written once per corpus size by
+``__ray_entry__._kg_triples_cached`` under ``/tmp/ferenda_ray_corpus``;
+the extract→parse→link→canonicalize pipeline is bit-identical across
+runs — chaos-resume tested) and recompute each DOWNSTREAM operator
+independently in SQL. That makes them genuine operator-level oracles
+for the facet pivot, graph aggregations, TOC/news selections and the
+N-Triples serializer: same input table, independent engine, value-hash
+compared — exactly like the relational-query oracles.
+
+``kg_triples`` itself is the one self-consistency check: its oracle
+reads the materialized cache while the query re-runs the LIVE
+distributed pipeline, so a hash match evidences deterministic
+distributed re-execution of the flagship path (the extraction
+semantics themselves are covered by the frozen-spec golden tests and
+``tools/pr_check.py``, which this oracle does not replace).
+
+Scale note: the paths are fixed to the n_pages=300 corpus — the scale
+the driver's correctness gate runs at (sf0.01). ``oracle_sql()``
+returns static strings, so these oracles apply only at that scale;
+``tools/check_correctness.py`` runs the same pairing locally.
+"""
+
+from __future__ import annotations
+
+from ferenda_ray import schemas as S
+
+TRIPLES_GLOB = "/tmp/ferenda_ray_corpus/triples_{n}/*.parquet"
+
+# N-Triples literal escaping (materialize._nt_escape) in DuckDB: DuckDB
+# single-quoted strings are literal (no backslash escapes), so '\' is one
+# backslash and '\\' two.
+_ESC = (
+    "replace(replace(replace(replace(replace(obj,"
+    " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+    " chr(13), '\\r'), chr(9), '\\t')"
+)
+
+_FACET_COLS = {
+    "rdf_type": S.RDF_TYPE,
+    "dct_title": S.DCT_TITLE,
+    "dct_identifier": S.DCT_IDENTIFIER,
+    "dct_issued": S.DCT_ISSUED,
+    "dct_language": S.DCT_LANGUAGE,
+}
+
+
+def _facet_pivot(tri: str) -> str:
+    """First-value facet pivot (facets.faceted_data semantics: min(obj)
+    per (subj, pred) over the facet predicates, '' when absent)."""
+    cols = ",\n       ".join(
+        f"coalesce(min(obj) FILTER (pred = '{p}'), '') AS {name}"
+        for name, p in _FACET_COLS.items())
+    preds = ", ".join(f"'{p}'" for p in _FACET_COLS.values())
+    return (f"SELECT subj AS uri,\n       {cols}\n"
+            f"FROM {tri} WHERE pred IN ({preds}) GROUP BY subj")
+
+
+def kg_oracle_sql(n_pages: int = 300) -> dict[str, str]:
+    tri = f"read_parquet('{TRIPLES_GLOB.format(n=n_pages)}')"
+    edges = (f"SELECT split_part(subj, '#', 1) AS src, "
+             f"split_part(obj, '#', 1) AS dst FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}'")
+    pivot = _facet_pivot(tri)
+    return {
+        "kg_triples": (
+            f"SELECT subj, pred, obj, obj_is_uri, lang, datatype, url "
+            f"FROM {tri}"),
+        "kg_triple_counts": (
+            f"SELECT url, count(*) AS n_triples FROM {tri} GROUP BY url"),
+        "kg_stats": (
+            f"SELECT pred, obj, count(DISTINCT subj) AS n_subjects "
+            f"FROM {tri} "
+            f"WHERE pred IN ('{S.RDF_TYPE}', '{S.DCT_LANGUAGE}') "
+            f"GROUP BY pred, obj"),
+        "kg_facets": pivot,
+        "kg_incoming_refs": (
+            f"SELECT dst, count(*) AS n_incoming, "
+            f"string_agg(src, ';' ORDER BY src) AS citing "
+            f"FROM (SELECT DISTINCT src, dst FROM ({edges})) "
+            f"GROUP BY dst"),
+        "kg_skeleton": (
+            f"WITH refs AS (SELECT dst AS uri FROM ({edges})), "
+            f"defs AS (SELECT DISTINCT split_part(subj, '#', 1) AS uri "
+            f"FROM {tri}) "
+            f"SELECT uri, count(*) AS n_refs FROM refs "
+            f"WHERE uri NOT IN (SELECT uri FROM defs) GROUP BY uri"),
+        "kg_degree_histogram": (
+            f"WITH ind AS (SELECT dst, count(*) AS in_degree "
+            f"FROM ({edges}) GROUP BY dst) "
+            f"SELECT in_degree, count(*) AS n_nodes "
+            f"FROM ind GROUP BY in_degree"),
+        "kg_toc_pagesets": (
+            f"SELECT CASE WHEN dct_title = '' THEN '' "
+            f"ELSE lower(substr(dct_title, 1, 1)) END AS sel, "
+            f"count(*) AS n_docs FROM ({pivot}) GROUP BY 1"),
+        "kg_news_feeds": (
+            f"SELECT dct_language, uri, dct_issued, pos FROM ("
+            f"SELECT dct_language, uri, dct_issued, "
+            f"row_number() OVER (PARTITION BY dct_language "
+            f"ORDER BY dct_issued DESC, uri ASC) - 1 AS pos "
+            f"FROM ({pivot})) WHERE pos < 5"),
+        "kg_nt_dump": (
+            f"SELECT '<' || subj || '> <' || pred || '> ' || "
+            f"CASE WHEN obj_is_uri THEN '<' || obj || '>' "
+            f"WHEN datatype <> '' THEN "
+            f"'\"' || {_ESC} || '\"^^<' || datatype || '>' "
+            f"WHEN lang <> '' THEN '\"' || {_ESC} || '\"@' || lang "
+            f"ELSE '\"' || {_ESC} || '\"' END || ' .' AS line "
+            f"FROM {tri}"),
+    }
