@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.minhash_dedup_pairs(sf)),
         "doc_pages": text.doc_pages,
         "pdf_textboxes": pdf_textboxes,
+        "docx_blocks": docx_blocks,
     }
     return q
 
@@ -392,6 +393,28 @@ def pdf_textboxes(sf_dir: str):
     return (rd.from_arrow(tab)
             .map_batches(pdf_textbox_rows, batch_format="pyarrow")
             .sort(["doc_id", "page", "top"]))
+
+
+def docx_blocks(sf_dir: str):
+    """WordReader stage (S7): deterministic synthetic .docx archives →
+    unzip + OOXML parse + run merge → block rows (stages/word.py; the
+    legacy .doc→DocBook converter is the documented external stub)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.word import synthetic_docx, word_block_rows
+
+    n = 60 if "0.01" in sf_dir else 20
+    tab = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "fmt": pa.array(["docx"] * n, pa.string()),
+        "data": pa.array([synthetic_docx(i) for i in range(n)],
+                         pa.binary()),
+    })
+    return (rd.from_arrow(tab)
+            .map_batches(word_block_rows, batch_format="pyarrow")
+            .sort(["doc_id", "seq"]))
 
 
 def oracle_sql() -> dict[str, str]:
