@@ -115,6 +115,12 @@ class EntityLinker:
             self.emb_index = {u: emb_matrix[i] for i, u in enumerate(emb_uris)}
         self._all_labels = list(alias_to_uri)
         self._fuzzy_cache: dict[str, list[str]] = {}
+        # full-resolution memo: mentions repeat heavily across documents
+        # (web text follows a Zipf law over entity surface forms), and
+        # link() is a pure function of the broadcast state — so each
+        # worker resolves a distinct surface form ONCE. Bounded so a
+        # pathological corpus can't grow worker heap unboundedly.
+        self._link_cache: dict[str, str | None] = {}
 
     def _fuzzy_all(self, mention: str) -> list[str]:
         got = self._fuzzy_cache.get(mention)
@@ -129,6 +135,16 @@ class EntityLinker:
         uri = self.alias_to_uri.get(mention)
         if uri is not None:
             return uri
+        try:
+            return self._link_cache[mention]
+        except KeyError:
+            pass
+        uri = self._link_slow(mention)
+        if len(self._link_cache) < 200_000:
+            self._link_cache[mention] = uri
+        return uri
+
+    def _link_slow(self, mention: str) -> str | None:
         cands = self.block.get(mention.split(" ", 1)[0])
         close = (difflib.get_close_matches(mention, cands, n=3,
                                            cutoff=self.FUZZY_CUTOFF)

@@ -25,9 +25,11 @@ def normalize_space(s: str) -> str:
     """Collapse all whitespace runs to single spaces and strip ends.
 
     The frozen normalization rule of the extract stage (reference analog:
-    ``util.py:286-296``).
+    ``util.py:286-296``). ``str.split()`` and ``\\s+``-sub agree on every
+    whitespace codepoint (exhaustively checked) and the split form is
+    ~4x faster on this hot path (~40 calls per extracted page).
     """
-    return _WS_RE.sub(" ", s).strip()
+    return " ".join(s.split())
 
 
 _NUMALPHA_RE = re.compile(r"(\d+)")
