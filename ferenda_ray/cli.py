@@ -45,6 +45,20 @@ def _init_ray():
 def cmd_run(args) -> int:
     from ferenda_ray.pipelines.kg import run_kg_pipeline
 
+    if args.config:
+        # config-driven assembly (ferenda.ini analog, SURVEY §2.10):
+        # the INI picks/parameterizes the stage chain, the two-phase
+        # dedup-materialize sink stays the same
+        from ferenda_ray.registry import assemble
+        from ferenda_ray.stages import materialize as mat
+
+        ds = assemble(args.pages, args.config)
+        man = mat.materialize(ds, args.out, num_buckets=args.buckets,
+                              resume=not args.no_resume)
+        print(json.dumps({
+            "buckets_written": len(man),
+            "triples": int(man.n_triples.sum()) if len(man) else 0}))
+        return 0
     man = run_kg_pipeline(args.pages, args.out, num_buckets=args.buckets,
                           batch_size=args.batch_size,
                           resume=not args.no_resume)
@@ -182,6 +196,8 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run"); common(sp)
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--no-resume", action="store_true")
+    sp.add_argument("--config", default=None,
+                    help="INI pipeline config (registry.assemble)")
     sp.set_defaults(fn=cmd_run)
     sp = sub.add_parser("sections"); common(sp); sp.set_defaults(fn=cmd_sections)
     sp = sub.add_parser("generate"); common(sp); sp.set_defaults(fn=cmd_generate)
