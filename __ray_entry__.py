@@ -92,7 +92,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, bloom, dedup, profile,
+    from ferenda_ray.ops import (ann, bloom, decontam, dedup, profile,
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pages": text.doc_pages,
         "pdf_textboxes": pdf_textboxes,
         "docx_blocks": docx_blocks,
+        "decontaminate": decontam.decontaminate,
+        "redact_pii": decontam.redact_pii,
     }
     return q
 
@@ -421,7 +423,7 @@ def docx_blocks(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, bloom, dedup, profile,
+    from ferenda_ray.ops import (ann, bloom, decontam, dedup, profile,
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
@@ -466,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_value_quantiles": sketch.GROUPED_QUANTILES_SQL,
         "profile_events": profile.PROFILE_EVENTS_SQL,
         "sample_events": sample.SAMPLE_EVENTS_SQL,
+        "decontaminate": decontam.DECONTAMINATE_SQL,
+        "redact_pii": decontam.REDACT_PII_SQL,
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic
         # triples parquet (see pipelines/kg_oracles.py docstring);

@@ -1,0 +1,199 @@
+"""Training-data curation operators: benchmark decontamination and PII
+redaction over the ``documents`` table — first-class LLM-pipeline
+components (task brief) with DuckDB oracles.
+
+* :func:`decontaminate` — flag corpus documents sharing any word
+  n-gram with a held-out benchmark/eval set (the standard "13-gram
+  overlap" decontamination rule, scaled to n=5 for the short synthetic
+  docs). Scale shape = the repo's Bloom-prefilter + exact-confirm
+  semi-join (``ops/bloom.py``): the eval side's n-gram set is
+  broadcast as a constant-size bitset; only bloom-surviving corpus
+  n-grams enter the exact-confirm exchange keyed by
+  ``hash(gram) % B`` — the same narrow-rows-only discipline as the
+  MinHash candidate join. Confirm compares 64-bit gram hashes
+  (md5-derived): at 10^12 grams the collision odds (~1e-7 per pair
+  set) only ever ADD a flagged doc, never lose one.
+* :func:`redact_pii` — vectorized PII scrubbing (emails, E.164-ish
+  phone numbers, IPv4) via Arrow RE2 kernels
+  (``pc.replace_substring_regex``); DuckDB's ``regexp_replace`` is
+  also RE2, so the oracle is engine-independent but regex-identical.
+
+Both stream: no driver-side text, no full materialization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+NGRAM_N = 5
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 -> held-out benchmark doc
+
+# RE2-safe patterns (same string fed to Arrow and DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _gram_hashes(text: str, n: int = NGRAM_N) -> np.ndarray:
+    """DISTINCT word-n-gram hashes of a doc (64-bit, md5-derived —
+    the same keying style as the MinHash shingles)."""
+    toks = text.strip().split()
+    out = {
+        int.from_bytes(
+            hashlib.md5(" ".join(toks[i:i + n]).encode()).digest()[:8],
+            "little", signed=True)
+        for i in range(len(toks) - n + 1)
+    }
+    return np.fromiter(out, np.int64, len(out))
+
+
+def _gram_rows(b: pa.Table, keep_eval: bool) -> pa.Table:
+    ids, grams = [], []
+    for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+        if (doc_id % EVAL_MOD == 0) != keep_eval:
+            continue
+        h = _gram_hashes(text)
+        ids.append(np.full(len(h), doc_id, np.int64))
+        grams.append(h)
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.int64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                     "gram": pa.array(np.concatenate(grams), pa.int64())})
+
+
+def decontaminate(sf_dir: str, num_buckets: int = 32):
+    """(doc_id, n_contaminated) for every NON-eval doc sharing ≥1
+    distinct n-gram with the eval slice, sorted by doc_id.
+
+    Wave 1: eval n-grams → Bloom bitset (driver holds 128 KiB).
+    Wave 2: corpus n-grams bloom-prefiltered; survivors + eval grams
+    exchange once, keyed by gram-hash bucket; per-gram indicator
+    aggregation (the ``graph.skeleton`` anti-join shape) counts, per
+    corpus doc, its distinct grams that exist on the eval side."""
+    from ferenda_ray.ops.bloom import bloom_build, bloom_contains
+    from ferenda_ray.util import bucket_ints
+
+    docs = _docs(sf_dir)
+    eval_grams = docs.map_batches(
+        lambda b: _gram_rows(b, keep_eval=True), batch_format="pyarrow")
+    packed_ref = ray.put(bloom_build(eval_grams, "gram"))
+
+    def corpus_side(b: pa.Table) -> pa.Table:
+        t = _gram_rows(b, keep_eval=False)
+        pk = ray.get(packed_ref)
+        keys = t.column("gram").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(bloom_contains(pk, keys)))
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gram": t.column("gram"), "doc_id": t.column("doc_id"),
+            "is_eval": pa.array(np.zeros(len(g), bool)),
+            "bucket": pa.array(bucket_ints(g, num_buckets), pa.int32())})
+
+    def eval_side(b: pa.Table) -> pa.Table:
+        t = _gram_rows(b, keep_eval=True)
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gram": t.column("gram"), "doc_id": t.column("doc_id"),
+            "is_eval": pa.array(np.ones(len(g), bool)),
+            "bucket": pa.array(bucket_ints(g, num_buckets), pa.int32())})
+
+    both = (docs.map_batches(corpus_side, batch_format="pyarrow")
+            .union(docs.map_batches(eval_side, batch_format="pyarrow")))
+
+    def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        # exact confirm within one gram-hash bucket, fully vectorized:
+        # distinct grams present on the eval side, then per-corpus-doc
+        # count of its distinct grams in that set
+        eval_set = g.loc[g.is_eval, "gram"].unique()
+        hits = g.loc[~g.is_eval & g.gram.isin(eval_set),
+                     ["doc_id", "gram"]].drop_duplicates()
+        out = (hits.groupby("doc_id", sort=True).size()
+               .rename("n_contaminated").reset_index())
+        return out.astype({"doc_id": "int64", "n_contaminated": "int64"})
+
+    return (both.groupby("bucket")
+            .map_groups(confirm, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("n_contaminated", alias_name="n_contaminated"))
+            .sort("doc_id"))
+
+
+DECONTAMINATE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+), ng AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS g
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, len(t) - {NGRAM_N - 2})) AS i
+          FROM tok)
+), eval_g AS (
+    SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT n.doc_id, count(DISTINCT n.g) AS n_contaminated
+FROM ng n JOIN eval_g e USING (g)
+WHERE n.doc_id % {EVAL_MOD} <> 0
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+# -- PII redaction ---------------------------------------------------------
+
+def redact_pii(sf_dir: str):
+    """(doc_id, clean, n_emails, n_phones, n_ips): emails/phones/IPv4
+    replaced by typed placeholder tokens, counts kept for curation
+    stats. One vectorized Arrow pass — no python loop over rows."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n_email = pc.count_substring_regex(text, EMAIL_RE)
+        clean = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(clean, PHONE_RE)
+        clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+        n_ip = pc.count_substring_regex(clean, IPV4_RE)
+        clean = pc.replace_substring_regex(clean, IPV4_RE, "<IP>")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "clean": pc.cast(clean, pa.string()),
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "n_ips": pc.cast(n_ip, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+REDACT_PII_SQL = f"""
+WITH s1 AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS c1
+    FROM documents
+), s2 AS (
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(c1, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(c1, '{PHONE_RE}', '<PHONE>', 'g') AS c2
+    FROM s1
+)
+SELECT doc_id, regexp_replace(c2, '{IPV4_RE}', '<IP>', 'g') AS clean,
+       n_emails, n_phones,
+       len(regexp_extract_all(c2, '{IPV4_RE}')) AS n_ips
+FROM s2
+"""
