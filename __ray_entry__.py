@@ -222,7 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_generate(sf_dir: str):
         """Generate stage (M17/S14): docs + incoming-reference
         annotations → browser HTML per page. Annotations broadcast
-        (small at this scale; a bucketed join at 10^12 urls)."""
+        (right while the refs table fits the object store; the
+        10^12-url path is ``render.generate_join`` — bucketed
+        co-partition of docs and refs, bit-equality tested in
+        tests/test_generate_join.py)."""
         import functools
 
         import ray

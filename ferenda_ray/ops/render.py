@@ -165,6 +165,66 @@ def generate_batch(batch: pa.Table, annotations_ref=None,
                      "html": pa.array(htmls, pa.large_string())})
 
 
+def generate_join(docs_ds, refs_ds, num_buckets: int = 32,
+                  templates_ref=None):
+    """Scale-path ``generate`` (J2 annotations join): docs and incoming
+    references co-partitioned by ``hash(url)`` and rendered per bucket
+    — no driver-side refs dict, no broadcast (the default
+    ``generate_batch`` broadcast is right while the annotation table
+    fits the object store; at 10^12 urls it does not). Same output as
+    the broadcast path (bit-equality tested).
+
+    One narrow shuffle: refs rows are (url, citing) strings; the wide
+    ``tree`` JSON rides the docs side of the same exchange once.
+    """
+    import pandas as pd
+
+    from ferenda_ray.state import fetch
+    from ferenda_ray.util import stable_uint
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        return pa.table({
+            "url": b.column("url"),
+            "title": b.column("title"),
+            "tree": b.column("tree"),
+            "citing": pa.array([""] * len(urls), pa.string()),
+            "side": pa.array([0] * len(urls), pa.int8()),
+            "bucket": pa.array([stable_uint(u, num_buckets) for u in urls],
+                               pa.int32()),
+        })
+
+    def tag_refs(b: pa.Table) -> pa.Table:
+        urls = b.column("dst").to_pylist()
+        return pa.table({
+            "url": b.column("dst"),
+            "title": pa.array([""] * len(urls), pa.string()),
+            "tree": pa.array([""] * len(urls), pa.large_string()),
+            "citing": b.column("citing").cast(pa.string()),
+            "side": pa.array([1] * len(urls), pa.int8()),
+            "bucket": pa.array([stable_uint(u, num_buckets) for u in urls],
+                               pa.int32()),
+        })
+
+    templates = templates_ref  # resolved inside the group task
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        tpl = fetch(templates) if templates is not None else None
+        ann = {r.url: r.citing.split(";")
+               for r in g[g["side"] == 1].itertuples() if r.citing}
+        docs = g[g["side"] == 0].sort_values("url", kind="mergesort")
+        htmls = [generate_html(r.url, r.title, json.loads(r.tree),
+                               ann.get(r.url), tpl)
+                 for r in docs.itertuples()]
+        return pd.DataFrame({"url": docs["url"].to_numpy(),
+                             "html": pd.Series(htmls, dtype="object")})
+
+    return (docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+            .union(refs_ds.map_batches(tag_refs, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(render, batch_format="pandas"))
+
+
 # -- transformlinks -------------------------------------------------------
 
 _HREF = re.compile(r'(href|src|about)=(["\'])(.*?)\2')
