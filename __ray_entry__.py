@@ -338,8 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_sortkey": rel.customers_by_sortkey,
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "curate_documents": text.curate_documents,
+        # new this round — keep inside the recording window
+        "decontaminate": decontam.decontaminate,
+        "redact_pii": decontam.redact_pii,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ann_topk": ann.bruteforce_topk,
         "top_terms": sketch.top_terms,
@@ -347,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": win.events_asof_orders,
         "user_sessions": win.user_sessions,
         # ---- remaining oracle-checked ----
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "curate_documents": text.curate_documents,
         "props_stats": rel.props_stats,
         "big_customers": rel.big_customers,
         "orders_by_month": rel.orders_by_month,
@@ -375,8 +378,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pages": text.doc_pages,
         "pdf_textboxes": pdf_textboxes,
         "docx_blocks": docx_blocks,
-        "decontaminate": decontam.decontaminate,
-        "redact_pii": decontam.redact_pii,
     }
     return q
 
