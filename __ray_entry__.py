@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  sketch, text,
                                  windows as win)
 
+    from ferenda_ray.ops.fulltext import ft_search
+
     # KG pipeline products (pages corpus synthesized; sf_dir sets scale)
     def _n_pages(sf_dir: str) -> int:
         return 300 if "0.01" in sf_dir else 100
@@ -342,12 +344,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontam.decontaminate,
         "redact_pii": decontam.redact_pii,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "ann_topk": ann.bruteforce_topk,
+        "ft_search": ft_search,
         "top_terms": sketch.top_terms,
         "value_quantiles": sketch.value_quantiles,
         "events_asof_orders": win.events_asof_orders,
         "user_sessions": win.user_sessions,
         # ---- remaining oracle-checked ----
+        "ann_topk": ann.bruteforce_topk,
         "tfidf_top_terms": text.tfidf_top_terms,
         "curate_documents": text.curate_documents,
         "props_stats": rel.props_stats,
@@ -474,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_events": sample.SAMPLE_EVENTS_SQL,
         "decontaminate": decontam.DECONTAMINATE_SQL,
         "redact_pii": decontam.REDACT_PII_SQL,
+        "ft_search": _ft_sql(),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic
         # triples parquet (see pipelines/kg_oracles.py docstring);
@@ -489,3 +493,9 @@ def _kg_oracles() -> dict[str, str]:
     from ferenda_ray.pipelines.kg_oracles import kg_oracle_sql
 
     return kg_oracle_sql(300)
+
+
+def _ft_sql() -> str:
+    from ferenda_ray.ops.fulltext import FT_SEARCH_SQL
+
+    return FT_SEARCH_SQL
