@@ -52,22 +52,33 @@ def format_rfc_uri(num: str, section: str | None = None) -> str:
     return f"{uri}#S{section}" if section else uri
 
 
+# sec|rfc in one alternation: a left-to-right scan consumes a
+# "section X of RFC Y" whole, so the bare-RFC branch can never fire
+# inside it — exactly the reference's grammar-priority overlap rule
+# (citationparser.py:97-131) without the explicit covered-span check
+# (two finditer passes merged; profiled at ~8% of the fused stage).
+# URLs stay a SEPARATE pass: url spans may legitimately overlap a bare
+# RFC match ("…/RFC 21" → both), differential-fuzz-pinned in
+# tests/test_citation_scan.py.
+_CITE = re.compile(
+    r"(?i:section (?P<s_sec>\d+(?:\.\d+)*) of RFC (?P<s_rfc>\d+))"
+    r"|\bRFC (?P<rfc>\d+)\b"
+)
+
+
 def _citation_matches(text: str):
     """Grammar-priority citation matching → three span groups
     ((start, end, uri) each): section-of-RFC, bare RFC not covered by
-    the former, URLs ('section X of RFC Y' wins over the bare 'RFC Y'
-    inside it — the reference resolves overlaps by grammar priority,
-    citationparser.py:97-131)."""
+    the former, URLs."""
     sec, rfc, urls = [], [], []
-    covered: list[tuple[int, int]] = []
-    for m in _SECTION_OF_RFC.finditer(text):
-        sec.append((m.start(), m.end(),
-                    format_rfc_uri(m.group(2), m.group(1))))
-        covered.append(m.span())
-    for m in _RFC.finditer(text):
-        if any(a <= m.start() < b for a, b in covered):
-            continue
-        rfc.append((m.start(), m.end(), format_rfc_uri(m.group(1))))
+    for m in _CITE.finditer(text):
+        if m.lastgroup == "s_rfc":
+            sec.append((m.start(), m.end(),
+                        format_rfc_uri(m.group("s_rfc"),
+                                       m.group("s_sec"))))
+        else:
+            rfc.append((m.start(), m.end(),
+                        format_rfc_uri(m.group("rfc"))))
     for m in _URL.finditer(text):
         u = m.group(0).rstrip(_TRAIL_PUNCT)
         urls.append((m.start(), m.start() + len(u), u))
