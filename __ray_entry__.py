@@ -492,6 +492,14 @@ def oracle_sql() -> dict[str, str]:
 def _kg_oracles() -> dict[str, str]:
     from ferenda_ray.pipelines.kg_oracles import kg_oracle_sql
 
+    # the kg oracles read the deterministic triples parquet; materialize
+    # it here too so they are valid regardless of whether the driver
+    # evaluates a query or its oracle first (Ray is initialised by the
+    # driver before this module is imported, per the contract)
+    try:
+        _kg_triples_cached(300)
+    except Exception:
+        pass  # queries() will (re)build it; never fail oracle listing
     return kg_oracle_sql(300)
 
 
