@@ -81,6 +81,30 @@ def _kg_triples_cached(n_pages: int):
                  "url"])
 
 
+_SECTIONS_PARQUET: dict[int, str] = {}
+
+
+def _kg_sections_cached(n_pages: int) -> str:
+    """Sections table parquet, materialized once per corpus size (same
+    determinism argument as ``_kg_triples_cached``); feeds the fulltext
+    index build AND the kg_ft_search oracle SQL."""
+    if n_pages not in _SECTIONS_PARQUET:
+        out = f"/tmp/ferenda_ray_corpus/sections_{n_pages}"
+        if not os.path.isdir(out) or not os.path.exists(f"{out}/_DONE"):
+            import shutil
+
+            from ferenda_ray.pipelines.kg import build_sections_ds
+
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            build_sections_ds(_pages_path(n_pages)).write_parquet(tmp)
+            open(f"{tmp}/_DONE", "w").close()
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
+        _SECTIONS_PARQUET[n_pages] = out
+    return _SECTIONS_PARQUET[n_pages]
+
+
 def entry() -> Any:
     """Flagship: extract → parse → link → canonicalize on a synthetic
     sf0.001-scale pages corpus (~100 logical docs); returns the triples
@@ -154,6 +178,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (build_sections_ds(_pages_path(_n_pages(sf_dir)))
                 .map_batches(match, batch_format="pyarrow")
                 .sort(["url", "fragment"]))
+
+    def kg_ft_search(sf_dir: str, q: str = "protocol header", k: int = 10):
+        """Indexed fulltext over the KG sections product (reference S12
+        query path): sections → term-partitioned inverted index (built
+        once per corpus size, BM25 query reads only the query terms'
+        buckets). The sections parquet cache doubles as the oracle's
+        input (kg_oracles.py pattern)."""
+        from ferenda_ray.ops.fulltext import build_index, query_index
+
+        n = _n_pages(sf_dir)
+        out = f"/tmp/ferenda_ray_corpus/ftidx_{n}"
+        if not os.path.exists(f"{out}/stats.json"):
+            import ray.data as rd
+
+            os.makedirs(out, exist_ok=True)
+            build_index(rd.read_parquet(_kg_sections_cached(n),
+                                        columns=["about", "text"]),
+                        "about", "text", out)
+        return query_index(out, q, k)
 
     def kg_entries_stats(sf_dir: str):
         from ray.data.aggregate import Count, Sum
@@ -309,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_generate": kg_generate,
         "kg_atom_feeds": kg_atom_feeds,
         "kg_fulltext_search": kg_fulltext_search,
+        "kg_ft_search": kg_ft_search,
         "kg_page_near_dups": kg_page_near_dups,
         "kg_composite_stats": kg_composite_stats,
         # ---- multimodal + similarity-search scale paths ----
@@ -478,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": decontam.DECONTAMINATE_SQL,
         "redact_pii": decontam.REDACT_PII_SQL,
         "ft_search": _ft_sql(),
+        "kg_ft_search": _kg_ft_sql(),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic
         # triples parquet (see pipelines/kg_oracles.py docstring);
@@ -498,8 +543,9 @@ def _kg_oracles() -> dict[str, str]:
     # driver before this module is imported, per the contract)
     try:
         _kg_triples_cached(300)
+        _kg_sections_cached(300)
     except Exception:
-        pass  # queries() will (re)build it; never fail oracle listing
+        pass  # queries() will (re)build them; never fail oracle listing
     return kg_oracle_sql(300)
 
 
@@ -507,3 +553,11 @@ def _ft_sql() -> str:
     from ferenda_ray.ops.fulltext import FT_SEARCH_SQL
 
     return FT_SEARCH_SQL
+
+
+def _kg_ft_sql() -> str:
+    from ferenda_ray.ops.fulltext import bm25_sql
+
+    path = "/tmp/ferenda_ray_corpus/sections_300/*.parquet"
+    return bm25_sql(f"read_parquet('{path}')", "protocol header",
+                    "about", "text")

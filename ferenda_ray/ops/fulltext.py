@@ -155,36 +155,42 @@ def ft_search(sf_dir: str, q: str = FT_QUERY, k: int = 10):
     return query_index(out, q, k)
 
 
-# BM25 recomputed independently in SQL (same tokenizer: lowercase \w+
-# runs via regexp_extract_all; same constants; round(…,4) both sides).
-FT_SEARCH_SQL = f"""
+def bm25_sql(table_expr: str, query: str, uri_col: str,
+             text_col: str, k: int = 10) -> str:
+    """BM25 recomputed independently in SQL over any (uri, text) table
+    (same tokenizer: lowercase \\w+ runs via regexp_extract_all; same
+    constants; round(…,4) both sides)."""
+    return f"""
 WITH tok AS (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '\\w+')) AS term
-    FROM documents
+    SELECT {uri_col} AS u,
+           unnest(regexp_extract_all(lower({text_col}), '\\w+')) AS term
+    FROM {table_expr}
 ), tf AS (
-    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    SELECT u, term, count(*) AS tf FROM tok GROUP BY u, term
 ), dl AS (
-    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    SELECT u, count(*) AS dl FROM tok GROUP BY u
 ), stats AS (
     SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
 ), qt AS (
-    SELECT unnest(regexp_extract_all(lower('{FT_QUERY}'), '\\w+')) AS term
+    SELECT unnest(regexp_extract_all(lower('{query}'), '\\w+')) AS term
 ), df AS (
     SELECT term, count(*) AS df FROM tf
     WHERE term IN (SELECT term FROM qt) GROUP BY term
 ), scored AS (
-    SELECT tf.doc_id,
+    SELECT tf.u,
            sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                * tf.tf * ({K1} + 1)
                / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
                AS score
     FROM tf
     JOIN df USING (term)
-    JOIN dl USING (doc_id)
+    JOIN dl USING (u)
     CROSS JOIN stats s
-    GROUP BY tf.doc_id
+    GROUP BY tf.u
 )
-SELECT CAST(doc_id AS VARCHAR) AS uri, round(score, 4) AS score
-FROM scored ORDER BY score DESC, uri ASC LIMIT 10
+SELECT CAST(u AS VARCHAR) AS uri, round(score, 4) AS score
+FROM scored ORDER BY score DESC, uri ASC LIMIT {k}
 """
+
+
+FT_SEARCH_SQL = bm25_sql("documents", FT_QUERY, "doc_id", "text")
