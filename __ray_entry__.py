@@ -25,6 +25,29 @@ from collections.abc import Callable
 from typing import Any
 
 _CORPUS_CACHE: dict[int, str] = {}
+_SRC_REV: str | None = None
+
+
+def _src_rev() -> str:
+    """8-hex digest of the pipeline-relevant source files. Keys every
+    /tmp cache path so a code change in a later round can NEVER pair a
+    fresh pipeline run against a stale cached parquet (the kg oracles
+    compare exactly that pair) — any edit rotates the cache dir and the
+    3-second rebuild re-materializes it."""
+    global _SRC_REV
+    if _SRC_REV is None:
+        import glob
+        import hashlib
+
+        h = hashlib.sha1()
+        root = os.path.dirname(os.path.abspath(__file__))
+        files = sorted(
+            glob.glob(f"{root}/ferenda_ray/**/*.py", recursive=True))
+        for f in files:
+            with open(f, "rb") as fp:
+                h.update(fp.read())
+        _SRC_REV = h.hexdigest()[:8]
+    return _SRC_REV
 
 
 def _pages_path(n_pages: int) -> str:
@@ -35,7 +58,8 @@ def _pages_path(n_pages: int) -> str:
 
         from ferenda_ray.sources.pages import corpus_table
 
-        path = f"/tmp/ferenda_ray_corpus/pages_{n_pages}.parquet"
+        path = (f"/tmp/ferenda_ray_corpus/pages_{n_pages}"
+                f"_{_src_rev()}.parquet")
         if not os.path.exists(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
@@ -64,7 +88,7 @@ def _kg_triples_cached(n_pages: int):
     import ray.data as rd
 
     if n_pages not in _TRIPLES_PARQUET:
-        out = f"/tmp/ferenda_ray_corpus/triples_{n_pages}"
+        out = f"/tmp/ferenda_ray_corpus/triples_{n_pages}_{_src_rev()}"
         if not os.path.isdir(out) or not os.path.exists(f"{out}/_DONE"):
             tmp = out + ".tmp"
             import shutil
@@ -89,7 +113,7 @@ def _kg_sections_cached(n_pages: int) -> str:
     determinism argument as ``_kg_triples_cached``); feeds the fulltext
     index build AND the kg_ft_search oracle SQL."""
     if n_pages not in _SECTIONS_PARQUET:
-        out = f"/tmp/ferenda_ray_corpus/sections_{n_pages}"
+        out = f"/tmp/ferenda_ray_corpus/sections_{n_pages}_{_src_rev()}"
         if not os.path.isdir(out) or not os.path.exists(f"{out}/_DONE"):
             import shutil
 
@@ -188,7 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ferenda_ray.ops.fulltext import build_index, query_index
 
         n = _n_pages(sf_dir)
-        out = f"/tmp/ferenda_ray_corpus/ftidx_{n}"
+        out = f"/tmp/ferenda_ray_corpus/ftidx_{n}_{_src_rev()}"
         if not os.path.exists(f"{out}/stats.json"):
             import ray.data as rd
 
@@ -546,7 +570,7 @@ def _kg_oracles() -> dict[str, str]:
         _kg_sections_cached(300)
     except Exception:
         pass  # queries() will (re)build them; never fail oracle listing
-    return kg_oracle_sql(300)
+    return kg_oracle_sql(300, _src_rev())
 
 
 def _ft_sql() -> str:
@@ -558,6 +582,6 @@ def _ft_sql() -> str:
 def _kg_ft_sql() -> str:
     from ferenda_ray.ops.fulltext import bm25_sql
 
-    path = "/tmp/ferenda_ray_corpus/sections_300/*.parquet"
+    path = f"/tmp/ferenda_ray_corpus/sections_300_{_src_rev()}/*.parquet"
     return bm25_sql(f"read_parquet('{path}')", "protocol header",
                     "about", "text")

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from ferenda_ray import schemas as S
 
-TRIPLES_GLOB = "/tmp/ferenda_ray_corpus/triples_{n}/*.parquet"
+TRIPLES_GLOB = "/tmp/ferenda_ray_corpus/triples_{n}{rev}/*.parquet"
 
 # N-Triples literal escaping (materialize._nt_escape) in DuckDB: DuckDB
 # single-quoted strings are literal (no backslash escapes), so '\' is one
@@ -60,8 +60,12 @@ def _facet_pivot(tri: str) -> str:
             f"FROM {tri} WHERE pred IN ({preds}) GROUP BY subj")
 
 
-def kg_oracle_sql(n_pages: int = 300) -> dict[str, str]:
-    tri = f"read_parquet('{TRIPLES_GLOB.format(n=n_pages)}')"
+def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
+    """``src_rev``: the entry module's source-content digest — cache
+    paths rotate with the code so these oracles can never read a stale
+    parquet from an earlier build."""
+    rev = f"_{src_rev}" if src_rev else ""
+    tri = f"read_parquet('{TRIPLES_GLOB.format(n=n_pages, rev=rev)}')"
     edges = (f"SELECT split_part(subj, '#', 1) AS src, "
              f"split_part(obj, '#', 1) AS dst FROM {tri} "
              f"WHERE pred = '{S.DCT_REFERENCES}'")
