@@ -174,6 +174,25 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_setup(args) -> int:
+    """Scaffold a pipeline project dir (reference ``ferenda-setup`` /
+    ``manager.runsetup``): writes the default INI (editable with
+    ``registry.enable`` / ``run --config``)."""
+    import os
+
+    from ferenda_ray.registry import DEFAULT_INI
+
+    os.makedirs(args.dir, exist_ok=True)
+    ini = os.path.join(args.dir, "ferenda_ray.ini")
+    if os.path.exists(ini) and not args.force:
+        print(json.dumps({"error": f"{ini} exists (use --force)"}))
+        return 1
+    with open(ini, "w") as fp:
+        fp.write(DEFAULT_INI)
+    print(json.dumps({"created": ini}))
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from ferenda_ray.sources.pages import generate_corpus_ds
 
@@ -209,6 +228,10 @@ def main(argv=None) -> int:
     sp.add_argument("--subject", default="")
     sp.add_argument("--limit", type=int, default=20)
     sp.set_defaults(fn=cmd_dump)
+    sp = sub.add_parser("setup")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_setup, needs_ray=False)
     sp = sub.add_parser("profile")
     sp.add_argument("--table", required=True, help="parquet path")
     sp.add_argument("--columns", nargs="+", required=True)
@@ -224,7 +247,8 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_gen_corpus)
 
     args = p.parse_args(argv)
-    _init_ray()
+    if getattr(args, "needs_ray", True):
+        _init_ray()
     try:
         return args.fn(args)
     finally:

@@ -44,3 +44,18 @@ def test_cli_run_status_dump(tmp_path):
     lines = run_cli("dump", "--out", out, "--limit", "5")
     nt = [line for line in lines if line.startswith("<")]
     assert len(nt) == 5 and all(line.endswith(" .") for line in nt)
+
+
+@pytest.mark.cli
+def test_cli_setup_scaffold(tmp_path):
+    d = str(tmp_path / "proj")
+    res = json.loads(run_cli("setup", "--dir", d)[-1])
+    assert res["created"].endswith("ferenda_ray.ini")
+    body = open(res["created"]).read()
+    assert "steps = extract, structure, triples, canonicalize" in body
+    # refuses overwrite without --force
+    out = subprocess.run(
+        [sys.executable, "-m", "ferenda_ray.cli", "setup", "--dir", d],
+        capture_output=True, text=True, cwd=REPO, timeout=60)
+    assert out.returncode == 1
+    json.loads(run_cli("setup", "--dir", d, "--force")[-1])
