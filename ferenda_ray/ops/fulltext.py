@@ -80,14 +80,21 @@ def build_index(ds, uri_col: str, text_col: str, out_dir: str,
     post.write_parquet(os.path.join(out_dir, "postings"),
                        partition_cols=["b"])
 
-    # N docs + avgdl: tiny aggregate over (uri, dl) — narrow columns
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        uris = batch.column(uri_col).to_pylist()
-        dls = [len(tokenize(t)) for t in batch.column(text_col).to_pylist()]
-        return pa.table({"uri": pa.array([str(u) for u in uris], pa.string()),
-                         "dl": pa.array(dls, pa.int64())})
+    # N docs + avgdl derived FROM the written postings (dl = Σ tf per
+    # uri, already a postings column) — no second tokenize pass over
+    # the corpus, one narrow aggregate over (uri, dl)
+    written = rd.read_parquet(os.path.join(out_dir, "postings"),
+                              columns=["uri", "dl"])
+    per_doc = written.groupby("uri").aggregate(
+        Count(alias_name="nterms"), Sum("dl", alias_name="dl_sum"))
 
-    agg = (ds.map_batches(doc_rows, batch_format="pyarrow")
+    def first_dl(batch: pa.Table) -> pa.Table:
+        # every posting of a doc carries the same dl; recover it
+        n = batch.column("nterms").to_numpy(zero_copy_only=False)
+        s = batch.column("dl_sum").to_numpy(zero_copy_only=False)
+        return pa.table({"dl": pa.array(s // n, pa.int64())})
+
+    agg = (per_doc.map_batches(first_dl, batch_format="pyarrow")
            .aggregate(Count(alias_name="n"), Sum("dl", alias_name="sum_dl")))
     stats = {"n_docs": int(agg["n"]), "avgdl": agg["sum_dl"] / agg["n"],
              "num_buckets": num_buckets}
