@@ -322,6 +322,54 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
     return _verified_pairs(sh, cand, threshold)
 
 
+# SQL oracle: ALL-pairs exact 3-word-shingle Jaccard ≥ threshold —
+# the semantic contract of minhash_dedup_pairs. The LSH banding only
+# affects recall; with 16 bands × 4 rows, P(candidate | j=0.8) ≈
+# 0.9998 and rises toward 1 with j, and recall measured 100% on the
+# driver corpora at both sf0.001 and sf0.01 (pairs AND rounded
+# jaccards bit-equal). The Ray side computes Jaccard over md5-hashed
+# shingles, the oracle over raw shingle strings — equal unless md5
+# collides within one document's shingle set (~1e-13 here).
+MINHASH_PAIRS_SQL = """
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok)
+), pair AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), size AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6)
+           AS jaccard
+FROM pair p JOIN size sa ON sa.doc_id = p.doc_a
+            JOIN size sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+"""
+
+# connected components over those pairs via transitive closure
+# (recursive CTE is fine at oracle scale; the Ray side is the
+# bounded-round BSP min-label propagation)
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS ({MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM base
+    UNION SELECT doc_b, doc_a FROM base
+),
+reach(node, peer) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+)
+SELECT node AS doc_id, min(peer) AS cluster FROM reach GROUP BY node
+"""
+
+
 def jaccard_top_pairs(sf_dir: str, k: int = 10):
     """Top-k most similar doc pairs by exact n-gram Jaccard, restricted
     to LSH candidates (deterministic tie-break on the pair key)."""
