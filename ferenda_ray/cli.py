@@ -45,6 +45,21 @@ def _init_ray():
 def cmd_run(args) -> int:
     from ferenda_ray.pipelines.kg import run_kg_pipeline
 
+    if args.incremental:
+        # crawl-delta merge into an existing table (reference needed()
+        # mtime-gating analog): --pages is the DELTA, re-crawled urls
+        # supersede their old triples, untouched buckets see zero write
+        from ferenda_ray.pipelines.kg import build_triples_ds
+        from ferenda_ray.stages.materialize import materialize_incremental
+
+        man = materialize_incremental(
+            build_triples_ds(args.pages, batch_size=args.batch_size),
+            args.out, num_buckets=args.buckets)
+        print(json.dumps({
+            "buckets_rewritten": len(man),
+            "triples_in_rewritten": (int(man.n_triples.sum())
+                                     if len(man) else 0)}))
+        return 0
     if args.config:
         # config-driven assembly (ferenda.ini analog, SURVEY §2.10):
         # the INI picks/parameterizes the stage chain, the two-phase
@@ -217,6 +232,9 @@ def main(argv=None) -> int:
     sp.add_argument("--no-resume", action="store_true")
     sp.add_argument("--config", default=None,
                     help="INI pipeline config (registry.assemble)")
+    sp.add_argument("--incremental", action="store_true",
+                    help="treat --pages as a crawl delta; merge into "
+                         "the existing --out table")
     sp.set_defaults(fn=cmd_run)
     sp = sub.add_parser("sections"); common(sp); sp.set_defaults(fn=cmd_sections)
     sp = sub.add_parser("generate"); common(sp); sp.set_defaults(fn=cmd_generate)

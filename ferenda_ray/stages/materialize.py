@@ -273,6 +273,124 @@ def write_nt(triples_ds, out_dir: str):
         dump, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
+# -- incremental delta merge ------------------------------------------------
+
+def merge_bucket_incremental(bucket: int, out_dir: str, stage_dir: str,
+                             urls_path: str | None) -> tuple:
+    """Incremental unit of work: old partition (if any) + this bucket's
+    staged delta fragments → new partition.
+
+    Replace-by-url semantics: old rows whose ``url`` appears in the
+    delta url set are dropped FIRST (a re-crawled page's newer snapshot
+    supersedes all triples the old snapshot emitted — the reference's
+    archive-version rule, ``documentstore.py:367-437`` needed()/archive),
+    then delta rows are unioned in and the exact KEY_COLS dedup reruns
+    with the same deterministic survivor as a fresh build."""
+    import pyarrow.dataset as pads
+
+    t0 = time.perf_counter()
+    frag_dir = os.path.join(stage_dir, f"bucket={bucket}")
+    delta = (pl.from_arrow(pads.dataset(frag_dir).to_table())
+             .drop("key_hash") if os.path.isdir(frag_dir) else None)
+    final = os.path.join(out_dir, f"bucket={bucket:05d}", "part-0.parquet")
+    old = None
+    if os.path.exists(final):
+        old = pl.from_arrow(pq.read_table(final))
+        old_n = len(old)
+        if urls_path is not None:
+            urls = pl.from_arrow(
+                pq.read_table(urls_path, columns=["url"]))["url"]
+            old = old.filter(~pl.col("url").is_in(urls))
+        if delta is None and len(old) == old_n:
+            # neither delta rows nor superseded rows: zero-write bucket
+            return bucket, old_n, 0.0, False
+    if old is not None and delta is not None:
+        g = pl.concat([old.select(delta.columns), delta])
+    elif delta is not None:
+        g = delta
+    else:
+        g = old
+    g = g.sort(KEY_COLS + ["url"]).unique(subset=KEY_COLS, keep="first",
+                                          maintain_order=True)
+    part_dir = os.path.dirname(final)
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    out = g.to_arrow()
+    out = out.cast(pa.schema([(n, pa.large_string() if n in
+                               ("subj", "pred", "obj", "lang", "datatype",
+                                "url") else out.schema.field(n).type)
+                              for n in out.column_names]))
+    pq.write_table(out, tmp)
+    os.replace(tmp, final)
+    t_ms = (time.perf_counter() - t0) * 1000
+    _write_manifest_row(out_dir, bucket, len(g), t_ms)
+    return bucket, len(g), t_ms, True
+
+
+def materialize_incremental(delta_ds, out_dir: str,
+                            num_buckets: int = DEFAULT_BUCKETS):
+    """Merge a DELTA triples Dataset (newly-crawled + re-crawled pages,
+    already latest-filtered) into an EXISTING materialized table —
+    the incremental path the reference serves with per-basefile mtime
+    gating (``needed()``), here at bucket granularity:
+
+    * phase 1 stages the delta exactly like a fresh build (map-only
+      hive write) and records the DISTINCT delta urls alongside;
+    * phase 2 sweeps every existing bucket ∪ every delta bucket: a
+      re-crawled url's OLD triples hash across arbitrary buckets, so
+      the superseded-row delete must scan each partition — but a
+      bucket with no delta rows AND no superseded rows is detected
+      cheaply (one column filter) and NOT rewritten, so write IO
+      stays proportional to the delta.
+
+    ``num_buckets`` must equal the original build's (the manifest is
+    bucket-addressed). Equality with a from-scratch rebuild on the
+    combined input is pytest-gated (tests/test_incremental.py).
+
+    Scale note: the whole-table delete scan is the price of bucketing
+    by triple-key hash. For 10^8+-url daily deltas, bucket by
+    hash(url) instead so a url's triples are partition-local and the
+    sweep shrinks to the delta's own buckets; the merge machinery is
+    unchanged."""
+    import shutil
+
+    import ray
+
+    ds = delta_ds.map_batches(
+        lambda b: add_keys(b, num_buckets), batch_format="pyarrow")
+    stage_root = os.environ.get("FERENDA_RAY_STAGE_ROOT")
+    stage_dir = (os.path.join(stage_root,
+                              "ferenda_incr-" + uuid.uuid4().hex[:12])
+                 if stage_root else os.path.join(out_dir, "_incr_stage"))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    ds.write_parquet(stage_dir, partition_cols=["bucket"])
+    try:
+        delta_buckets = set(
+            int(n.split("=", 1)[1]) for n in os.listdir(stage_dir)
+            if n.startswith("bucket=")
+        ) if os.path.isdir(stage_dir) else set()
+        if not delta_buckets:
+            return pd.DataFrame(columns=["bucket", "n_triples", "t_ms"])
+        # distinct delta urls (small side; drives the replace rule)
+        import pyarrow.dataset as pads
+
+        urls = (pl.from_arrow(
+            pads.dataset(stage_dir).to_table(columns=["url"]))
+            .unique())
+        urls_path = os.path.join(stage_dir, "_delta_urls.parquet")
+        pq.write_table(urls.to_arrow(), urls_path)
+
+        buckets = sorted(delta_buckets | done_buckets(out_dir))
+        merge = ray.remote(merge_bucket_incremental)
+        rows = ray.get([merge.remote(b, out_dir, stage_dir, urls_path)
+                        for b in buckets])
+        return pd.DataFrame(
+            [r[:3] for r in rows if r[3]],  # rewritten buckets only
+            columns=["bucket", "n_triples", "t_ms"])
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 # -- generic resumable partitioned materialize -----------------------------
 
 def materialize_table(ds, out_dir: str, *, key_cols: list[str],
