@@ -179,7 +179,10 @@ WITH tok AS (
 ), stats AS (
     SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
 ), qt AS (
-    SELECT unnest(regexp_extract_all(lower('{query}'), '\\w+')) AS term
+    -- DISTINCT: a repeated query word must score once (the engine
+    -- dedups query terms the same way)
+    SELECT DISTINCT unnest(regexp_extract_all(lower('{query}'), '\\w+'))
+        AS term
 ), df AS (
     SELECT term, count(*) AS df FROM tf
     WHERE term IN (SELECT term FROM qt) GROUP BY term
