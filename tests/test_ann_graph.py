@@ -165,3 +165,44 @@ def test_hits_scores(ray_session):
         {"src": "h1", "dst": "b"}, {"src": "a", "dst": "b"},
     ]), n_iter=8)
     assert df.equals(df2)
+
+
+def test_pagerank_equals_sequential_reference(ray_session):
+    """BSP pagerank == an independent sequential power iteration with
+    identical damping/dangling semantics, on a random digraph."""
+    import random
+
+    import numpy as np
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import pagerank
+
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(60)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(300)})
+    edges = [(s, t) for s, t in edges if s != t]
+
+    got = pagerank(rd.from_items(
+        [{"src": s, "dst": t} for s, t in edges]), n_iter=12)
+
+    node_set = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(node_set)}
+    n = len(node_set)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(12):
+        dangling = sum(r[idx[u]] for u in node_set if u not in outdeg)
+        base = (1 - d) / n + d * dangling / n
+        nxt = np.full(n, base)
+        for s, t in edges:
+            nxt[idx[t]] += d * r[idx[s]] / outdeg[s]
+        r = nxt
+
+    want = {u: r[idx[u]] for u in node_set}
+    assert len(got) == n
+    for row in got.itertuples():
+        assert abs(row.rank - want[row.url]) < 1e-9, row.url
