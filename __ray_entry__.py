@@ -147,9 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from ferenda_ray.ops.fulltext import ft_search
 
-    # KG pipeline products (pages corpus synthesized; sf_dir sets scale)
+    # KG pipeline products run on the synthesized pages corpus at a
+    # FIXED size: the kg oracle SQL reads the n=300 cache, so query
+    # and oracle must agree on the corpus regardless of which sf_dir
+    # the driver passes (the gate contract says sf0.01; this removes
+    # the failure mode if that ever changes). 300 pages ≈ 3 s to build
+    # once per round, cached thereafter.
     def _n_pages(sf_dir: str) -> int:
-        return 300 if "0.01" in sf_dir else 100
+        return 300
 
     def kg_triples(sf_dir: str):
         n = _n_pages(sf_dir)
