@@ -495,6 +495,41 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     )
 
 
+# SQL oracle: SimHash recomputed from scratch in DuckDB. The token
+# hash maps exactly — python int.from_bytes(md5(t).digest()[:8],
+# "little") == DuckDB md5_number_upper(t) (endianness verified) — and
+# the pigeonhole blocking is recall-COMPLETE for hamming ≤ 3 (one of
+# four 16-bit quarters must match), so an all-pairs SQL join is the
+# exact semantic contract, not an approximation. Tokenless docs would
+# diverge (python gives simhash 0, SQL drops them) — the documents
+# table has ≥10 tokens per doc.
+SIMHASH_PAIRS_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+), bits AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN (md5_number_upper(term) >> i) & 1 = 1
+               THEN 1 ELSE -1 END) AS acc
+    FROM tok, (SELECT unnest(range(0, 64)) AS i) r
+    GROUP BY doc_id, i
+), sh AS (
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 AND i < 32
+               THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+           sum(CASE WHEN acc > 0 AND i >= 32
+               THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.lo::BIGINT, b.lo::BIGINT))
+       + bit_count(xor(a.hi::BIGINT, b.hi::BIGINT)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo::BIGINT, b.lo::BIGINT))
+      + bit_count(xor(a.hi::BIGINT, b.hi::BIGINT)) <= 3
+"""
+
+
 # -- embedding cosine near-dup --------------------------------------------
 
 from ferenda_ray.util import list_col_matrix as _list_col_matrix
