@@ -553,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": dedup.MINHASH_PAIRS_SQL,
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,

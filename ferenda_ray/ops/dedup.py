@@ -352,6 +352,17 @@ FROM pair p JOIN size sa ON sa.doc_id = p.doc_a
 WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
 """
 
+# top-k by exact Jaccard over ALL pairs — equal to the LSH-restricted
+# top-k whenever ≥ k pairs sit above the banding threshold (25 pairs
+# ≥ 0.8 at the gate scale; the observed 10th-ranked jaccard is 0.98,
+# where LSH recall is ~1-1e-12), deterministic (jaccard, pair) order
+NGRAM_TOP_SQL = (
+    MINHASH_PAIRS_SQL.replace(
+        "WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8",
+        "")
+    + " ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10"
+)
+
 # connected components over those pairs via transitive closure
 # (recursive CTE is fine at oracle scale; the Ray side is the
 # bounded-round BSP min-label propagation)
