@@ -554,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
+        "lang_id": text.LANG_ID_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,

@@ -85,7 +85,7 @@ FROM documents
 """
 
 
-# -- language ID (n-gram/stopword heuristic; no SQL oracle) ----------------
+# -- language ID (n-gram/stopword heuristic) -------------------------------
 
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
@@ -112,11 +112,50 @@ def lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
     def pred(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         df["lang_pred"] = [detect_lang(t) for t in df["text"]]
         df["agree"] = df["lang_pred"] == df["lang"]
         return df.drop(columns=["text"])
 
     return ds.map_batches(pred, batch_format="pandas")
+
+
+def _lang_id_sql() -> str:
+    """SQL oracle for :func:`lang_id`: the same stopword-overlap argmax
+    (distinct first-200 tokens ∩ marker set), with python's tie rule —
+    an earlier language in ``_LANG_MARKERS`` insertion order wins equal
+    scores — encoded as a priority column."""
+    values = ", ".join(
+        f"('{lang}', {prio}, '{t}')"
+        for prio, (lang, markers) in enumerate(_LANG_MARKERS.items())
+        for t in sorted(markers))
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')[1:200]) AS t
+    FROM documents
+), dtok AS (
+    SELECT DISTINCT doc_id, t FROM tok
+), markers(lang, prio, t) AS (
+    VALUES {values}
+), scores AS (
+    SELECT d.doc_id, m.lang, m.prio, count(*) AS n
+    FROM dtok d JOIN markers m ON d.t = m.t
+    GROUP BY d.doc_id, m.lang, m.prio
+), best AS (
+    SELECT doc_id, lang AS lang_pred,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, prio ASC) AS rn
+    FROM scores
+)
+SELECT doc.doc_id, doc.lang, coalesce(b.lang_pred, 'und') AS lang_pred,
+       coalesce(b.lang_pred, 'und') = doc.lang AS agree
+FROM documents doc
+LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rn = 1
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 # -- document fingerprinting (rolling hash; no SQL oracle) -----------------
