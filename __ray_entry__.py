@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- rows-only (no SQL equivalent) ----
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
+        "fingerprint_rows": text.fingerprint_rows,
         "doc_structure": text.doc_structure,
         "tokenize_ids": text.tokenize_ids,
         "hll_distinct_users": sketch.hll_distinct_users,
@@ -555,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "lang_id": text.LANG_ID_SQL,
+        "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,

@@ -3,9 +3,11 @@ training-data-pipeline primitives (token counting, language ID, quality
 scoring, document fingerprinting) the task brief requires as first-class
 components, each as a vectorized Ray Data stage.
 
-Where the semantics are SQL-expressible the op has a DuckDB oracle
-(token/char counts, ratio metrics); language ID and fingerprinting are
-rows-only checks.
+Where the semantics are SQL-expressible the op has a DuckDB oracle —
+including language ID (stopword-argmax with priority tie-break) and
+winnowing fingerprints (the md5 token hash maps exactly onto DuckDB's
+``md5_number_upper``, so the rolling hash + window-min recompute in
+SQL); only the FSM-structured and tokenizer-id outputs stay rows-only.
 """
 
 from __future__ import annotations
@@ -158,7 +160,7 @@ LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rn = 1
 LANG_ID_SQL = _lang_id_sql()
 
 
-# -- document fingerprinting (rolling hash; no SQL oracle) -----------------
+# -- document fingerprinting (rolling hash) --------------------------------
 
 _B = 1000003
 _M = (1 << 61) - 1
@@ -193,6 +195,72 @@ def hash_token(t: str) -> int:
     import hashlib
 
     return int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+
+
+def fingerprint_rows(sf_dir: str):
+    """Exploded winnowing fingerprints — (doc_id, pos, fp) rows, the
+    join-ready shape for cross-doc overlap detection (and the form the
+    SQL oracle can hash-compare; the list-column variant below stays
+    for sketch consumers)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        d_o, p_o, f_o = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for pos, f in enumerate(winnow_fingerprint(t)):
+                d_o.append(d)
+                p_o.append(pos)
+                f_o.append(f % (1 << 62))
+        return pa.table({
+            "doc_id": pa.array(d_o, pa.int64()),
+            "pos": pa.array(p_o, pa.int64()),
+            "fp": pa.array(f_o, pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def _fingerprint_rows_sql(k: int = 5, w: int = 8) -> str:
+    """Winnowing recomputed in SQL: stepwise Rabin-Karp rolling hash in
+    HUGEINT (md5_number_upper == the python token hash, endianness
+    verified), window-min over w gram positions, consecutive-dup drop
+    via lag()."""
+    expr = f"md5_number_upper(t[i])::HUGEINT % {_M}"
+    for j in range(1, k):
+        expr = (f"(({expr}) * {_B} + "
+                f"md5_number_upper(t[i+{j}])::HUGEINT) % {_M}")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, i, ({expr})::BIGINT AS h
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {k - 2})) AS i
+          FROM tok)
+), wins AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS m,
+           count(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM g
+), limited AS (
+    SELECT doc_id, i, m FROM wins
+    WHERE i <= greatest(1, n_grams - {w - 1})
+), kept AS (
+    SELECT doc_id, i, m,
+           lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM limited
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos,
+       m % {1 << 62} AS fp
+FROM kept WHERE prev IS NULL OR m <> prev
+"""
+
+
+FINGERPRINT_ROWS_SQL = _fingerprint_rows_sql()
 
 
 def fingerprints(sf_dir: str):
