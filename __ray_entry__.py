@@ -189,7 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_sections(sf_dir: str):
         from ferenda_ray.pipelines.kg import build_sections_ds
 
-        return build_sections_ds(_pages_path(_n_pages(sf_dir)))
+        n = _n_pages(sf_dir)
+        _kg_sections_cached(n)  # oracle input (live rerun vs cache)
+        return build_sections_ds(_pages_path(n))
 
     def kg_fulltext_search(sf_dir: str, term: str = "RFC"):
         """Fulltext query path over the sections table (reference S12
@@ -204,7 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.match_substring(b.column("text"), term)
             ).select(["url", "fragment", "title"])
 
-        return (build_sections_ds(_pages_path(_n_pages(sf_dir)))
+        n = _n_pages(sf_dir)
+        _kg_sections_cached(n)  # oracle recomputes the filter in SQL
+        return (build_sections_ds(_pages_path(n))
                 .map_batches(match, batch_format="pyarrow")
                 .sort(["url", "fragment"]))
 

@@ -60,12 +60,52 @@ def _facet_pivot(tri: str) -> str:
             f"FROM {tri} WHERE pred IN ({preds}) GROUP BY subj")
 
 
+def _pagerank_sql(tri: str, n_iter: int = 5, d: float = 0.85) -> str:
+    """PageRank unrolled to ``n_iter`` CTE rounds — the same damping /
+    dangling-mass / edge-multiplicity semantics as the BSP
+    implementation (``ops/graph.py``: outdeg counts edge ROWS, nodes =
+    all endpoints, rank_{k+1} = (1-d)/n + d·dangling/n + d·Σ r/deg).
+    Float sums differ only in association order (measured max abs diff
+    1.3e-17 on the gate corpus); the driver's 6-decimal value hash is
+    far coarser."""
+    edges = (f"SELECT split_part(subj, '#', 1) AS s, "
+             f"split_part(obj, '#', 1) AS t FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}'")
+    parts = [
+        f"edges AS ({edges})",
+        "nodes AS (SELECT DISTINCT u FROM (SELECT s AS u FROM edges "
+        "UNION ALL SELECT t AS u FROM edges))",
+        "odeg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT u, 1.0 / st.n AS r FROM nodes, st)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r{k}.r), 0) AS dang FROM r{k} "
+            f"LEFT JOIN odeg ON odeg.s = r{k}.u WHERE odeg.s IS NULL)")
+        parts.append(
+            f"c{k} AS (SELECT e.t AS u, sum(r{k}.r / odeg.deg) AS c "
+            f"FROM edges e JOIN r{k} ON r{k}.u = e.s "
+            f"JOIN odeg ON odeg.s = e.s GROUP BY e.t)")
+        parts.append(
+            f"r{k + 1} AS (SELECT n.u, (1 - {d}) / st.n "
+            f"+ {d} * d{k}.dang / st.n + {d} * coalesce(c{k}.c, 0) AS r "
+            f"FROM nodes n CROSS JOIN st CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.u = n.u)")
+    return ("WITH " + ",\n".join(parts)
+            + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
+
+
+SECTIONS_GLOB = "/tmp/ferenda_ray_corpus/sections_{n}{rev}/*.parquet"
+
+
 def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
     """``src_rev``: the entry module's source-content digest — cache
     paths rotate with the code so these oracles can never read a stale
     parquet from an earlier build."""
     rev = f"_{src_rev}" if src_rev else ""
     tri = f"read_parquet('{TRIPLES_GLOB.format(n=n_pages, rev=rev)}')"
+    sec = f"read_parquet('{SECTIONS_GLOB.format(n=n_pages, rev=rev)}')"
     edges = (f"SELECT split_part(subj, '#', 1) AS src, "
              f"split_part(obj, '#', 1) AS dst FROM {tri} "
              f"WHERE pred = '{S.DCT_REFERENCES}'")
@@ -74,6 +114,17 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_triples": (
             f"SELECT subj, pred, obj, obj_is_uri, lang, datatype, url "
             f"FROM {tri}"),
+        "kg_pagerank": _pagerank_sql(tri),
+        "kg_sections": (
+            # self-consistency (like kg_triples): live extract+FSM
+            # rerun vs the materialized deterministic sections cache
+            f"SELECT url, fragment, about, title, ordinal, text "
+            f"FROM {sec}"),
+        "kg_fulltext_search": (
+            # operator-level: the substring filter + projection + sort
+            # recomputed in SQL over the same sections table
+            f"SELECT url, fragment, title FROM {sec} "
+            f"WHERE text LIKE '%RFC%'"),
         "kg_triple_counts": (
             f"SELECT url, count(*) AS n_triples FROM {tri} GROUP BY url"),
         "kg_stats": (
