@@ -71,29 +71,79 @@ def _pagerank_sql(tri: str, n_iter: int = 5, d: float = 0.85) -> str:
     edges = (f"SELECT split_part(subj, '#', 1) AS s, "
              f"split_part(obj, '#', 1) AS t FROM {tri} "
              f"WHERE pred = '{S.DCT_REFERENCES}'")
+    # AS MATERIALIZED: the CTE chain references each round's result
+    # multiple times — without materialization DuckDB re-inlines the
+    # whole prefix per reference and the plan grows exponentially
+    M = "AS MATERIALIZED"
     parts = [
-        f"edges AS ({edges})",
-        "nodes AS (SELECT DISTINCT u FROM (SELECT s AS u FROM edges "
+        f"edges {M} ({edges})",
+        f"nodes {M} (SELECT DISTINCT u FROM (SELECT s AS u FROM edges "
         "UNION ALL SELECT t AS u FROM edges))",
-        "odeg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
-        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT u, 1.0 / st.n AS r FROM nodes, st)",
+        f"odeg {M} (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        f"st {M} (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"r0 {M} (SELECT u, 1.0 / st.n AS r FROM nodes, st)",
     ]
     for k in range(n_iter):
         parts.append(
-            f"d{k} AS (SELECT coalesce(sum(r{k}.r), 0) AS dang FROM r{k} "
+            f"d{k} {M} (SELECT coalesce(sum(r{k}.r), 0) AS dang FROM r{k} "
             f"LEFT JOIN odeg ON odeg.s = r{k}.u WHERE odeg.s IS NULL)")
         parts.append(
-            f"c{k} AS (SELECT e.t AS u, sum(r{k}.r / odeg.deg) AS c "
+            f"c{k} {M} (SELECT e.t AS u, sum(r{k}.r / odeg.deg) AS c "
             f"FROM edges e JOIN r{k} ON r{k}.u = e.s "
             f"JOIN odeg ON odeg.s = e.s GROUP BY e.t)")
         parts.append(
-            f"r{k + 1} AS (SELECT n.u, (1 - {d}) / st.n "
+            f"r{k + 1} {M} (SELECT n.u, (1 - {d}) / st.n "
             f"+ {d} * d{k}.dang / st.n + {d} * coalesce(c{k}.c, 0) AS r "
             f"FROM nodes n CROSS JOIN st CROSS JOIN d{k} "
             f"LEFT JOIN c{k} ON c{k}.u = n.u)")
     return ("WITH " + ",\n".join(parts)
             + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
+
+
+def _hits_sql(tri: str, n_iter: int = 5) -> str:
+    """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
+    implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
+    for every node, each half-step consumes the OTHER score divided by
+    its L2 norm, final scores are the last raw vectors divided by their
+    norms, absent nodes score 0. Measured max abs diff 1.7e-16."""
+    edges = (f"SELECT split_part(subj, '#', 1) AS s, "
+             f"split_part(obj, '#', 1) AS t FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}'")
+    M = "AS MATERIALIZED"
+    parts = [
+        f"edges {M} ({edges})",
+        f"nodes {M} (SELECT DISTINCT u FROM (SELECT s AS u FROM edges "
+        "UNION ALL SELECT t AS u FROM edges))",
+        # hub0 = 1 for every node -> raw auth0 = in-degree
+        f"a0 {M} (SELECT t AS u, CAST(count(*) AS DOUBLE) AS v "
+        "FROM edges GROUP BY t)",
+        f"an0 {M} (SELECT sqrt(sum(v * v)) AS n FROM a0)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"h{i + 1} {M} (SELECT e.s AS u, sum(a{i}.v / an{i}.n) AS v "
+            f"FROM edges e JOIN a{i} ON a{i}.u = e.t CROSS JOIN an{i} "
+            f"GROUP BY e.s)")
+        parts.append(
+            f"hn{i + 1} {M} (SELECT sqrt(sum(v * v)) AS n FROM h{i + 1})")
+        if i + 1 < n_iter:
+            parts.append(
+                f"a{i + 1} {M} (SELECT e.t AS u, "
+                f"sum(h{i + 1}.v / hn{i + 1}.n) AS v "
+                f"FROM edges e JOIN h{i + 1} ON h{i + 1}.u = e.s "
+                f"CROSS JOIN hn{i + 1} GROUP BY e.t)")
+            parts.append(
+                f"an{i + 1} {M} (SELECT sqrt(sum(v * v)) AS n "
+                f"FROM a{i + 1})")
+    la, lh = n_iter - 1, n_iter
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT n.u AS url,
+       coalesce(a{la}.v, 0) / an{la}.n AS authority,
+       coalesce(h{lh}.v, 0) / hn{lh}.n AS hub
+FROM nodes n
+LEFT JOIN a{la} ON a{la}.u = n.u
+LEFT JOIN h{lh} ON h{lh}.u = n.u
+CROSS JOIN an{la} CROSS JOIN hn{lh}""")
 
 
 SECTIONS_GLOB = "/tmp/ferenda_ray_corpus/sections_{n}{rev}/*.parquet"
@@ -115,6 +165,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"SELECT subj, pred, obj, obj_is_uri, lang, datatype, url "
             f"FROM {tri}"),
         "kg_pagerank": _pagerank_sql(tri),
+        "kg_hits": _hits_sql(tri),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache
