@@ -129,6 +129,49 @@ def _kg_sections_cached(n_pages: int) -> str:
     return _SECTIONS_PARQUET[n_pages]
 
 
+_PRODUCT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _cached_product(name: str, n_pages: int, build) -> str:
+    """Generic deterministic-product parquet cache (same dance as the
+    triples/sections caches; source-digest-keyed path)."""
+    key = (name, n_pages)
+    if key not in _PRODUCT_CACHE:
+        out = f"/tmp/ferenda_ray_corpus/{name}_{n_pages}_{_src_rev()}"
+        if not os.path.isdir(out) or not os.path.exists(f"{out}/_DONE"):
+            import shutil
+
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            build(_pages_path(n_pages)).write_parquet(tmp)
+            open(f"{tmp}/_DONE", "w").close()
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
+        _PRODUCT_CACHE[key] = out
+    return _PRODUCT_CACHE[key]
+
+
+def _build_entries(pages_path: str):
+    from ferenda_ray.pipelines.kg import build_entries_ds
+
+    return build_entries_ds(pages_path)
+
+
+def _build_composite(pages_path: str):
+    import ray.data as rd
+
+    from ferenda_ray.stages.composite import composite_parse_batch
+    from ferenda_ray.stages.extract import extract_batch
+
+    return (rd.read_parquet(pages_path,
+                            columns=["url", "warc_ts", "html", "lang"])
+            .map_batches(extract_batch, batch_format="pyarrow",
+                         batch_size=64)
+            .map_batches(composite_parse_batch, batch_format="pyarrow",
+                         batch_size=64)
+            .select_columns(["url", "parser_used"]))
+
+
 def entry() -> Any:
     """Flagship: extract → parse → link → canonicalize on a synthetic
     sf0.001-scale pages corpus (~100 logical docs); returns the triples
@@ -243,7 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({"stage": b.column("stage"),
                              "ok_i": pc.cast(b.column("ok"), pa.int64())})
 
-        return (build_entries_ds(_pages_path(_n_pages(sf_dir)))
+        n = _n_pages(sf_dir)
+        _cached_product("entries", n, _build_entries)  # oracle input
+        return (build_entries_ds(_pages_path(n))
                 .map_batches(flag, batch_format="pyarrow")
                 .groupby("stage")
                 .aggregate(Count(alias_name="n_docs"),
@@ -338,7 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ferenda_ray.stages.composite import composite_parse_batch
         from ferenda_ray.stages.extract import extract_batch
 
-        ds = rd.read_parquet(_pages_path(_n_pages(sf_dir)),
+        n = _n_pages(sf_dir)
+        _cached_product("composite", n, _build_composite)  # oracle input
+        ds = rd.read_parquet(_pages_path(n),
                              columns=["url", "warc_ts", "html", "lang"])
         ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                             batch_size=64)

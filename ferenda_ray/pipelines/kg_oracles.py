@@ -176,6 +176,17 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             # recomputed in SQL over the same sections table
             f"SELECT url, fragment, title FROM {sec} "
             f"WHERE text LIKE '%RFC%'"),
+        "kg_entries_stats": (
+            f"SELECT stage, count(*) AS n_docs, "
+            f"CAST(sum(CAST(ok AS BIGINT)) AS BIGINT) AS n_ok "
+            f"FROM read_parquet("
+            f"'/tmp/ferenda_ray_corpus/entries_{n_pages}{rev}/*.parquet') "
+            f"GROUP BY stage"),
+        "kg_composite_stats": (
+            f"SELECT parser_used, count(*) AS n_docs "
+            f"FROM read_parquet("
+            f"'/tmp/ferenda_ray_corpus/composite_{n_pages}{rev}/*.parquet') "
+            f"GROUP BY parser_used"),
         "kg_triple_counts": (
             f"SELECT url, count(*) AS n_triples FROM {tri} GROUP BY url"),
         "kg_stats": (
