@@ -594,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents": text.CURATE_DOCUMENTS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
+        "knn_classify": ann.KNN_CLASSIFY_SQL,
         "top_terms": sketch.TOP_TERMS_SQL,
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         "value_quantiles": sketch.VALUE_QUANTILES_SQL,

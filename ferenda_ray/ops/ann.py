@@ -103,6 +103,30 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+# kNN-classify recomputed in SQL: same rounded-cosine top-k cutoff
+# (ties broken by vec_id) + majority vote with min-label tie rule
+KNN_CLASSIFY_SQL = """
+WITH scored AS (
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+               e.embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)
+           ), 6) AS cs
+    FROM embeddings e WHERE e.vec_id <> 0
+), top AS (
+    SELECT vec_id FROM scored ORDER BY cs DESC, vec_id ASC LIMIT 15
+), votes AS (
+    SELECT l.label, count(*) AS n
+    FROM top t JOIN embeddings l USING (vec_id) GROUP BY l.label
+)
+SELECT CAST(0 AS BIGINT) AS vec_id,
+       CAST(min(label) AS BIGINT) AS pred_label,
+       CAST(min(n) AS BIGINT) AS n_votes
+FROM (SELECT label, n, max(n) OVER () AS mx FROM votes)
+WHERE n = mx
+"""
+
+
 def _centroid_partials(ds, cents: np.ndarray, *, normalize: bool):
     """ONE distributed pass: per-batch assignment against broadcast
     centroids → (k, dim) partial sums + counts; driver reduces
