@@ -265,13 +265,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         n = _n_pages(sf_dir)
         out = f"/tmp/ferenda_ray_corpus/ftidx_{n}_{_src_rev()}"
-        if not os.path.exists(f"{out}/stats.json"):
+        if not os.path.exists(f"{out}/_DONE"):
+            import shutil
+
             import ray.data as rd
 
-            os.makedirs(out, exist_ok=True)
+            # crash-atomic build: postings land in a .tmp dir, one
+            # os.replace publishes them (a crash mid-build can never
+            # leave stale fragments that a re-run would append beside)
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
             build_index(rd.read_parquet(_kg_sections_cached(n),
                                         columns=["about", "text"]),
-                        "about", "text", out)
+                        "about", "text", tmp)
+            open(f"{tmp}/_DONE", "w").close()
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
         return query_index(out, q, k)
 
     def kg_entries_stats(sf_dir: str):

@@ -562,15 +562,23 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     this low (0.4 is far below any LSH-able regime); the approximate
     scale path is the IVF centroid blocking in ``ops/ann.py``."""
     import glob
+    import hashlib
     import os
-    import uuid
+    import shutil
 
+    src = f"{sf_dir}/embeddings.parquet"
+    # stage dir keyed by a source digest (path+mtime+size), NOT a fresh
+    # uuid per call: repeated runs over the same table REUSE one staged
+    # copy instead of leaking a new normalized copy each call (ADVICE r2)
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
     stage_dir = os.path.join(
         os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp"),
-        "ferenda_emb_stage-" + uuid.uuid4().hex[:12])
+        "ferenda_emb_stage-" + digest)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
 
     def normalize_batch(b: pa.Table) -> pa.Table:
         vm = _list_col_matrix(b.column("embedding"))
@@ -582,9 +590,14 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
             "embedding": pa.array(list(vm), pa.list_(pa.float64())),
         })
 
-    normalized = ds.map_batches(normalize_batch, batch_format="pyarrow",
-                                batch_size=2048)
-    normalized.write_parquet(stage_dir)
+    if not os.path.exists(os.path.join(stage_dir, "_DONE")):
+        tmp = stage_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(normalize_batch, batch_format="pyarrow",
+                       batch_size=2048).write_parquet(tmp)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.replace(tmp, stage_dir)
     shards = sorted(glob.glob(os.path.join(stage_dir, "*.parquet")))
 
     def score(b: pa.Table) -> pa.Table:

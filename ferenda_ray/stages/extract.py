@@ -80,6 +80,7 @@ class _Extractor(HTMLParser):
         self._title_parts: list[str] = []
         self._list_stack: list[bool] = []      # open ul/ol; True = ordered
         self._table_stack: list[dict] = []     # open tables: {"row": idx}
+        self._table_counter = 0                # per-doc monotone <table> id
 
     # -- flushing ---------------------------------------------------------
     def _flush_block(self) -> None:
@@ -117,6 +118,9 @@ class _Extractor(HTMLParser):
             blk["row"] = max(0, self._table_stack[-1]["row"])
             blk["header"] = tag == "th"
             blk["tdepth"] = len(self._table_stack)
+            # monotone table id: lets the FSM break between ADJACENT
+            # sibling tables even when row indices don't reset
+            blk["tid"] = self._table_stack[-1]["tid"]
         if kind == "listitem":
             # list-context metadata for the FSM's nested-list re-nesting
             # (reference elements.py:632-660 Ordered/UnorderedList);
@@ -167,7 +171,8 @@ class _Extractor(HTMLParser):
             return
         if tag == "table":
             self._flush_block()
-            self._table_stack.append({"row": -1})
+            self._table_counter += 1
+            self._table_stack.append({"row": -1, "tid": self._table_counter})
             return
         if tag == "tr":
             self._flush_block()

@@ -115,6 +115,28 @@ def _write_manifest_row(out_dir: str, bucket: int, n: int, t_ms: float) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket-{bucket:05d}.json"))
 
 
+def _write_meta(out_dir: str, num_buckets: int) -> None:
+    """Persist the table's bucketing config so later incremental merges
+    can refuse a mismatched ``num_buckets`` (a silent mismatch splits
+    the keyspace differently and breaks the exact-dedup invariant)."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, "_meta.json")
+    if not os.path.exists(path):
+        tmp = os.path.join(mdir, f".tmp-meta-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"num_buckets": num_buckets}, f)
+        os.replace(tmp, path)
+
+
+def table_num_buckets(out_dir: str) -> int | None:
+    path = os.path.join(_manifest_dir(out_dir), "_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)["num_buckets"]
+
+
 def done_buckets(out_dir: str) -> set[int]:
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
@@ -141,6 +163,13 @@ def materialize(triples_ds, out_dir: str,
                 num_buckets: int = DEFAULT_BUCKETS, resume: bool = True):
     """Run the dedup + partitioned write; returns the manifest as a
     pandas DataFrame (small: one row per bucket written this run)."""
+    existing = table_num_buckets(out_dir)
+    if existing is not None and existing != num_buckets:
+        raise ValueError(
+            f"materialize: table at {out_dir} was built with "
+            f"num_buckets={existing}, got {num_buckets} — resuming with a "
+            "different bucket count would split the keyspace differently")
+    _write_meta(out_dir, num_buckets)
     ds = triples_ds.map_batches(
         lambda b: add_keys(b, num_buckets), batch_format="pyarrow"
     )
@@ -344,8 +373,11 @@ def materialize_incremental(delta_ds, out_dir: str,
       stays proportional to the delta.
 
     ``num_buckets`` must equal the original build's (the manifest is
-    bucket-addressed). Equality with a from-scratch rebuild on the
-    combined input is pytest-gated (tests/test_incremental.py).
+    bucket-addressed) — VALIDATED against the ``_meta.json`` the build
+    persisted; a mismatch raises instead of silently splitting the
+    keyspace (legacy tables without meta are backfilled with the passed
+    value). Equality with a from-scratch rebuild on the combined input
+    is pytest-gated (tests/test_incremental.py).
 
     Scale note: the whole-table delete scan is the price of bucketing
     by triple-key hash. For 10^8+-url daily deltas, bucket by
@@ -356,6 +388,14 @@ def materialize_incremental(delta_ds, out_dir: str,
 
     import ray
 
+    existing = table_num_buckets(out_dir)
+    if existing is not None and existing != num_buckets:
+        raise ValueError(
+            f"materialize_incremental: table at {out_dir} was built with "
+            f"num_buckets={existing}, got {num_buckets} — a mismatched "
+            "bucket count would let the same triple key survive in two "
+            "buckets")
+    _write_meta(out_dir, num_buckets)
     ds = delta_ds.map_batches(
         lambda b: add_keys(b, num_buckets), batch_format="pyarrow")
     stage_root = os.environ.get("FERENDA_RAY_STAGE_ROOT")

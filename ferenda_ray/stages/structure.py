@@ -110,6 +110,20 @@ def make_list(parser) -> dict:
         parser.reader.next()
         while len(stack) > 1 and d < stack[-1][0]:
             stack.pop()
+        if (len(stack) > 1 and d == stack[-1][0]
+                and (stack[-1][1]["kind"] == "OrderedList")
+                != bool(nxt.get("ordered"))):
+            # ol↔ul change at a NESTED depth: close the sublist and open
+            # a sibling sublist of the matching kind under the same host
+            stack.pop()
+            cur = stack[-1][1]
+            if not cur["children"]:
+                cur["children"].append({"kind": "ListItem", "text": ""})
+            host = cur["children"][-1]
+            sub = {"kind": "OrderedList" if nxt.get("ordered")
+                   else "UnorderedList", "children": []}
+            host.setdefault("children", []).append(sub)
+            stack.append((d, sub))
         if d > stack[-1][0]:
             # deeper item: open a sublist under the last item of the
             # current list (synthesize a host item for malformed input)
@@ -130,19 +144,22 @@ def make_table(parser) -> dict:
     """Consume the run of consecutive cell chunks into a
     Table → TableRow → TableCell tree using the extractor's row/tdepth
     metadata (reference ``elements.py`` Table/TableRow/TableCell). A
-    row-index reset marks the start of a SIBLING table (left for the
-    next parse call)."""
+    change in the extractor's per-document table id (``tid``) marks the
+    start of a SIBLING table (left for the next parse call); a row-index
+    decrease is kept as a fallback boundary for tid-less fixtures."""
     first = parser.reader.peek()
     table = {"kind": "Table", "children": []}
     cur_row = None
     last_row_idx = -1
     depth = first.get("tdepth", 1)
+    tid = first.get("tid")
     while not parser.reader.eof:
         nxt = parser.reader.peek()
         if nxt["kind"] != "cell":
             break
         r = nxt.get("row", 0)
-        if nxt.get("tdepth", 1) != depth or r < last_row_idx:
+        if (nxt.get("tid") != tid or nxt.get("tdepth", 1) != depth
+                or r < last_row_idx):
             break  # sibling/other table
         parser.reader.next()
         if r != last_row_idx:

@@ -140,3 +140,24 @@ def test_incremental_untouched_buckets_not_rewritten(ray_session, tmp_path):
             assert now >= t
         else:
             assert now == t  # untouched partitions: zero IO
+
+
+def test_incremental_num_buckets_mismatch_raises(tmp_path, ray_session):
+    # ADVICE r2: a mismatched num_buckets must raise, not silently split
+    # the keyspace
+    import pytest
+    import ray.data as rd
+
+    from ferenda_ray.stages.materialize import (
+        materialize, materialize_incremental, table_num_buckets)
+
+    rows = [{"url": f"u{i}", "subj": f"s{i}", "pred": "p", "obj": f"o{i}",
+             "lang": "", "datatype": ""} for i in range(20)]
+    out = str(tmp_path / "tbl")
+    materialize(rd.from_items(rows), out, num_buckets=4)
+    assert table_num_buckets(out) == 4
+    delta = rd.from_items(rows[:2])
+    with pytest.raises(ValueError, match="num_buckets=4"):
+        materialize_incremental(delta, out, num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets=4"):
+        materialize(rd.from_items(rows), out, num_buckets=8)

@@ -169,3 +169,49 @@ def test_table_elements_extract_parse_render():
     flat = html.replace("\n", "")
     assert "<table><tr><th>Name</th><th>Qty</th></tr>" in flat
     assert "<tr><td>beta</td><td>5</td></tr></table>" in flat
+
+
+ADJACENT_TABLES_HTML = b"""<!DOCTYPE html><html lang="en"><head>
+<title>T</title></head><body><h1>T</h1>
+<table><tr><td>A1</td><td>A2</td></tr></table>
+<table><tr><td>B1</td><td>B2</td></tr></table>
+</body></html>"""
+
+
+def test_adjacent_single_row_tables_stay_separate():
+    # ADVICE r2: a row-index decrease never fires between two adjacent
+    # single-row tables (both row 0); the per-doc table id must split them
+    _, _, _, blocks = extract_page(ADJACENT_TABLES_HTML)
+    cells = [b for b in blocks if b["kind"] == "cell"]
+    assert [c["tid"] for c in cells] == [1, 1, 2, 2]
+    tree = parse_blocks(blocks)
+    tables = [c for c in tree["children"] if c["kind"] == "Table"]
+    assert len(tables) == 2
+    assert [[cell["text"] for cell in row["children"]]
+            for row in tables[0]["children"]] == [["A1", "A2"]]
+    assert [[cell["text"] for cell in row["children"]]
+            for row in tables[1]["children"]] == [["B1", "B2"]]
+
+
+SIBLING_SUBLISTS_HTML = b"""<!DOCTYPE html><html lang="en"><head>
+<title>T</title></head><body><h1>T</h1>
+<ul><li>host
+<ol><li>o1</li></ol>
+<ul><li>u1</li></ul>
+</li><li>tail</li></ul>
+</body></html>"""
+
+
+def test_nested_sibling_sublist_kind_change():
+    # ADVICE r2: ul directly following ol at the same inner depth must
+    # open a SIBLING sublist of the matching kind, not append into the ol
+    _, _, _, blocks = extract_page(SIBLING_SUBLISTS_HTML)
+    tree = parse_blocks(blocks)
+    ul = tree["children"][1]
+    assert ul["kind"] == "UnorderedList"
+    host = ul["children"][0]
+    subs = host.get("children", [])
+    assert [s["kind"] for s in subs] == ["OrderedList", "UnorderedList"]
+    assert [c["text"] for c in subs[0]["children"]] == ["o1"]
+    assert [c["text"] for c in subs[1]["children"]] == ["u1"]
+    assert ul["children"][1]["text"] == "tail"
