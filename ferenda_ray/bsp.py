@@ -49,6 +49,36 @@ def read_partials(root: str, tag: str, bucket: int) -> pd.DataFrame | None:
     return pd.concat([pq.read_table(f).to_pandas() for f in files])
 
 
+_PUBLISHED: list[str] = []
+
+
+def publish_dataset(root: str, files: list[str], prefix: str,
+                    columns: list[str] | None = None):
+    """Publish the final per-bucket result files of a BSP run as a lazy
+    ``ray.data.Dataset``: move them out of the (about-to-be-deleted)
+    stage root into a fresh result dir and return ``read_parquet`` over
+    it. Node-level output therefore stays on the stage tier (shared
+    storage on a cluster) instead of concentrating on the driver as a
+    pandas concat — at 10^9 nodes the answer itself doesn't fit there.
+    Result dirs are removed at interpreter exit; callers that need the
+    output durably write_parquet it somewhere of their own.
+    """
+    import atexit
+    import shutil
+
+    import ray.data as rd
+
+    out = stage_root(prefix)
+    os.makedirs(out, exist_ok=True)
+    for f in files:
+        os.replace(f, os.path.join(out, os.path.basename(f)))
+    if not _PUBLISHED:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _PUBLISHED])
+    _PUBLISHED.append(out)
+    return rd.read_parquet(out, columns=columns)
+
+
 def read_hive_bucket(root: str, tag: str, col: str, bucket: int,
                      columns: list[str]) -> pa.Table | None:
     """Read one ``{tag}/{col}={bucket}`` hive partition (as written by

@@ -285,7 +285,9 @@ def _verified_pairs(sh_ds, cand_ds, threshold: float,
         ray.get([attach.remote(b) for b in range(num_buckets)])
 
         @ray.remote
-        def jaccard(b: int) -> pd.DataFrame:
+        def jaccard(b: int) -> None:
+            import pyarrow.parquet as pq
+
             g = read_partials(root, "pairs", b)
             a_o, b_o, j_o = [], [], []
             if g is not None:
@@ -300,14 +302,23 @@ def _verified_pairs(sh_ds, cand_ds, threshold: float,
                         a_o.append(a)
                         b_o.append(bb)
                         j_o.append(round(j, 6))
-            return pd.DataFrame({
-                "doc_a": pd.Series(a_o, dtype="int64"),
-                "doc_b": pd.Series(b_o, dtype="int64"),
-                "jaccard": pd.Series(j_o, dtype="float64")})
+            pq.write_table(
+                pa.table({"doc_a": pa.array(a_o, pa.int64()),
+                          "doc_b": pa.array(b_o, pa.int64()),
+                          "jaccard": pa.array(j_o, pa.float64())}),
+                os.path.join(root, f"verified-{b:05d}.parquet"))
 
-        frames = ray.get([jaccard.remote(b) for b in range(num_buckets)])
-        out = pd.concat(frames, ignore_index=True)
-        return rd.from_pandas(out)
+        from ferenda_ray.bsp import publish_dataset
+
+        ray.get([jaccard.remote(b) for b in range(num_buckets)])
+        # the verified-pairs result stays a Dataset over the per-bucket
+        # parquet (pairs ≪ corpus, but at 10^12 docs even pairs outgrow
+        # the driver)
+        return publish_dataset(
+            root,
+            [os.path.join(root, f"verified-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_dedup_pairs")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -649,8 +660,9 @@ def dup_clusters(pairs_ds, num_buckets: int = 16, max_rounds: int = 64):
     Converges in O(component diameter) rounds; raises if ``max_rounds``
     is exhausted (never returns a silently-unconverged labelling).
 
-    Returns (doc_id, cluster) with cluster = min doc_id of the
-    component, sorted by doc_id."""
+    Returns a lazy Dataset (doc_id, cluster) over the per-bucket label
+    parquet, cluster = min doc_id of the component — node-level output
+    never concentrates on the driver."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -733,11 +745,16 @@ def dup_clusters(pairs_ds, num_buckets: int = 16, max_rounds: int = 64):
                 f"dup_clusters: min-label propagation did not converge in "
                 f"{max_rounds} rounds (component diameter too large?)")
 
-        frames = [pq.read_table(os.path.join(root, f"labels-{b:05d}.parquet")
-                                ).to_pandas() for b in range(num_buckets)]
-        out = pd.concat(frames, ignore_index=True).rename(
-            columns={"node": "doc_id", "label": "cluster"})
-        return out.sort_values("doc_id").reset_index(drop=True)
+        from ferenda_ray.bsp import publish_dataset
+
+        return publish_dataset(
+            root,
+            [os.path.join(root, f"labels-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_cc_labels",
+        ).map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster"]),
+            batch_format="pyarrow")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

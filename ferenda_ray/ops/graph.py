@@ -197,12 +197,17 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
     map per round), each round = one map wave (rank ⋈ edge partition,
     local pre-aggregation by dst) + one reduce wave (sum partials →
     next rank). Driver state per round: the dangling-mass scalar.
-    Returns a pandas DataFrame (url, rank) — node-level output."""
+    Returns a lazy Dataset (url, rank) over the per-bucket result
+    parquet — node-level output never concentrates on the driver."""
+    from ferenda_ray.bsp import publish_dataset
+
     root = _graph_stage_root()
     try:
         n = _stage_graph(edges_ds, root, num_buckets)
         if n == 0:
-            return pd.DataFrame({"url": [], "rank": []})
+            return rd.from_arrow(pa.table(
+                {"url": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.float64())}))
 
         from ferenda_ray.util import stable_uint
 
@@ -249,12 +254,11 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             ray.get([pr_reduce.remote(b, r, base)
                      for b in range(num_buckets)])
 
-        out = pd.concat([
-            pq.read_table(os.path.join(root, f"rank{n_iter}-{b:05d}.parquet"),
-                          columns=["url", "rank"]).to_pandas()
-            for b in range(num_buckets)])
-        return out.sort_values(["rank", "url"], ascending=[False, True]
-                               ).reset_index(drop=True)
+        return publish_dataset(
+            root,
+            [os.path.join(root, f"rank{n_iter}-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_graph_pr", columns=["url", "rank"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -266,12 +270,20 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
     writes pre-aggregated partials into destination buckets, a reduce
     wave sums them; the L2 norm is the sum of per-bucket scalars and is
     applied when the NEXT wave reads the scores (scores stored raw).
-    Returns a pandas DataFrame (url, authority, hub)."""
+    Returns a lazy Dataset (url, authority, hub): the final
+    score-normalize-merge is a per-bucket wave (scores are bucketed by
+    the same hash(url) as the node table, so the merge is local) and
+    the result is read back from the per-bucket parquet."""
+    from ferenda_ray.bsp import publish_dataset
+
     root = _graph_stage_root()
     try:
         n = _stage_graph(edges_ds, root, num_buckets)
         if n == 0:
-            return pd.DataFrame({"url": [], "authority": [], "hub": []})
+            return rd.from_arrow(pa.table(
+                {"url": pa.array([], pa.string()),
+                 "authority": pa.array([], pa.float64()),
+                 "hub": pa.array([], pa.float64())}))
 
         from ferenda_ray.util import stable_uint
 
@@ -333,26 +345,38 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
             hub_norm = (sum(sq) ** 0.5) or 1.0
             hub_default = 0.0
 
-        def read_scores(tag: str, norm: float, col: str) -> pd.DataFrame:
-            frames = []
-            for b in range(num_buckets):
+        @ray.remote
+        def finalize(b: int, a_norm: float, h_norm: float) -> None:
+            def bucket_scores(tag: str, norm: float, col: str):
                 f = os.path.join(root, f"{tag}-{b:05d}.parquet")
                 if os.path.exists(f):
-                    frames.append(pq.read_table(f).to_pandas())
-            sc = (pd.concat(frames) if frames
-                  else pd.DataFrame({"url": [], "val": []}))
-            sc[col] = sc["val"] / norm
-            return sc[["url", col]]
+                    sc = pq.read_table(f).to_pandas()
+                else:
+                    sc = pd.DataFrame({"url": pd.Series([], dtype=object),
+                                       "val": pd.Series([], dtype=float)})
+                sc[col] = sc["val"] / norm
+                return sc[["url", col]]
 
-        nodes = pd.concat([_nodes_df(root, b)[["url"]]
-                           for b in range(num_buckets)])
-        a = read_scores(f"{auth_tag}{n_iter - 1}", auth_norm, "authority")
-        h = read_scores(f"{hub_tag}{n_iter}", hub_norm, "hub")
-        out = nodes.merge(a, on="url", how="left").merge(h, on="url",
-                                                         how="left")
-        out[["authority", "hub"]] = out[["authority", "hub"]].fillna(0.0)
-        return out.sort_values(["authority", "url"], ascending=[False, True]
-                               ).reset_index(drop=True)
+            nd = _nodes_df(root, b)[["url"]]
+            out = (nd
+                   .merge(bucket_scores(f"{auth_tag}{n_iter - 1}",
+                                        a_norm, "authority"),
+                          on="url", how="left")
+                   .merge(bucket_scores(f"{hub_tag}{n_iter}",
+                                        h_norm, "hub"),
+                          on="url", how="left"))
+            out[["authority", "hub"]] = out[["authority", "hub"]].fillna(0.0)
+            out = out.sort_values("url", kind="mergesort")
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           os.path.join(root, f"final-{b:05d}.parquet"))
+
+        ray.get([finalize.remote(b, auth_norm, hub_norm)
+                 for b in range(num_buckets)])
+        return publish_dataset(
+            root,
+            [os.path.join(root, f"final-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_graph_hits")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

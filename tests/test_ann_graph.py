@@ -55,12 +55,17 @@ def test_incoming_refs(edges):
 def test_pagerank(edges):
     from ferenda_ray.ops.graph import pagerank
 
-    pr = pagerank(edges, n_iter=20)
+    def ranked(ds):
+        return (ds.to_pandas()
+                .sort_values(["rank", "url"], ascending=[False, True])
+                .reset_index(drop=True))
+
+    pr = ranked(pagerank(edges, n_iter=20))
     assert abs(pr["rank"].sum() - 1.0) < 1e-6
     # c has the most incoming links → highest rank
     assert pr.iloc[0]["url"] == "c"
     # deterministic
-    pr2 = pagerank(edges, n_iter=20)
+    pr2 = ranked(pagerank(edges, n_iter=20))
     pd.testing.assert_frame_equal(pr, pr2)
 
 
@@ -154,16 +159,22 @@ def test_hits_scores(ray_session):
         {"src": "h1", "dst": "a"}, {"src": "h2", "dst": "a"},
         {"src": "h1", "dst": "b"}, {"src": "a", "dst": "b"},
     ])
-    df = hits(edges, n_iter=8)
+    def ranked(ds):
+        return (ds.to_pandas()
+                .sort_values(["authority", "url"],
+                             ascending=[False, True])
+                .reset_index(drop=True))
+
+    df = ranked(hits(edges, n_iter=8))
     top_auth = df.iloc[0]
     assert top_auth.url in ("a", "b")
     hubs = df.set_index("url").hub
     assert hubs["h1"] > hubs["h2"]  # h1 points at both authorities
     # determinism
-    df2 = hits(rd.from_items([
+    df2 = ranked(hits(rd.from_items([
         {"src": "h1", "dst": "a"}, {"src": "h2", "dst": "a"},
         {"src": "h1", "dst": "b"}, {"src": "a", "dst": "b"},
-    ]), n_iter=8)
+    ]), n_iter=8))
     assert df.equals(df2)
 
 
@@ -184,7 +195,7 @@ def test_pagerank_equals_sequential_reference(ray_session):
     edges = [(s, t) for s, t in edges if s != t]
 
     got = pagerank(rd.from_items(
-        [{"src": s, "dst": t} for s, t in edges]), n_iter=12)
+        [{"src": s, "dst": t} for s, t in edges]), n_iter=12).to_pandas()
 
     node_set = sorted({u for e in edges for u in e})
     idx = {u: i for i, u in enumerate(node_set)}

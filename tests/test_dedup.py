@@ -83,7 +83,7 @@ def test_embedding_dups(corpus_dir):
 
 def test_dup_clusters(corpus_dir):
     pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.5)
-    clusters = dedup.dup_clusters(pairs)
+    clusters = dedup.dup_clusters(pairs).to_pandas()
     lab = dict(zip(clusters.doc_id, clusters.cluster))
     for i in range(5):
         assert lab[100 + i] == lab[i] == i
@@ -142,7 +142,7 @@ def test_dup_clusters_long_chain(ray_session):
 
     edges = pd.DataFrame({"doc_a": pd.Series(range(12), dtype="int64"),
                           "doc_b": pd.Series(range(1, 13), dtype="int64")})
-    out = dedup.dup_clusters(rd.from_pandas(edges))
+    out = dedup.dup_clusters(rd.from_pandas(edges)).to_pandas()
     assert sorted(out.doc_id) == list(range(13))
     assert (out.cluster == 0).all()
 
@@ -167,5 +167,6 @@ def test_dup_clusters_matches_unionfind(corpus_dir):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
-    got = dedup.dup_clusters(rd.from_pandas(pairs[["doc_a", "doc_b"]]))
+    got = dedup.dup_clusters(
+        rd.from_pandas(pairs[["doc_a", "doc_b"]])).to_pandas()
     assert dict(zip(got.doc_id, got.cluster)) == want
