@@ -354,27 +354,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_generate(sf_dir: str):
         """Generate stage (M17/S14): docs + incoming-reference
-        annotations → browser HTML per page. Annotations broadcast
-        (right while the refs table fits the object store; the
-        10^12-url path is ``render.generate_join`` — bucketed
-        co-partition of docs and refs, bit-equality tested in
-        tests/test_generate_join.py)."""
-        import functools
-
-        import ray
-
+        annotations → browser HTML per page. Broadcast-vs-bucketed-join
+        auto-selected by annotation-table size
+        (``render.generate_with_annotations``; both paths bit-equality
+        tested in tests/test_generate_join.py)."""
         from ferenda_ray.ops.graph import edges_from_triples, incoming_refs
-        from ferenda_ray.ops.render import generate_batch
+        from ferenda_ray.ops.render import generate_with_annotations
         from ferenda_ray.pipelines.kg import build_docs_ds
 
         n = _n_pages(sf_dir)
-        refs = incoming_refs(
-            edges_from_triples(_kg_triples_cached(n))).to_pandas()
-        ann = {r.dst: r.citing.split(";") for r in refs.itertuples()}
-        ann_ref = ray.put(ann)
-        return build_docs_ds(_pages_path(n)).map_batches(
-            functools.partial(generate_batch, annotations_ref=ann_ref),
-            batch_format="pyarrow", batch_size=64)
+        refs = incoming_refs(edges_from_triples(_kg_triples_cached(n)))
+        return generate_with_annotations(build_docs_ds(_pages_path(n)),
+                                         refs)
 
     def kg_atom_feeds(sf_dir: str):
         from ferenda_ray.ops.facets import faceted_data

@@ -10,9 +10,11 @@ Pattern (all mergeable-summary, like the HLL in ``ops/sketch.py``):
 2. prefilter — broadcast the final bitset via ``ray.put``; filter A
    per-batch.  No false negatives, so survivors ⊇ the true semi-join;
    FPR ≈ (1−e^{−kn/m})^k (~0.8% at m=2^20, k=7, n=65k keys).
-3. confirm — the surviving minority is checked exactly (broadcast key
-   set here; at 10^12-key scale, the salted hash-bucket join of
-   ``stages/canon.py:canon_join`` over survivors only).
+3. confirm — the surviving minority is checked exactly with a bucketed
+   indicator cogroup (per-batch DISTINCT key partials from B union'd
+   with the survivors, one narrow shuffle keyed by hash(key) — the same
+   shape as ``ops/relational.customers_without_events``); the driver
+   never materializes B's key set.
 
 Versus shuffling both sides, only B's distinct keys and the final
 bitset move.  Exact end result → DuckDB EXISTS oracle.
@@ -85,39 +87,64 @@ def bloom_contains(packed: np.ndarray, keys: np.ndarray,
 
 def customers_with_events(sf_dir: str):
     """Semi-join: customers having ≥1 event, via Bloom prefilter +
-    exact confirm (module doc).  Output (c_custkey, c_name) sorted."""
+    bucketed exact confirm (module doc).  Output (c_custkey, c_name)
+    sorted.  The Bloom pass shrinks the customer side BEFORE the
+    confirm shuffle; the confirm is an indicator cogroup over per-batch
+    DISTINCT event keys — no driver-side key set at any size."""
+    import pandas as pd
+
+    from ferenda_ray.util import bucket_ints
+
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["user_id"])
     packed = bloom_build(events, "user_id")
     packed_ref = ray.put(packed)
 
-    # Exact confirm set: distinct user_ids via per-batch dedup partials
-    # (no shuffle; small here — see module doc for the bucketed-join
-    # alternative at open-vocabulary scale).
-    def uniq(b: pa.Table) -> pa.Table:
+    def prefilter(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        pk = fetch(packed_ref)
+        keys = np.asarray(b.column("c_custkey").to_numpy(
+            zero_copy_only=False))
+        return b.filter(pa.array(bloom_contains(pk, keys)))
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey")
+        return pa.table({
+            "key": key,
+            "c_name": b.column("c_name"),
+            "side": pa.array([0] * len(key), pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(key.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
+
+    def event_side(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return pa.table({"user_id": pc.unique(b.column("user_id"))})
+        uids = pc.unique(b.column("user_id"))
+        return pa.table({
+            "key": uids,
+            "c_name": pa.array([""] * len(uids), pa.string()),
+            "side": pa.array([1] * len(uids), pa.int8()),
+            "bucket": pa.array(
+                bucket_ints(uids.to_numpy(zero_copy_only=False), 16),
+                pa.int32()),
+        })
 
-    exact = set()
-    for row in events.map_batches(uniq, batch_format="pyarrow").take_all():
-        exact.add(row["user_id"])
-    exact_ref = ray.put(exact)
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g[g.side == 1].key)
+        out = g[(g.side == 0) & g.key.isin(seen)]
+        out = out.rename(columns={"key": "c_custkey"})
+        return out[["c_custkey", "c_name"]]
 
-    def keep(b: pa.Table) -> pa.Table:
-        pk = ray.get(packed_ref)
-        keys = np.asarray(b.column("c_custkey").to_numpy(zero_copy_only=False))
-        cand = bloom_contains(pk, keys)
-        if not cand.any():
-            return b.slice(0, 0)
-        ex = ray.get(exact_ref)
-        confirmed = cand & np.fromiter((int(x) in ex for x in keys),
-                                       np.bool_, len(keys))
-        return b.filter(pa.array(confirmed))
-
-    return (rd.read_parquet(f"{sf_dir}/customer.parquet",
-                            columns=["c_custkey", "c_name"])
-            .map_batches(keep, batch_format="pyarrow")
+    survivors = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+                 .map_batches(prefilter, batch_format="pyarrow"))
+    return (survivors.map_batches(cust_side, batch_format="pyarrow")
+            .union(events.map_batches(event_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(semi, batch_format="pandas")
             .sort("c_custkey"))
 
 

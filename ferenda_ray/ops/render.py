@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import json
+import os
 import re
 from xml.sax.saxutils import escape, quoteattr
 
@@ -223,6 +224,43 @@ def generate_join(docs_ds, refs_ds, num_buckets: int = 32,
             .union(refs_ds.map_batches(tag_refs, batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(render, batch_format="pandas"))
+
+
+# Above this many annotation rows the refs side stops being broadcast
+# and the bucketed co-partition join takes over (overridable for tests
+# and for clusters with bigger object stores).
+ANNOTATION_BROADCAST_LIMIT = int(os.environ.get(
+    "FERENDA_RAY_ANNOTATION_BROADCAST_LIMIT", "2000000"))
+
+
+def generate_with_annotations(docs_ds, refs_ds, templates_ref=None,
+                              broadcast_limit: int | None = None,
+                              batch_size: int = 64):
+    """``generate`` with automatic broadcast-vs-join selection (the
+    scale path is the DEFAULT above a size threshold, not an opt-in):
+    the incoming-refs table is materialized (it is consumed either way),
+    counted, and either shipped once via ``ray.put`` as a url→citing
+    dict (small: one object-store hop, no shuffle of the docs side) or
+    co-partitioned with the docs by ``hash(url)`` via
+    :func:`generate_join` (big: the dict would outgrow the driver and
+    every worker heap). Both paths render bit-identical HTML
+    (``tests/test_generate_join.py``)."""
+    import functools
+
+    import ray
+
+    limit = (ANNOTATION_BROADCAST_LIMIT if broadcast_limit is None
+             else broadcast_limit)
+    refs = refs_ds.materialize()
+    if refs.count() > limit:
+        return generate_join(docs_ds, refs, templates_ref=templates_ref)
+    ann = {r.dst: r.citing.split(";")
+           for r in refs.to_pandas().itertuples() if r.citing}
+    ann_ref = ray.put(ann)
+    return docs_ds.map_batches(
+        functools.partial(generate_batch, annotations_ref=ann_ref,
+                          templates_ref=templates_ref),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # -- transformlinks -------------------------------------------------------

@@ -429,56 +429,78 @@ def tokenize_ids(sf_dir: str, max_len: int = 512):
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
-# -- TF-IDF top terms per document (two-pass, broadcast df) ----------------
+# -- TF-IDF top terms per document (two-pass; df broadcast or join) --------
 
-def tfidf_top_terms(sf_dir: str, k: int = 5):
+# Above this many distinct terms the df map stops being broadcast and
+# the hash(term)-bucketed cogroup takes over — open-vocabulary web text
+# makes term→df itself too large for the driver / worker heaps.
+DF_BROADCAST_LIMIT = int(__import__("os").environ.get(
+    "FERENDA_RAY_DF_BROADCAST_LIMIT", "5000000"))
+
+
+def _doc_terms(b: pa.Table) -> pl.DataFrame:
+    """(doc_id, term, tf) for one batch — each document is one row, so
+    tf is exact within the batch."""
+    return (pl.from_arrow(b)
+            .select("doc_id",
+                    pl.col("text").str.to_lowercase()
+                    .str.extract_all(r"[a-z0-9]+").alias("term"))
+            .explode("term").drop_nulls()
+            .group_by("doc_id", "term").len()
+            .select("doc_id", "term",
+                    pl.col("len").cast(pl.Int64).alias("tf")))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5,
+                    df_broadcast_limit: int | None = None):
     """Top-k most characteristic terms per document by tf·(N/df).
 
     Two passes over documents.text:
 
-    1. document-frequency aggregation — per-batch (doc_id, term) counts
-       (each document is one row, so tf is exact within the batch),
-       reduced to term → df with a ``groupby(term).count`` whose input
-       is *distinct terms per doc*, not raw tokens; df map + N broadcast
-       via ``ray.put`` (scale path for an open vocabulary: keep df as a
-       Dataset and hash-bucket join instead of broadcasting).
-    2. shuffle-free scoring — recompute per-doc tf in-batch, join the
-       broadcast df, score = CAST(tf·N AS DOUBLE)/df (integer product
-       then one exactly-rounded division, so the DuckDB oracle is
-       bit-equal), keep the per-doc top-k (score desc, term asc).
+    1. document-frequency aggregation — per-batch *distinct terms per
+       doc* (not raw tokens) reduced to term → df with a
+       ``groupby(term).count``; the df table is materialized and
+       COUNTED, then either broadcast via ``ray.put`` (vocabulary below
+       ``DF_BROADCAST_LIMIT``) or kept as a Dataset and hash-bucket
+       joined (:func:`_tfidf_scored_join`) — the scale path is the
+       default above the threshold, not an opt-in.
+    2. scoring — recompute per-doc tf in-batch, join df, score =
+       CAST(tf·N AS DOUBLE)/df (integer product then one
+       exactly-rounded division, so the DuckDB oracle is bit-equal),
+       keep the per-doc top-k (score desc, term asc).
 
     The raw-token multiset never crosses the wire — only (term, df)
-    rows and the final k rows per doc."""
+    rows and the final k rows per doc (broadcast path), plus the
+    (doc_id, term, tf) triples in the join path's term exchange."""
     import ray
     from ray.data.aggregate import Count
 
     path = f"{sf_dir}/documents.parquet"
 
-    def doc_terms(b: pa.Table) -> pl.DataFrame:
-        return (pl.from_arrow(b)
-                .select("doc_id",
-                        pl.col("text").str.to_lowercase()
-                        .str.extract_all(r"[a-z0-9]+").alias("term"))
-                .explode("term").drop_nulls()
-                .group_by("doc_id", "term").len()
-                .select("doc_id", "term",
-                        pl.col("len").cast(pl.Int64).alias("tf")))
-
     def distinct_terms(b: pa.Table) -> pa.Table:
-        return doc_terms(b).select("term").to_arrow()
+        return _doc_terms(b).select("term").to_arrow()
 
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    df_rows = (ds.map_batches(distinct_terms, batch_format="pyarrow")
-               .groupby("term").aggregate(Count(alias_name="df"))
-               .take_all())
+    df_ds = (ds.map_batches(distinct_terms, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="df"))
+             .materialize())
     n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+    limit = (DF_BROADCAST_LIMIT if df_broadcast_limit is None
+             else df_broadcast_limit)
+    if df_ds.count() > limit:
+        scored = _tfidf_scored_join(
+            rd.read_parquet(path, columns=["doc_id", "text"]),
+            df_ds, n_docs, k)
+        return scored.sort(["doc_id", "term"])
+
+    df_rows = df_ds.take_all()
     df_ref = ray.put(pl.DataFrame(
         {"term": [r["term"] for r in df_rows],
          "df": pl.Series([r["df"] for r in df_rows], dtype=pl.Int64)}))
 
     def score(b: pa.Table) -> pa.Table:
         dfm = ray.get(df_ref)
-        out = (doc_terms(b)
+        out = (_doc_terms(b)
                .join(dfm, on="term", how="inner")
                .with_columns(((pl.col("tf") * n_docs).cast(pl.Float64)
                               / pl.col("df")).alias("score"))
@@ -490,6 +512,65 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     return (rd.read_parquet(path, columns=["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow")
             .sort(["doc_id", "term"]))
+
+
+def _tfidf_scored_join(docs_ds, df_ds, n_docs: int, k: int,
+                       num_buckets: int = 32):
+    """Open-vocabulary TF-IDF scale path: (doc_id, term, tf) rows
+    co-partitioned with the (term, df) Dataset by ``hash(term)`` — one
+    narrow shuffle keyed by term, the driver never sees the vocabulary
+    — then a per-doc top-k groupby (a doc's terms land in many term
+    buckets, so the top-k needs its own doc-keyed exchange). Scores are
+    arithmetically identical to the broadcast path
+    (tests/test_ops.py)."""
+    from ferenda_ray.util import stable_uint
+
+    def tf_side(b: pa.Table) -> pa.Table:
+        t = _doc_terms(b).to_arrow().cast(pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()),
+             ("tf", pa.int64())]))
+        terms = t.column("term").to_pylist()
+        n = len(terms)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "term": t.column("term"),
+            "tf": t.column("tf"),
+            "df": pa.array([0] * n, pa.int64()),
+            "side": pa.array([0] * n, pa.int8()),
+            "bucket": pa.array([stable_uint(x, num_buckets)
+                                for x in terms], pa.int32()),
+        })
+
+    def df_side(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        n = len(terms)
+        return pa.table({
+            "doc_id": pa.array([-1] * n, pa.int64()),
+            "term": b.column("term"),
+            "tf": pa.array([0] * n, pa.int64()),
+            "df": b.column("df").cast(pa.int64()),
+            "side": pa.array([1] * n, pa.int8()),
+            "bucket": pa.array([stable_uint(x, num_buckets)
+                                for x in terms], pa.int32()),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfm = g[g.side == 1].set_index("term")["df"]
+        tf = g[g.side == 0]
+        out = tf.assign(df=tf.term.map(dfm).astype("int64"))
+        out["score"] = (out.tf * n_docs).astype("float64") / out.df
+        return out[["doc_id", "term", "tf", "df", "score"]]
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    scored = (docs_ds.map_batches(tf_side, batch_format="pyarrow")
+              .union(df_ds.map_batches(df_side, batch_format="pyarrow"))
+              .groupby("bucket")
+              .map_groups(join_bucket, batch_format="pandas"))
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
 
 
 TFIDF_SQL = """

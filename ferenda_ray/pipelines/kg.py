@@ -14,9 +14,10 @@ Design notes (scale):
   archive-versioning semantics, ``documentrepository.py:1028-1034``) is
   computed as a NARROW aggregate — only (url, warc_ts) is shuffled —
   and applied as a broadcast semi-join filter on the main stream. At
-  10^12 urls the url→max_ts map outgrows the driver: swap the broadcast
-  for a hash-bucket join (bucket both sides by ``hash(url) % B``);
-  the rest of the pipeline is unchanged.
+  10^12 urls the url→max_ts map outgrows the driver, so above
+  ``SNAPSHOT_BROADCAST_LIMIT`` snapshots ``_dedupe_stage``
+  auto-switches to the hash-bucket join (bucket both sides by
+  ``hash(url) % B``); the rest of the pipeline is unchanged.
 * triple emission + linking is ONE actor-pool pass over docs (no
   dataset fan-out → no double execution of the extract stage).
 """
@@ -24,6 +25,7 @@ Design notes (scale):
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 
@@ -78,14 +80,14 @@ def latest_per_url_map(path: str) -> dict[str, tuple[int, str | None]]:
     us = pc.cast(g.column("warc_ts_max"), pa.int64()).to_pylist()
     max_map = dict(zip(g.column("url").to_pylist(), us))
 
-    from collections import Counter
-
-    at_max: Counter = Counter()
-    for u, ts in zip(t.column("url").to_pylist(),
-                     pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()):
-        if max_map[u] == ts:
-            at_max[u] += 1
-    tied = [u for u, c in at_max.items() if c > 1]
+    # vectorized tie detection: snapshots per (url, warc_ts), inner-
+    # joined to the per-url max — rows with count > 1 are tied urls
+    cnt = t.group_by(["url", "warc_ts"]).aggregate([([], "count_all")])
+    maxtab = pa.table({"url": g.column("url"),
+                       "warc_ts": g.column("warc_ts_max")})
+    at_max = cnt.join(maxtab, keys=["url", "warc_ts"], join_type="inner")
+    tied = (at_max.filter(pc.greater(at_max.column("count_all"), 1))
+            .column("url").to_pylist())
     winner: dict[str, str] = {}
     if tied:
         tt = pads.dataset(path).to_table(
@@ -154,23 +156,54 @@ def latest_filter_join(ds, *, num_buckets: int = 64):
         return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        ts = g["warc_ts"].astype("datetime64[us]").astype("int64")
-        g["_ts"] = ts
-        out = []
-        for _, grp in g.groupby("url", sort=False):
-            m = grp["_ts"].max()
-            top = grp[grp["_ts"] == m]
-            if len(top) > 1:
-                digs = top["html"].map(_tie_digest)
-                top = top[digs == digs.min()]
-            out.append(top)
-        res = pd.concat(out) if out else g.iloc[:0]
-        return res.drop(columns=["_ts", "bucket"])
+        g = g.assign(
+            _ts=g["warc_ts"].astype("datetime64[us]").astype("int64"))
+        top = g[g["_ts"] == g.groupby("url")["_ts"].transform("max")]
+        # sha1 tie-break, computed only for rows of urls with a max tie
+        sizes = top.groupby("url")["url"].transform("size")
+        if (sizes > 1).any():
+            tied = top[sizes > 1]
+            digs = tied["html"].map(_tie_digest)
+            keep = digs == digs.groupby(tied["url"]).transform("min")
+            top = pd.concat([top[sizes == 1], tied[keep.to_numpy()]])
+        return top.drop(columns=["_ts", "bucket"])
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(keep_latest, batch_format="pandas"))
+
+
+# Above this many page snapshots (parquet metadata row count — no data
+# read) the broadcast url→max_ts map stops being the default
+# latest-per-url path and the hash-bucket join takes over: the MAP (one
+# entry per distinct url), not the pages, is the driver-memory concern.
+SNAPSHOT_BROADCAST_LIMIT = int(os.environ.get(
+    "FERENDA_RAY_SNAPSHOT_BROADCAST_LIMIT", "20000000"))
+
+
+def _dedupe_stage(ds, pages_path: str, dedupe_snapshots, batch_size: int):
+    """latest-per-url with automatic broadcast-vs-join selection
+    (reference D4 ``download_is_different``,
+    ``documentrepository.py:1028-1034``). ``dedupe_snapshots`` values:
+    True = auto (broadcast map below SNAPSHOT_BROADCAST_LIMIT snapshots,
+    bucketed join above), "join"/"map" = forced, False = off. The two
+    paths are bit-equality tested (tests/test_pipeline.py)."""
+    import functools
+
+    import pyarrow.dataset as pads
+
+    if not dedupe_snapshots:
+        return ds
+    if dedupe_snapshots == "join":
+        return latest_filter_join(ds)
+    if (dedupe_snapshots is True
+            and pads.dataset(pages_path).count_rows()
+            > SNAPSHOT_BROADCAST_LIMIT):
+        return latest_filter_join(ds)
+    max_ref = ray.put(latest_per_url_map(pages_path))
+    return ds.map_batches(
+        functools.partial(latest_filter, max_ref=max_ref),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 _LINKER_CACHE: dict = {}
@@ -356,14 +389,7 @@ def build_triples_ds(pages_path: str, *, link_concurrency=None,
                 functools.partial(raw_prefilter, needles=content_filter),
                 batch_format="pyarrow", batch_size=batch_size,
             )
-        if dedupe_snapshots == "join":
-            ds = latest_filter_join(ds)
-        elif dedupe_snapshots:
-            max_ref = ray.put(latest_per_url_map(pages_path))
-            ds = ds.map_batches(
-                functools.partial(latest_filter, max_ref=max_ref),
-                batch_format="pyarrow", batch_size=batch_size,
-            )
+        ds = _dedupe_stage(ds, pages_path, dedupe_snapshots, batch_size)
         ds = ds.map_batches(
             functools.partial(pages_to_triples_batch, alias_ref=alias_ref,
                               emb_ref=emb_ref),
@@ -394,17 +420,8 @@ def build_docs_ds(pages_path: str, *, batch_size: int = 64,
                   dedupe_snapshots: bool = True):
     """pages parquet → docs Dataset (url, warc_ts, lang, title, text,
     tree) — the shared upstream of triples / sections / entries."""
-    import functools
-
     ds = read_pages(pages_path)
-    if dedupe_snapshots == "join":
-        ds = latest_filter_join(ds)
-    elif dedupe_snapshots:
-        max_ref = ray.put(latest_per_url_map(pages_path))
-        ds = ds.map_batches(
-            functools.partial(latest_filter, max_ref=max_ref),
-            batch_format="pyarrow", batch_size=batch_size,
-        )
+    ds = _dedupe_stage(ds, pages_path, dedupe_snapshots, batch_size)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                         batch_size=batch_size)
     return ds.map_batches(structure_batch, batch_format="pyarrow",

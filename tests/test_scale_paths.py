@@ -1,0 +1,57 @@
+"""Auto-switch tests: above a size threshold the scale path (bucketed
+join) must be the DEFAULT, and it must produce the same result as the
+broadcast fast path.  Thresholds are forced to 0 to engage the scale
+path at test scale."""
+
+import pandas as pd
+import pytest
+
+
+def test_tfidf_join_path_equals_broadcast(ray_session):
+    from ferenda_ray.ops.text import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = (tfidf_top_terms(sf).to_pandas()
+                 .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    joined = (tfidf_top_terms(sf, df_broadcast_limit=0).to_pandas()
+              .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        joined[sorted(joined.columns)], broadcast[sorted(broadcast.columns)])
+
+
+def test_generate_auto_switch_equals_broadcast(ray_session, pages_parquet):
+    from ferenda_ray.ops.graph import edges_from_triples, incoming_refs
+    from ferenda_ray.ops.render import generate_with_annotations
+    from ferenda_ray.pipelines.kg import build_docs_ds, build_triples_ds
+
+    triples = build_triples_ds(pages_parquet).materialize()
+    refs = incoming_refs(edges_from_triples(triples)).materialize()
+    docs = build_docs_ds(pages_parquet).materialize()
+
+    small = (generate_with_annotations(docs, refs)  # default: broadcast
+             .to_pandas().sort_values("url").reset_index(drop=True))
+    forced = (generate_with_annotations(docs, refs, broadcast_limit=0)
+              .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(forced, small)
+    assert small.html.str.contains("Referenced by").any()
+
+
+def test_latest_per_url_auto_switch(ray_session, pages_parquet,
+                                    monkeypatch):
+    """With the snapshot threshold forced to 0, dedupe_snapshots=True
+    must route to the hash-bucket join (the broadcast map must never be
+    built) and produce the same doc set."""
+    from ferenda_ray.pipelines import kg
+
+    base = (kg.build_docs_ds(pages_parquet).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+
+    monkeypatch.setattr(kg, "SNAPSHOT_BROADCAST_LIMIT", 0)
+
+    def boom(path):  # pragma: no cover - failure path
+        raise AssertionError("broadcast map built despite auto-switch")
+
+    monkeypatch.setattr(kg, "latest_per_url_map", boom)
+    joined = (kg.build_docs_ds(pages_parquet).to_pandas()
+              .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(joined, base)
