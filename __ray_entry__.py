@@ -151,10 +151,43 @@ def _cached_product(name: str, n_pages: int, build) -> str:
     return _PRODUCT_CACHE[key]
 
 
+def _cached_ds(name: str, build) -> str:
+    """Deterministic-product parquet cache for queries whose input is
+    synthesized in-process (no pages corpus): ``build()`` → Dataset,
+    written once per source revision (same crash-atomic dance as
+    ``_cached_product``). Backs the self-consistency oracles (live
+    distributed rerun vs cache — the ``kg_triples`` pattern)."""
+    out = f"/tmp/ferenda_ray_corpus/{name}_{_src_rev()}"
+    if not os.path.isdir(out) or not os.path.exists(f"{out}/_DONE"):
+        import shutil
+
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build().write_parquet(tmp)
+        open(f"{tmp}/_DONE", "w").close()
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    return out
+
+
 def _build_entries(pages_path: str):
     from ferenda_ray.pipelines.kg import build_entries_ds
 
     return build_entries_ds(pages_path)
+
+
+def _build_generate(pages_path: str):
+    """kg_generate product for the oracle cache (live rerun vs cache =
+    deterministic distributed re-execution, the kg_triples pattern)."""
+    import re
+
+    from ferenda_ray.ops.graph import edges_from_triples, incoming_refs
+    from ferenda_ray.ops.render import generate_with_annotations
+    from ferenda_ray.pipelines.kg import build_docs_ds
+
+    n = int(re.search(r"pages_(\d+)_", pages_path).group(1))
+    refs = incoming_refs(edges_from_triples(_kg_triples_cached(n)))
+    return generate_with_annotations(build_docs_ds(pages_path), refs)
 
 
 def _build_composite(pages_path: str):
@@ -363,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ferenda_ray.pipelines.kg import build_docs_ds
 
         n = _n_pages(sf_dir)
+        _cached_product("generate", n, _build_generate)  # oracle input
         refs = incoming_refs(edges_from_triples(_kg_triples_cached(n)))
         return generate_with_annotations(build_docs_ds(_pages_path(n)),
                                          refs)
@@ -395,24 +429,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("parser_used").aggregate(Count(alias_name="n_docs"))
 
     def media_features(sf_dir: str):
-        import ray.data as rd
-
-        from ferenda_ray.stages.multimodal import (MediaDecodeStage,
-                                                   synthetic_media_table)
-
-        ds = rd.from_arrow(synthetic_media_table(200))
-        return ds.map_batches(MediaDecodeStage, batch_format="pyarrow",
-                              batch_size=32, concurrency=2)
+        _cached_ds("mediafeat", _media_features_ds)  # oracle input
+        return _media_features_ds()
 
     def media_frames(sf_dir: str):
-        import ray.data as rd
-
-        from ferenda_ray.stages.multimodal import (FrameSampleStage,
-                                                   synthetic_media_table)
-
-        return rd.from_arrow(synthetic_media_table(120)).map_batches(
-            FrameSampleStage, batch_format="pyarrow", batch_size=32,
-            concurrency=2)
+        _cached_ds("mediaframes", _media_frames_ds)  # oracle input
+        return _media_frames_ds()
 
     q: dict[str, Callable[[str], Any]] = {
         # ---- flagship KG products first (see module docstring) ----
@@ -511,17 +533,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
-def pdf_textboxes(sf_dir: str):
-    """PDF intermediate-format parse stage (S6): deterministic
-    synthetic pdf2xml docs → glued textbox rows (the binary→pdf2xml
-    converter itself is the documented stub in stages/multimodal.py)."""
+def _media_features_ds():
+    import ray.data as rd
+
+    from ferenda_ray.stages.multimodal import (MediaDecodeStage,
+                                               synthetic_media_table)
+
+    return rd.from_arrow(synthetic_media_table(200)).map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2)
+
+
+def _media_frames_ds():
+    import ray.data as rd
+
+    from ferenda_ray.stages.multimodal import (FrameSampleStage,
+                                               synthetic_media_table)
+
+    return rd.from_arrow(synthetic_media_table(120)).map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2)
+
+
+def _pdf_textboxes_ds(n: int = 60):
     import pyarrow as pa
 
     import ray.data as rd
 
     from ferenda_ray.stages.pdf import pdf_textbox_rows, synthetic_pdf2xml
 
-    n = 60 if "0.01" in sf_dir else 20
     tab = pa.table({
         "doc_id": pa.array(list(range(n)), pa.int64()),
         "fmt": pa.array(["pdf2xml"] * n, pa.string()),
@@ -533,17 +573,13 @@ def pdf_textboxes(sf_dir: str):
             .sort(["doc_id", "page", "top"]))
 
 
-def docx_blocks(sf_dir: str):
-    """WordReader stage (S7): deterministic synthetic .docx archives →
-    unzip + OOXML parse + run merge → block rows (stages/word.py; the
-    legacy .doc→DocBook converter is the documented external stub)."""
+def _docx_blocks_ds(n: int = 60):
     import pyarrow as pa
 
     import ray.data as rd
 
     from ferenda_ray.stages.word import synthetic_docx, word_block_rows
 
-    n = 60 if "0.01" in sf_dir else 20
     tab = pa.table({
         "doc_id": pa.array(list(range(n)), pa.int64()),
         "fmt": pa.array(["docx"] * n, pa.string()),
@@ -553,6 +589,24 @@ def docx_blocks(sf_dir: str):
     return (rd.from_arrow(tab)
             .map_batches(word_block_rows, batch_format="pyarrow")
             .sort(["doc_id", "seq"]))
+
+
+def pdf_textboxes(sf_dir: str):
+    """PDF intermediate-format parse stage (S6): deterministic
+    synthetic pdf2xml docs → glued textbox rows (the binary→pdf2xml
+    converter itself is the documented stub in stages/multimodal.py).
+    Fixed 60-doc input at every sf (the kg n=300 pattern) so the
+    self-consistency oracle's static cache path always matches."""
+    _cached_ds("pdftb", _pdf_textboxes_ds)  # oracle input
+    return _pdf_textboxes_ds()
+
+
+def docx_blocks(sf_dir: str):
+    """WordReader stage (S7): deterministic synthetic .docx archives →
+    unzip + OOXML parse + run merge → block rows (stages/word.py; the
+    legacy .doc→DocBook converter is the documented external stub)."""
+    _cached_ds("docxb", _docx_blocks_ds)  # oracle input
+    return _docx_blocks_ds()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -596,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "knn_classify": ann.KNN_CLASSIFY_SQL,
+        "kmeans_clusters": ann.KMEANS_SQL,
+        "ann_ivf_topk": ann.IVF_TOPK_SQL,
         "top_terms": sketch.TOP_TERMS_SQL,
         "frequent_terms": sketch.FREQUENT_TERMS_SQL,
         "value_quantiles": sketch.VALUE_QUANTILES_SQL,
@@ -612,6 +668,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
+        "kg_page_near_dups": dedup.page_near_dups_sql(_pages_path(300),
+                                                      0.5),
+        "doc_pages": text.DOC_PAGES_SQL,
+        # self-consistency oracles (live distributed rerun vs the
+        # deterministic product cache — the kg_triples pattern; these
+        # stages synthesize their own input, so no SQL recompute exists)
+        "media_features": _cache_sql("mediafeat"),
+        "media_frames": _cache_sql("mediaframes"),
+        "pdf_textboxes": _cache_sql("pdftb"),
+        "docx_blocks": _cache_sql("docxb"),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic
         # triples parquet (see pipelines/kg_oracles.py docstring);
@@ -636,6 +702,11 @@ def _kg_oracles() -> dict[str, str]:
     except Exception:
         pass  # queries() will (re)build them; never fail oracle listing
     return kg_oracle_sql(300, _src_rev())
+
+
+def _cache_sql(name: str) -> str:
+    return (f"SELECT * FROM read_parquet("
+            f"'/tmp/ferenda_ray_corpus/{name}_{_src_rev()}/*.parquet')")
 
 
 def _ft_sql() -> str:

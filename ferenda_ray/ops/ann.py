@@ -244,6 +244,91 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, nprobe: int = 5):
     )
 
 
+def _ivf_topk_sql(n_iter: int = 5, nprobe: int = 5, k: int = 10,
+                  vec_id: int = 0) -> str:
+    """:func:`ivf_topk` unrolled in SQL — centroid training
+    (per-label-mean init → ``n_iter`` spherical Lloyd rounds over
+    L2-normalized vectors, empty clusters keeping their previous
+    centroid, every round re-normalized), probe-list selection (top
+    ``nprobe`` centroids by dot with the normalized query) and the
+    final exact cosine over vectors assigned to probed lists. The IVF
+    result is approximate w.r.t. brute force but DETERMINISTIC given
+    the algorithm — this recomputes the same algorithm independently,
+    so it is an exact oracle, not a recall bound."""
+    M = "AS MATERIALIZED"
+    parts = [
+        f"comp {M} (SELECT vec_id, label, "
+        "unnest(range(1, len(embedding) + 1)) AS i, "
+        "unnest(embedding::DOUBLE[]) AS x FROM embeddings)",
+        # L2-normalized components (zero vectors normalized by 1)
+        f"vn {M} (SELECT vec_id, CASE WHEN sqrt(sum(x * x)) = 0 THEN 1 "
+        "ELSE sqrt(sum(x * x)) END AS nrm FROM comp GROUP BY vec_id)",
+        f"compn {M} (SELECT c.vec_id, c.label, c.i, c.x / v.nrm AS xn "
+        "FROM comp c JOIN vn v USING (vec_id))",
+        # init: per-label mean of normalized vectors, normalized;
+        # cluster index = rank of sorted label
+        f"lmap {M} (SELECT label, dense_rank() OVER (ORDER BY label) - 1 "
+        "AS cluster FROM (SELECT DISTINCT label FROM embeddings))",
+        f"craw {M} (SELECT l.cluster, c.i, avg(c.xn) AS val "
+        "FROM compn c JOIN lmap l USING (label) GROUP BY l.cluster, c.i)",
+        f"cn0 {M} (SELECT cluster, CASE WHEN sqrt(sum(val * val)) = 0 "
+        "THEN 1 ELSE sqrt(sum(val * val)) END AS nrm FROM craw "
+        "GROUP BY cluster)",
+        f"c0 {M} (SELECT c.cluster, c.i, c.val / n.nrm AS val "
+        "FROM craw c JOIN cn0 n USING (cluster))",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"s{r} {M} (SELECT c.vec_id, k.cluster, "
+            "sum(c.xn * k.val) AS score "
+            f"FROM compn c JOIN c{r} k USING (i) "
+            "GROUP BY c.vec_id, k.cluster)")
+        parts.append(
+            f"a{r} {M} (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn "
+            f"FROM s{r}) WHERE rn = 1)")
+        parts.append(
+            f"u{r} {M} (SELECT c.cluster, c.i, "
+            "coalesce(m.val, c.val) AS val "
+            f"FROM c{r} c LEFT JOIN ("
+            f"SELECT a.cluster, cn.i, avg(cn.xn) AS val "
+            f"FROM a{r} a JOIN compn cn USING (vec_id) "
+            "GROUP BY a.cluster, cn.i) m "
+            "ON m.cluster = c.cluster AND m.i = c.i)")
+        parts.append(
+            f"un{r} {M} (SELECT cluster, CASE WHEN sqrt(sum(val * val)) "
+            "= 0 THEN 1 ELSE sqrt(sum(val * val)) END AS nrm "
+            f"FROM u{r} GROUP BY cluster)")
+        parts.append(
+            f"c{r + 1} {M} (SELECT u.cluster, u.i, u.val / n.nrm AS val "
+            f"FROM u{r} u JOIN un{r} n USING (cluster))")
+    C = f"c{n_iter}"
+    parts += [
+        # normalized query vector
+        f"q {M} (SELECT i, xn FROM compn WHERE vec_id = {vec_id})",
+        # probe the nprobe closest centroids to the query
+        f"probe {M} (SELECT cluster FROM ("
+        f"SELECT k.cluster, sum(k.val * q.xn) AS score "
+        f"FROM {C} k JOIN q USING (i) GROUP BY k.cluster "
+        f"ORDER BY score DESC, cluster ASC LIMIT {nprobe}))",
+        # final assignment of every vector against the trained centroids
+        f"sf {M} (SELECT c.vec_id, k.cluster, sum(c.xn * k.val) AS score "
+        f"FROM compn c JOIN {C} k USING (i) GROUP BY c.vec_id, k.cluster)",
+        f"af {M} (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn "
+        "FROM sf) WHERE rn = 1)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT c.vec_id, round(sum(c.xn * q.xn), 6) AS cos_sim
+FROM compn c JOIN q USING (i)
+JOIN af ON af.vec_id = c.vec_id
+WHERE af.cluster IN (SELECT cluster FROM probe) AND c.vec_id <> {vec_id}
+GROUP BY c.vec_id
+ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {k}""")
+
+
 def knn_classify(sf_dir: str, vec_id: int = 0, k: int = 15):
     """Majority label among the k nearest neighbours of vec_id. Labels
     are fetched by row filter for the k result ids only."""
@@ -258,6 +343,59 @@ def knn_classify(sf_dir: str, vec_id: int = 0, k: int = 15):
     best = counts[counts == counts.max()].index.min()  # deterministic tie
     return pd.DataFrame({"vec_id": [vec_id], "pred_label": [int(best)],
                          "n_votes": [int(counts.max())]})
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 5) -> str:
+    """Lloyd's k-means unrolled to ``n_iter`` materialized-CTE rounds —
+    the exact semantics of :func:`kmeans` (same seeding: the k smallest
+    vec_ids; same assignment rule: argmax of x·c − ‖c‖²/2 with
+    first-max = smallest cluster index on ties; empty clusters keep
+    their previous centroid). Floating-point sums differ from numpy
+    only in association order (~1e-16 relative); the integer cluster
+    assignment is robust to that unless two centroids are genuinely
+    equidistant. Same trick as ``kg_oracles._pagerank_sql``."""
+    M = "AS MATERIALIZED"
+    parts = [
+        # (vec_id, i, x) vector components, float32 → DOUBLE (exact)
+        f"comp {M} (SELECT vec_id, "
+        "unnest(range(1, len(embedding) + 1)) AS i, "
+        "unnest(embedding::DOUBLE[]) AS x FROM embeddings)",
+        f"seeds {M} (SELECT vec_id, dense_rank() OVER (ORDER BY vec_id) "
+        f"- 1 AS cluster FROM (SELECT vec_id FROM embeddings "
+        f"ORDER BY vec_id LIMIT {k}))",
+        f"c0 {M} (SELECT s.cluster, comp.i, comp.x AS val "
+        "FROM comp JOIN seeds s USING (vec_id))",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"s{r} {M} (SELECT comp.vec_id, c.cluster, "
+            "sum(comp.x * c.val) - 0.5 * sum(c.val * c.val) AS score "
+            f"FROM comp JOIN c{r} c USING (i) "
+            "GROUP BY comp.vec_id, c.cluster)")
+        parts.append(
+            f"a{r} {M} (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn "
+            f"FROM s{r}) WHERE rn = 1)")
+        parts.append(
+            f"c{r + 1} {M} (SELECT c.cluster, c.i, "
+            "coalesce(m.val, c.val) AS val "
+            f"FROM c{r} c LEFT JOIN ("
+            f"SELECT a.cluster, comp.i, avg(comp.x) AS val "
+            f"FROM a{r} a JOIN comp USING (vec_id) "
+            "GROUP BY a.cluster, comp.i) m "
+            "ON m.cluster = c.cluster AND m.i = c.i)")
+    # final assignment against the post-update centroids
+    parts.append(
+        f"sf {M} (SELECT comp.vec_id, c.cluster, "
+        "sum(comp.x * c.val) - 0.5 * sum(c.val * c.val) AS score "
+        f"FROM comp JOIN c{n_iter} c USING (i) "
+        "GROUP BY comp.vec_id, c.cluster)")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn
+    FROM sf) WHERE rn = 1""")
 
 
 def kmeans(sf_dir: str, k: int = 8, n_iter: int = 5):
@@ -328,3 +466,7 @@ def kmeans(sf_dir: str, k: int = 8, n_iter: int = 5):
         })
 
     return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+KMEANS_SQL = _kmeans_sql()
+IVF_TOPK_SQL = _ivf_topk_sql()

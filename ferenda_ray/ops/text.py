@@ -701,3 +701,33 @@ def doc_pages(sf_dir: str):
                          "text": pa.array(texts, pa.large_string())})
 
     return ds.map_batches(flat, batch_format="pyarrow")
+
+
+# doc_pages recomputed in SQL: form-feed split with ordinality,
+# trailing-blank pages dropped (keep page_no ≤ last non-blank page),
+# then dewrap = dehyphenate + soft-unwrap. RE2 has no lookaround, so
+# the python lookaround patterns become capture-group replaces applied
+# TWICE: a chain "a\nb\nc\nd" needs two passes because each global
+# replace consumes the boundary characters (pass 1 leaves alternate
+# newlines, pass 2 clears them — any chain length resolves in two).
+_DEWRAP_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{x}, '(\\w)-\\n(\\w)', '\\1\\2', 'g'), '(\\w)-\\n(\\w)', "
+    "'\\1\\2', 'g'), '(\\S)\\n(\\S)', '\\1 \\2', 'g'), "
+    "'(\\S)\\n(\\S)', '\\1 \\2', 'g')")
+
+DOC_PAGES_SQL = f"""
+WITH pg AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(12))) AS ptext,
+           unnest(range(0, len(string_split(text, chr(12))))) AS page_no
+    FROM documents
+), last_nonblank AS (
+    SELECT doc_id, max(page_no) AS last_pg FROM pg
+    WHERE regexp_matches(ptext, '\\S') GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.page_no AS INTEGER) AS page_no,
+       {_DEWRAP_SQL.format(x="p.ptext")} AS text
+FROM pg p JOIN last_nonblank l
+    ON l.doc_id = p.doc_id AND p.page_no <= l.last_pg
+"""

@@ -149,6 +149,49 @@ CROSS JOIN an{la} CROSS JOIN hn{lh}""")
 SECTIONS_GLOB = "/tmp/ferenda_ray_corpus/sections_{n}{rev}/*.parquet"
 
 
+def _esc_xml(expr: str) -> str:
+    """xml.sax.saxutils.escape (&, <, > — in that order) in SQL."""
+    return ("replace(replace(replace(" + expr +
+            ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+
+
+def _atom_feeds_sql(pivot: str, archive_size: int = 50) -> str:
+    """``render.atom_feeds_ds`` recomputed in SQL: entries ranked per
+    feed by (updated DESC, uri ASC), paginated into ``archive_size``
+    pages, each page's Atom XML reassembled line-for-line
+    (``render.atom_feed`` joins its line list with newline; the header
+    <updated> is the page's first entry)."""
+    n = "chr(10)"
+    entry = ("'<entry>' || " + n + " || '<id>' || " + _esc_xml("uri")
+             + " || '</id>' || " + n + " || '<title>' || "
+             + _esc_xml("title") + " || '</title>' || " + n
+             + " || '<updated>' || " + _esc_xml("updated")
+             + " || '</updated>' || " + n
+             + " || '<link href=\"' || uri || '\"/>' || " + n
+             + " || '</entry>'")
+    return f"""
+WITH pv AS MATERIALIZED ({pivot}),
+ent AS MATERIALIZED (
+    SELECT dct_language AS feedval, uri, dct_issued AS updated,
+           dct_title AS title,
+           row_number() OVER (PARTITION BY dct_language
+                              ORDER BY dct_issued DESC, uri ASC) - 1 AS rn
+    FROM pv
+)
+SELECT 'feed:' || feedval AS feed,
+       CAST(rn // {archive_size} AS BIGINT) AS page,
+       count(*) AS n_entries,
+       '<?xml version="1.0" encoding="utf-8"?>' || {n} ||
+       '<feed xmlns="http://www.w3.org/2005/Atom">' || {n} ||
+       '<id>' || {_esc_xml("'feed:' || feedval")} ||
+       '?page=' || (rn // {archive_size}) || '</id>' || {n} ||
+       '<title>' || {_esc_xml("'Feed ' || feedval")} || '</title>' || {n} ||
+       '<updated>' || {_esc_xml("arg_min(updated, rn)")} ||
+       '</updated>' || {n} ||
+       string_agg({entry}, {n} ORDER BY rn) || {n} || '</feed>' AS xml
+FROM ent GROUP BY feedval, rn // {archive_size}"""
+
+
 def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
     """``src_rev``: the entry module's source-content digest — cache
     paths rotate with the code so these oracles can never read a stale
@@ -215,6 +258,13 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"SELECT CASE WHEN dct_title = '' THEN '' "
             f"ELSE lower(substr(dct_title, 1, 1)) END AS sel, "
             f"count(*) AS n_docs FROM ({pivot}) GROUP BY 1"),
+        "kg_atom_feeds": _atom_feeds_sql(pivot),
+        "kg_generate": (
+            # self-consistency (the kg_triples pattern): live
+            # docs+annotations render vs the materialized deterministic
+            # generate cache
+            f"SELECT url, html FROM read_parquet("
+            f"'/tmp/ferenda_ray_corpus/generate_{n_pages}{rev}/*.parquet')"),
         "kg_news_feeds": (
             f"SELECT dct_language, uri, dct_issued, pos FROM ("
             f"SELECT dct_language, uri, dct_issued, "
