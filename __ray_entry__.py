@@ -317,6 +317,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.replace(tmp, out)
         return query_index(out, q, k)
 
+    def kg_ft_search_boosted(sf_dir: str, q: str = "protocol header",
+                             k: int = 10):
+        """Typed/boosted fulltext (reference ``fulltextindex.py:65-301``
+        Label/Text boost schema): sections indexed with per-field
+        postings (title boost 4, body boost 1), BM25F-style
+        boost-weighted query; oracle recomputes per-field BM25 in SQL
+        over the same sections parquet."""
+        from ferenda_ray.ops.fulltext import (build_typed_index,
+                                              query_typed_index)
+
+        n = _n_pages(sf_dir)
+        out = f"/tmp/ferenda_ray_corpus/ftidxb_{n}_{_src_rev()}"
+        if not os.path.exists(f"{out}/_DONE"):
+            import shutil
+
+            import ray.data as rd
+
+            tmp = out + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            build_typed_index(
+                rd.read_parquet(_kg_sections_cached(n),
+                                columns=["about", "title", "text"]),
+                "about", {"title": 4.0, "text": 1.0}, tmp)
+            open(f"{tmp}/_DONE", "w").close()
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
+        return query_typed_index(out, q, k)
+
     def kg_entries_stats(sf_dir: str):
         from ray.data.aggregate import Count, Sum
 
@@ -456,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_atom_feeds": kg_atom_feeds,
         "kg_fulltext_search": kg_fulltext_search,
         "kg_ft_search": kg_ft_search,
+        "kg_ft_search_boosted": kg_ft_search_boosted,
         "kg_page_near_dups": kg_page_near_dups,
         "kg_composite_stats": kg_composite_stats,
         # ---- multimodal + similarity-search scale paths ----
@@ -668,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
+        "kg_ft_search_boosted": _kg_ft_boosted_sql(),
         "kg_page_near_dups": dedup.page_near_dups_sql(_pages_path(300),
                                                       0.5),
         "doc_pages": text.DOC_PAGES_SQL,
@@ -721,3 +752,11 @@ def _kg_ft_sql() -> str:
     path = f"/tmp/ferenda_ray_corpus/sections_300_{_src_rev()}/*.parquet"
     return bm25_sql(f"read_parquet('{path}')", "protocol header",
                     "about", "text")
+
+
+def _kg_ft_boosted_sql() -> str:
+    from ferenda_ray.ops.fulltext import boosted_bm25_sql
+
+    path = f"/tmp/ferenda_ray_corpus/sections_300_{_src_rev()}/*.parquet"
+    return boosted_bm25_sql(f"read_parquet('{path}')", "protocol header",
+                            "about", {"title": 4.0, "text": 1.0})

@@ -136,6 +136,176 @@ def query_index(out_dir: str, q: str, k: int = 10) -> pa.Table:
     })
 
 
+# -- typed/boosted fields (reference fulltextindex.py:65-301) --------------
+#
+# The reference assembles its index schema from each repo's facets()
+# with TYPED fields carrying boosts (Label(boost=16), Text(boost=2),
+# Identifier, …), so "title matches rank higher" is expressible. Here:
+# postings carry a ``field`` column, BM25 runs per field (df / N /
+# avgdl are per-field statistics over the docs that HAVE the field) and
+# the document score is the boost-weighted sum of its field scores
+# (BM25F-style linear combination).
+
+
+def build_typed_index(ds, uri_col: str, fields: dict[str, float],
+                      out_dir: str, num_buckets: int = 32) -> dict:
+    """Postings ``(term, uri, field, tf, dl)`` hive-partitioned by
+    ``hash(term)`` from any Dataset with one text column per field;
+    ``fields`` maps column name → boost. Same single map-only shuffle
+    as :func:`build_index`; stats (per-field N docs / avgdl / boost)
+    derived from the written postings, no second tokenize pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from ferenda_ray.util import stable_uint
+
+    cols = list(fields)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        terms, uris, fs, tfs, dls = [], [], [], [], []
+        uri_vals = batch.column(uri_col).to_pylist()
+        for f in cols:
+            for uri, text in zip(uri_vals, batch.column(f).to_pylist()):
+                toks = tokenize(text or "")
+                if not toks:
+                    continue  # docs without the field don't enter its stats
+                counts: dict[str, int] = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                for t, tf in counts.items():
+                    terms.append(t)
+                    uris.append(str(uri))
+                    fs.append(f)
+                    tfs.append(tf)
+                    dls.append(len(toks))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "uri": pa.array(uris, pa.string()),
+            "field": pa.array(fs, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+            "b": pa.array([stable_uint(t, num_buckets) for t in terms],
+                          pa.int32()),
+        })
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    post.write_parquet(os.path.join(out_dir, "postings"),
+                       partition_cols=["b"])
+
+    written = rd.read_parquet(os.path.join(out_dir, "postings"),
+                              columns=["field", "uri", "dl"])
+    per_doc = written.groupby(["field", "uri"]).aggregate(
+        Count(alias_name="nterms"), Sum("dl", alias_name="dl_sum"))
+
+    def doc_dl(batch: pa.Table) -> pa.Table:
+        n = batch.column("nterms").to_numpy(zero_copy_only=False)
+        s = batch.column("dl_sum").to_numpy(zero_copy_only=False)
+        return pa.table({"field": batch.column("field"),
+                         "dl": pa.array(s // n, pa.int64())})
+
+    per_field = (per_doc.map_batches(doc_dl, batch_format="pyarrow")
+                 .groupby("field")
+                 .aggregate(Count(alias_name="n"),
+                            Sum("dl", alias_name="sum_dl"))
+                 .take_all())
+    stats = {
+        "num_buckets": num_buckets,
+        "fields": {r["field"]: {"n_docs": int(r["n"]),
+                                "avgdl": r["sum_dl"] / r["n"],
+                                "boost": fields[r["field"]]}
+                   for r in per_field},
+    }
+    with open(os.path.join(out_dir, "stats.json"), "w") as fp:
+        json.dump(stats, fp)
+    return stats
+
+
+def query_typed_index(out_dir: str, q: str, k: int = 10) -> pa.Table:
+    """Boost-weighted BM25F top-k; reads only the query terms'
+    postings buckets (same pruning as :func:`query_index`)."""
+    from ferenda_ray.util import stable_uint
+
+    with open(os.path.join(out_dir, "stats.json")) as fp:
+        stats = json.load(fp)
+    fstats = stats["fields"]
+    terms = sorted(set(tokenize(q)))
+    scores: dict[str, float] = {}
+    for term in terms:
+        b = stable_uint(term, stats["num_buckets"])
+        path = os.path.join(out_dir, "postings", f"b={b}")
+        if not os.path.isdir(path):
+            continue
+        t = pq.read_table(path, columns=["term", "uri", "field", "tf",
+                                         "dl"])
+        t = t.filter(pa.compute.equal(t.column("term"), term))
+        if not t.num_rows:
+            continue
+        tdf = t.to_pandas()
+        for f, grp in tdf.groupby("field"):
+            fs = fstats.get(f)
+            if fs is None:
+                continue
+            df = len(grp)
+            idf = math.log((fs["n_docs"] - df + 0.5) / (df + 0.5) + 1.0)
+            tf = grp["tf"].to_numpy(dtype=np.float64)
+            dl = grp["dl"].to_numpy(dtype=np.float64)
+            s = (fs["boost"] * idf * tf * (K1 + 1)
+                 / (tf + K1 * (1 - B + B * dl / fs["avgdl"])))
+            for uri, sc in zip(grp["uri"], s):
+                scores[uri] = scores.get(uri, 0.0) + float(sc)
+    rows = sorted(((round(s, 4), u) for u, s in scores.items()),
+                  key=lambda x: (-x[0], x[1]))[:k]
+    return pa.table({
+        "uri": pa.array([u for _, u in rows], pa.string()),
+        "score": pa.array([s for s, _ in rows], pa.float64()),
+    })
+
+
+def boosted_bm25_sql(table_expr: str, query: str, uri_col: str,
+                     fields: dict[str, float], k: int = 10) -> str:
+    """Boost-weighted per-field BM25 recomputed independently in SQL
+    (one :func:`bm25_sql`-shaped block per field, boost-scaled, summed
+    per uri; per-field N/avgdl/df over docs that have the field)."""
+    blocks = []
+    for f, boost in fields.items():
+        blocks.append(f"""
+    SELECT u, {boost} * score AS score FROM (
+        WITH tok AS (
+            SELECT {uri_col} AS u,
+                   unnest(regexp_extract_all(lower({f}), '\\w+')) AS term
+            FROM {table_expr}
+        ), tf AS (
+            SELECT u, term, count(*) AS tf FROM tok GROUP BY u, term
+        ), dl AS (
+            SELECT u, count(*) AS dl FROM tok GROUP BY u
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), qt AS (
+            SELECT DISTINCT
+                unnest(regexp_extract_all(lower('{query}'), '\\w+')) AS term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM qt) GROUP BY term
+        )
+        SELECT tf.u,
+               sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({K1} + 1)
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+                   AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (u)
+        CROSS JOIN stats s
+        GROUP BY tf.u)""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+WITH per_field AS ({union}
+)
+SELECT CAST(u AS VARCHAR) AS uri, round(sum(score), 4) AS score
+FROM per_field GROUP BY u
+ORDER BY score DESC, uri ASC LIMIT {k}
+"""
+
+
 # -- driver-facing entry over the documents table --------------------------
 
 FT_QUERY = "table scan merge"

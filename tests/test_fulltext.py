@@ -84,3 +84,63 @@ def test_query_reads_only_term_buckets(index_dir, monkeypatch):
 
     b = stable_uint("apple", 4)
     assert opened and all(f"b={b}" in p for p in opened)
+
+
+@pytest.fixture(scope="module")
+def typed_index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    docs = [
+        (0, "protocol basics", "some body text about headers"),
+        (1, "unrelated title", "protocol protocol protocol body"),
+        (2, "other things", "words entirely different"),
+        (3, "protocol", "short"),
+    ]
+    tab = pa.table({
+        "uri": pa.array([str(d) for d, _, _ in docs], pa.string()),
+        "title": pa.array([t for _, t, _ in docs], pa.string()),
+        "text": pa.array([b for _, _, b in docs], pa.string()),
+    })
+    out = str(tmp_path_factory.mktemp("ftidxb"))
+    stats = ft.build_typed_index(rd.from_arrow(tab), "uri",
+                                 {"title": 4.0, "text": 1.0}, out,
+                                 num_buckets=4)
+    assert set(stats["fields"]) == {"title", "text"}
+    assert stats["fields"]["title"]["n_docs"] == 4
+    return out
+
+
+def test_boosted_title_outranks_body(typed_index_dir):
+    got = ft.query_typed_index(typed_index_dir, "protocol", k=10)
+    uris = got.column("uri").to_pylist()
+    # docs 0 and 3 match in the boosted title field; doc 1 only in body
+    # (even with tf=3) — boost 4 must rank title hits first
+    assert set(uris[:2]) == {"0", "3"}
+    assert uris[2] == "1"
+    assert "2" not in uris
+
+
+def test_boosted_matches_duckdb_oracle(typed_index_dir, tmp_path):
+    """query_typed_index == boosted_bm25_sql over the same table."""
+    import duckdb
+    import pyarrow.parquet as pq_mod
+
+    tab = pa.table({
+        "uri": pa.array(["0", "1", "2", "3"], pa.string()),
+        "title": pa.array(["protocol basics", "unrelated title",
+                           "other things", "protocol"], pa.string()),
+        "text": pa.array(["some body text about headers",
+                          "protocol protocol protocol body",
+                          "words entirely different", "short"],
+                         pa.string()),
+    })
+    p = str(tmp_path / "docs.parquet")
+    pq_mod.write_table(tab, p)
+    sql = ft.boosted_bm25_sql(f"read_parquet('{p}')", "protocol header",
+                              "uri", {"title": 4.0, "text": 1.0})
+    want = duckdb.sql(sql).df()
+    got = ft.query_typed_index(typed_index_dir, "protocol header",
+                               k=10).to_pandas()
+    assert got.uri.tolist() == want.uri.tolist()
+    assert got.score.tolist() == pytest.approx(want.score.tolist(),
+                                               abs=1e-9)
