@@ -239,6 +239,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_triples_cached(n)
         return _kg_triples_ds(n)
 
+    def kg_meta_triples(sf_dir: str):
+        """Doc-level metadata triple subset of the flagship pipeline,
+        checked against a DuckDB recompute DIRECTLY from the raw pages
+        parquet (regexp over the html — ``kg_oracles._meta_triples_sql``)
+        rather than any pipeline product: driver-visible evidence for
+        the extraction *semantics*, complementing the self-consistency
+        kg_triples oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ferenda_ray.pipelines.kg_oracles import META_PREDICATES
+
+        def doc_level(b):
+            m = pc.and_(pc.is_in(b.column("pred"),
+                                 value_set=pa.array(META_PREDICATES)),
+                        pc.equal(b.column("subj"), b.column("url")))
+            return b.filter(m)
+
+        return (_kg_triples_cached(_n_pages(sf_dir))
+                .map_batches(doc_level, batch_format="pyarrow"))
+
     def kg_facets(sf_dir: str):
         from ferenda_ray.ops.facets import faceted_data
 
@@ -488,13 +509,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ft_search_boosted": kg_ft_search_boosted,
         "kg_page_near_dups": kg_page_near_dups,
         "kg_composite_stats": kg_composite_stats,
+        "kg_meta_triples": kg_meta_triples,
         # ---- multimodal + similarity-search scale paths ----
         "media_features": media_features,
         "media_frames": media_frames,
         "ann_ivf_topk": ann.ivf_topk,
         "knn_classify": ann.knn_classify,
         "kmeans_clusters": ann.kmeans,
-        # ---- oracle-checked, one per operator family ----
+        # ---- round-3 window rotation: the four entries that had never
+        # produced a driver CORRECTNESS row (they sat past position 50
+        # in rounds 1-2), ahead of the stable r1/r2-green families ----
+        "fingerprint_rows": text.fingerprint_rows,
+        "doc_pages": text.doc_pages,
+        "pdf_textboxes": pdf_textboxes,
+        "docx_blocks": docx_blocks,
+        # ---- operators whose code changed this round stay inside the
+        # 50-entry recording window for fresh driver evidence ----
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "dup_clusters": lambda sf: dedup.dup_clusters(
+            dedup.minhash_dedup_pairs(sf)),
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
+        "exact_dedup": dedup.exact_dedup,
+        "token_counts": text.token_counts,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "quality_scores": text.quality_scores,
+        "stopword_scores": text.stopword_scores,
+        "curate_documents": text.curate_documents,
+        "lang_id": text.lang_id,
+        "fingerprints": text.fingerprints,
+        "doc_structure": text.doc_structure,
+        "tokenize_ids": text.tokenize_ids,
+        "ft_search": ft_search,
+        "latest_event_per_user": rel.latest_event_per_user,
+        "customers_with_events": bloom.customers_with_events,
+        # ---- stable r1/r2-green oracle families (rotated past the
+        # window edge; all were rows+schema+hash green in r1 or r2) ----
         "q1_pricing_summary": rel.q1_pricing_summary,
         "events_hourly": rel.events_hourly,
         "count_distinct_users": rel.count_distinct_users,
@@ -502,42 +553,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_stats": rel.region_supplier_stats,
         "segment_top_orders": rel.segment_top_orders,
         "customers_without_events": rel.customers_without_events,
-        "customers_with_events": bloom.customers_with_events,
         "parts_in_lineitem_by_brand": rel.parts_in_lineitem_by_brand,
         "segment_order_stats": rel.segment_order_stats,
         "nation_order_rollup": rel.nation_order_rollup,
-        # dedup verify/cluster paths were rewritten onto the BSP tier
-        # after round 1's rows — keep them inside the driver's 50-entry
-        # recording window for fresh evidence (see module docstring)
-        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
-        "simhash_dup_pairs": dedup.simhash_dup_pairs,
-        "dup_clusters": lambda sf: dedup.dup_clusters(
-            dedup.minhash_dedup_pairs(sf)),
-        "latest_event_per_user": rel.latest_event_per_user,
         "customers_by_sortkey": rel.customers_by_sortkey,
-        "exact_dedup": dedup.exact_dedup,
-        "token_counts": text.token_counts,
-        # new this round — keep inside the recording window
         "decontaminate": decontam.decontaminate,
         "redact_pii": decontam.redact_pii,
-        "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "ft_search": ft_search,
         "top_terms": sketch.top_terms,
         "value_quantiles": sketch.value_quantiles,
         "events_asof_orders": win.events_asof_orders,
         "user_sessions": win.user_sessions,
-        # ---- remaining oracle-checked ----
         "ann_topk": ann.bruteforce_topk,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "curate_documents": text.curate_documents,
         "props_stats": rel.props_stats,
         "big_customers": rel.big_customers,
         "orders_by_month": rel.orders_by_month,
         "top5_orders": rel.top5_orders,
         "order_priority_counts": rel.order_priority_counts,
         "orders_by_date": rel.orders_by_date,
-        "quality_scores": text.quality_scores,
-        "stopword_scores": text.stopword_scores,
         "frequent_terms": sketch.frequent_terms,
         "grouped_value_quantiles": sketch.grouped_value_quantiles,
         "profile_events": profile.profile_events,
@@ -547,18 +579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": win.funnel_stages,
         "events_running_total": win.events_running_total,
         "users_in_both": win.users_in_both,
-        # ---- rows-only (no SQL equivalent) ----
-        "lang_id": text.lang_id,
-        "fingerprints": text.fingerprints,
-        "fingerprint_rows": text.fingerprint_rows,
-        "doc_structure": text.doc_structure,
-        "tokenize_ids": text.tokenize_ids,
+        # ---- rows-only (approximate / seeded-sampling semantics) ----
         "hll_distinct_users": sketch.hll_distinct_users,
         "sample_documents": sample.sample_documents,
-        "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
-        "doc_pages": text.doc_pages,
-        "pdf_textboxes": pdf_textboxes,
-        "docx_blocks": docx_blocks,
     }
     return q
 
@@ -696,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "lang_id": text.LANG_ID_SQL,
         "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
+        "doc_structure": text.DOC_STRUCTURE_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

@@ -321,6 +321,62 @@ def text_blocks(text: str) -> list[dict]:
     return blocks
 
 
+# ``doc_structure`` recomputed in SQL: the text_blocks classification
+# (blank-line paragraph split, 'N. Title' heading lines < 120 chars,
+# all-lines-dashed list paragraphs) plus the FSM tree's counting rules —
+# Sections are headings whose first line contains a dot (level =
+# dots+1 ≥ 2, ``structure.is_section_heading``), a heading paragraph
+# with trailing lines also yields one Paragraph, and each maximal run
+# of consecutive list paragraphs folds into ONE UnorderedList
+# (``structure.make_list`` consumes the whole listitem run). Docs whose
+# text yields no blocks still emit a (0, 0, 0) row.
+_HEAD_RE_SQL = r"'^\d+(\.\d+)*\.?\s+\S'"
+DOC_STRUCTURE_SQL = f"""
+WITH paras0 AS (
+    SELECT doc_id,
+           trim(unnest(string_split(text, chr(10) || chr(10)))) AS para,
+           unnest(range(0, len(string_split(text, chr(10) || chr(10)))))
+               AS i
+    FROM documents
+), paras AS (
+    SELECT doc_id, para, i, string_split(para, chr(10))[1] AS fl
+    FROM paras0 WHERE para <> ''
+), cls AS (
+    SELECT doc_id, i, para, fl,
+           (regexp_matches(fl, {_HEAD_RE_SQL}) AND length(fl) < 120)
+               AS is_heading,
+           (NOT (regexp_matches(fl, {_HEAD_RE_SQL}) AND length(fl) < 120))
+           AND len(list_filter(string_split(para, chr(10)),
+                               l -> NOT regexp_matches(l, '^\\s*[-*]'))) = 0
+               AS is_list
+    FROM paras
+), runs AS (
+    SELECT doc_id, i, is_heading, is_list, para, fl,
+           is_list AND NOT coalesce(
+               lag(is_list) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+               AS list_run_start
+    FROM cls
+), agg AS (
+    SELECT doc_id,
+           sum(CASE WHEN is_heading AND length(fl)
+                    - length(replace(fl, '.', '')) >= 1
+               THEN 1 ELSE 0 END) AS n_sections,
+           sum(CASE WHEN NOT is_heading AND NOT is_list THEN 1
+                    WHEN is_heading AND position(chr(10) IN para) > 0
+                         AND trim(substr(para,
+                             position(chr(10) IN para) + 1)) <> ''
+                    THEN 1 ELSE 0 END) AS n_paragraphs,
+           sum(CASE WHEN list_run_start THEN 1 ELSE 0 END) AS n_lists
+    FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_sections, 0) AS BIGINT) AS n_sections,
+       CAST(coalesce(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(coalesce(a.n_lists, 0) AS BIGINT) AS n_lists
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def doc_structure(sf_dir: str):
     """Run the FSM structural parser over the plain-text ``documents``
     corpus: per doc, counts of sections / paragraphs / lists — the

@@ -80,6 +80,51 @@ def test_ann_topk(ray_session, con):
     _cmp(bruteforce_topk(SF), con, ANN_TOPK_SQL, float_cols=("cos_sim",))
 
 
+def test_doc_structure_oracle(ray_session, con):
+    from ferenda_ray.ops.text import DOC_STRUCTURE_SQL, doc_structure
+
+    _cmp(doc_structure(SF), con, DOC_STRUCTURE_SQL)
+
+
+def test_doc_structure_oracle_structured(ray_session, tmp_path):
+    """The SQL oracle reproduces the FSM counts on text that exercises
+    every classification branch (the driver corpus is flat prose):
+    dotted/undotted headings, heading-with-rest, adjacent list
+    paragraphs folding into one run, indented list markers, and a doc
+    with no blocks at all."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import DOC_STRUCTURE_SQL, doc_structure
+
+    texts = [
+        # 2 dotted headings (one with rest), plain para, 1 list run
+        "1. Intro\nafter heading text\n\nplain para\n\n"
+        "- item a\n- item b\n\n- item c\n\n1.2 Sub",
+        # undotted heading is a Heading node, not a Section
+        "4 Announcement\n\nbody text",
+        # indented markers + star markers are still list items
+        "  - x\n  * y",
+        # whitespace-only → no blocks, still a (0,0,0) row
+        "   ",
+        # long numbered first line (≥120 chars) is NOT a heading
+        "1. " + "x" * 130 + "\n\nnext",
+    ]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    _cmp(doc_structure(str(tmp_path)), c, DOC_STRUCTURE_SQL)
+    got = doc_structure(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert got.n_sections.tolist() == [2, 0, 0, 0, 0]
+    assert got.n_lists.tolist() == [1, 0, 1, 0, 0]
+
+
 def test_tokenize_ids(ray_session):
     from ferenda_ray.ops.text import VOCAB_SIZE, encode_ids, tokenize_ids
 
