@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
@@ -701,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": text.TFIDF_SQL,
         "curate_documents": text.CURATE_DOCUMENTS_SQL,
         "embedding_dup_pairs": dedup.EMBEDDING_DUP_SQL,
+        "embedding_near_dups_ivf": ann.IVF_NEAR_DUPS_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "knn_classify": ann.KNN_CLASSIFY_SQL,
         "kmeans_clusters": ann.KMEANS_SQL,

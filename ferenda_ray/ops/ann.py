@@ -244,17 +244,13 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, nprobe: int = 5):
     )
 
 
-def _ivf_topk_sql(n_iter: int = 5, nprobe: int = 5, k: int = 10,
-                  vec_id: int = 0) -> str:
-    """:func:`ivf_topk` unrolled in SQL — centroid training
+def _ivf_train_parts(n_iter: int = 5) -> tuple[list[str], str]:
+    """Shared CTE chain unrolling :func:`build_ivf_centroids` in SQL
     (per-label-mean init → ``n_iter`` spherical Lloyd rounds over
     L2-normalized vectors, empty clusters keeping their previous
-    centroid, every round re-normalized), probe-list selection (top
-    ``nprobe`` centroids by dot with the normalized query) and the
-    final exact cosine over vectors assigned to probed lists. The IVF
-    result is approximate w.r.t. brute force but DETERMINISTIC given
-    the algorithm — this recomputes the same algorithm independently,
-    so it is an exact oracle, not a recall bound."""
+    centroid, every round re-normalized). Returns (parts, final
+    centroid CTE name); used by both the IVF top-k and the IVF
+    near-dup oracles."""
     M = "AS MATERIALIZED"
     parts = [
         f"comp {M} (SELECT vec_id, label, "
@@ -303,7 +299,20 @@ def _ivf_topk_sql(n_iter: int = 5, nprobe: int = 5, k: int = 10,
         parts.append(
             f"c{r + 1} {M} (SELECT u.cluster, u.i, u.val / n.nrm AS val "
             f"FROM u{r} u JOIN un{r} n USING (cluster))")
-    C = f"c{n_iter}"
+    return parts, f"c{n_iter}"
+
+
+def _ivf_topk_sql(n_iter: int = 5, nprobe: int = 5, k: int = 10,
+                  vec_id: int = 0) -> str:
+    """:func:`ivf_topk` unrolled in SQL — centroid training
+    (:func:`_ivf_train_parts`), probe-list selection (top ``nprobe``
+    centroids by dot with the normalized query) and the final exact
+    cosine over vectors assigned to probed lists. The IVF result is
+    approximate w.r.t. brute force but DETERMINISTIC given the
+    algorithm — this recomputes the same algorithm independently, so
+    it is an exact oracle, not a recall bound."""
+    M = "AS MATERIALIZED"
+    parts, C = _ivf_train_parts(n_iter)
     parts += [
         # normalized query vector
         f"q {M} (SELECT i, xn FROM compn WHERE vec_id = {vec_id})",
@@ -327,6 +336,41 @@ JOIN af ON af.vec_id = c.vec_id
 WHERE af.cluster IN (SELECT cluster FROM probe) AND c.vec_id <> {vec_id}
 GROUP BY c.vec_id
 ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {k}""")
+
+
+def _ivf_near_dups_sql(threshold: float = 0.4, nprobe: int = 3,
+                       n_iter: int = 5) -> str:
+    """``dedup.embedding_near_dups_ivf`` unrolled in SQL: the same
+    trained centroids (:func:`_ivf_train_parts`), the same multi-probe
+    assignment (every vector joins its ``nprobe`` best lists, ties by
+    cluster ASC), candidate pairs = vectors sharing a list, exact
+    cosine on candidates only, inclusion decided on the 4-dp-rounded
+    value exactly as the Ray side does. Deterministic given the
+    algorithm → exact oracle of the approximate operator."""
+    M = "AS MATERIALIZED"
+    parts, C = _ivf_train_parts(n_iter)
+    parts += [
+        f"sf {M} (SELECT c.vec_id, k.cluster, sum(c.xn * k.val) AS score "
+        f"FROM compn c JOIN {C} k USING (i) GROUP BY c.vec_id, k.cluster)",
+        f"ap {M} (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster ASC) AS rn "
+        f"FROM sf) WHERE rn <= {nprobe})",
+        f"cand {M} (SELECT DISTINCT a1.vec_id AS va, a2.vec_id AS vb "
+        "FROM ap a1 JOIN ap a2 USING (cluster) "
+        "WHERE a1.vec_id < a2.vec_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT cd.va AS vec_a, cd.vb AS vec_b,
+       round(sum(ca.xn * cb.xn), 4) AS cos_sim
+FROM cand cd
+JOIN compn ca ON ca.vec_id = cd.va
+JOIN compn cb ON cb.vec_id = cd.vb AND cb.i = ca.i
+GROUP BY cd.va, cd.vb
+HAVING round(sum(ca.xn * cb.xn), 4) >= {threshold}""")
+
+
+IVF_NEAR_DUPS_SQL = _ivf_near_dups_sql()
 
 
 def knn_classify(sf_dir: str, vec_id: int = 0, k: int = 15):

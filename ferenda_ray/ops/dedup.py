@@ -658,6 +658,90 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def embedding_near_dups_ivf(sf_dir: str, threshold: float = 0.4,
+                            nprobe: int = 3):
+    """IVF-blocked candidate generation for embedding near-dup — the
+    approximate SCALE path beside :func:`embedding_dup_pairs`'s exact
+    O(n²) block-pair stream (VERDICT r2 next-8):
+
+    1. coarse centroids trained distributed (``ann.build_ivf_centroids``
+       — driver holds only the (k, dim) matrix);
+    2. every vector is MULTI-PROBE assigned to its ``nprobe`` best
+       lists inside ``map_batches`` from the broadcast centroids
+       (ties by cluster index ASC, matching the SQL oracle);
+    3. candidate pairs exist only WITHIN a list: one narrow
+       ``groupby(cluster)`` shuffle of (nprobe × n) skinny rows,
+       exact chunked-matmul cosine per group, inclusion on the
+       4-dp-rounded value;
+    4. pairs found in several shared lists dedup via a tiny
+       ``groupby(vec_a, vec_b)`` max — output rows ≪ candidates.
+
+    Compute drops from O(n²) to Σ_list O(|list|²). Partitioning
+    assumption (documented contract): each IVF list × dim fits a
+    worker's heap — at 10⁹ vectors raise k (lists ∝ n / target_list
+    size); a hot list degrades to its own quadratic term, the classic
+    IVF skew, mitigated by raising k or nprobe-splitting hot lists.
+    Recall vs the exact path is workload-dependent and gated in
+    pytest; the SQL oracle (``ann.IVF_NEAR_DUPS_SQL``) recomputes the
+    SAME algorithm, so driver correctness is exact, not a bound."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from ferenda_ray.ops.ann import build_ivf_centroids
+
+    cents = build_ivf_centroids(sf_dir)
+    c_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        c = fetch(c_ref)
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _list_col_matrix(b.column("embedding"))
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        k = min(nprobe, len(c))
+        # stable argsort on -score: equal scores keep ascending cluster
+        lists = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :k]
+        return pa.table({
+            "cluster": pa.array(lists.ravel(), pa.int32()),
+            "vec_id": pa.array(np.repeat(vids, k), pa.int64()),
+            "xn": pa.array(list(np.repeat(m, k, axis=0)),
+                           pa.list_(pa.float64())),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vids = g["vec_id"].to_numpy()
+        m = np.stack(g["xn"].to_numpy())
+        a_all, b_all, s_all = [], [], []
+        for lo in range(0, len(m), 1024):  # bound memory on hot lists
+            blk = m[lo:lo + 1024]
+            sims = np.round(blk @ m.T, 4)
+            mask = (sims >= threshold) & (
+                vids[lo:lo + 1024, None] < vids[None, :])
+            r, c = np.nonzero(mask)
+            a_all.append(vids[lo + r])
+            b_all.append(vids[c])
+            s_all.append(sims[r, c])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(a_all) if a_all else
+            np.array([], np.int64),
+            "vec_b": np.concatenate(b_all) if b_all else
+            np.array([], np.int64),
+            "cos_sim": np.concatenate(s_all) if s_all else
+            np.array([], np.float64),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+            .groupby("cluster")
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["vec_a", "vec_b"])
+            .aggregate(Max("cos_sim", alias_name="cos_sim")))
+
+
 # -- duplicate clustering (connected components) ---------------------------
 
 def dup_clusters(pairs_ds, num_buckets: int = 16, max_rounds: int = 64):

@@ -81,6 +81,32 @@ def test_embedding_dups(corpus_dir):
     assert (0, 500) in set(zip(pairs.vec_a, pairs.vec_b))
 
 
+def test_embedding_ivf_finds_planted_pair(corpus_dir):
+    """The IVF-blocked path must find the planted near-identical pair
+    (two nearly-equal vectors always share their best list)."""
+    pairs = dedup.embedding_near_dups_ivf(
+        corpus_dir, threshold=0.95).to_pandas()
+    assert (0, 500) in set(zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_embedding_ivf_recall_and_precision(ray_session):
+    """Against the exact O(n²) path on the driver embeddings: every
+    IVF pair is a true pair with the identical rounded cosine
+    (precision 1 by construction), and recall stays high at the
+    default threshold."""
+    sf = "/root/testdata/sf0.001"
+    exact = dedup.embedding_dup_pairs(sf, threshold=0.4).to_pandas()
+    approx = dedup.embedding_near_dups_ivf(sf, threshold=0.4).to_pandas()
+    ex = {(a, b): s for a, b, s in
+          zip(exact.vec_a, exact.vec_b, exact.cos_sim)}
+    ap = {(a, b): s for a, b, s in
+          zip(approx.vec_a, approx.vec_b, approx.cos_sim)}
+    assert set(ap) <= set(ex)
+    for k, s in ap.items():
+        assert s == pytest.approx(ex[k], abs=1e-4)
+    assert len(ap) >= 0.8 * len(ex), (len(ap), len(ex))
+
+
 def test_dup_clusters(corpus_dir):
     pairs = dedup.minhash_dedup_pairs(corpus_dir, threshold=0.5)
     clusters = dedup.dup_clusters(pairs).to_pandas()
