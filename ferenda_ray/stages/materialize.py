@@ -48,17 +48,36 @@ KEY_COLS = ["subj", "pred", "obj", "lang", "datatype"]
 DEFAULT_BUCKETS = 64
 
 
-def add_keys(batch: pa.Table, num_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+def add_keys(batch: pa.Table, num_buckets: int = DEFAULT_BUCKETS,
+             layout: str = "key") -> pa.Table:
     """Vectorized key/bucket computation + batch-local dedup (the partial
-    aggregation step before the shuffle)."""
+    aggregation step before the shuffle).
+
+    ``layout`` picks the partition key:
+
+    * ``"key"`` (default) — bucket by the triple-key hash: the global
+      exact-dedup invariant holds (equal keys always meet in one
+      bucket), but a re-crawled url's old triples hash across ALL
+      buckets, so incremental merges must sweep the whole table.
+    * ``"url"`` — bucket by ``hash(url)``: a url's triples are
+      partition-local, so an incremental merge touches ONLY the delta
+      urls' buckets (sweep IO ∝ delta, the 10^8-url daily-crawl
+      layout). Trade-off: a key emitted by pages in different buckets
+      survives once per bucket — key-exact dedup holds within a
+      bucket / within a url, and the DISTINCT key set equals the key
+      layout's (pytest-gated); exact global graph-set semantics need
+      the key layout.
+    """
     df = pl.from_arrow(batch)
     df = df.with_columns(
         pl.concat_str(
             [pl.col(c) for c in KEY_COLS], separator="\x1f"
         ).hash(seed=42).alias("key_hash")
     )
+    part = (pl.col("url").hash(seed=42) if layout == "url"
+            else pl.col("key_hash"))
     df = df.with_columns(
-        (pl.col("key_hash") % num_buckets).cast(pl.Int32).alias("bucket")
+        (part % num_buckets).cast(pl.Int32).alias("bucket")
     )
     # batch-local dedup, deterministic survivor. Dedup keys on the KEY
     # COLUMNS themselves, not key_hash: a 64-bit hash collision between
@@ -115,26 +134,52 @@ def _write_manifest_row(out_dir: str, bucket: int, n: int, t_ms: float) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket-{bucket:05d}.json"))
 
 
-def _write_meta(out_dir: str, num_buckets: int) -> None:
+def _write_meta(out_dir: str, num_buckets: int,
+                layout: str = "key") -> None:
     """Persist the table's bucketing config so later incremental merges
-    can refuse a mismatched ``num_buckets`` (a silent mismatch splits
-    the keyspace differently and breaks the exact-dedup invariant)."""
+    can refuse a mismatched ``num_buckets`` or ``layout`` (a silent
+    mismatch splits the keyspace differently and breaks the dedup /
+    replace-by-url invariants)."""
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, "_meta.json")
     if not os.path.exists(path):
         tmp = os.path.join(mdir, f".tmp-meta-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump({"num_buckets": num_buckets}, f)
+            json.dump({"num_buckets": num_buckets, "layout": layout}, f)
         os.replace(tmp, path)
 
 
-def table_num_buckets(out_dir: str) -> int | None:
+def table_meta(out_dir: str) -> dict | None:
     path = os.path.join(_manifest_dir(out_dir), "_meta.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)["num_buckets"]
+        meta = json.load(f)
+    meta.setdefault("layout", "key")  # pre-layout tables
+    return meta
+
+
+def table_num_buckets(out_dir: str) -> int | None:
+    meta = table_meta(out_dir)
+    return None if meta is None else meta["num_buckets"]
+
+
+def _check_meta(out_dir: str, num_buckets: int, layout: str,
+                what: str) -> None:
+    meta = table_meta(out_dir)
+    if meta is None:
+        return
+    if meta["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"{what}: table at {out_dir} was built with "
+            f"num_buckets={meta['num_buckets']}, got {num_buckets} — a "
+            "mismatched bucket count would split the keyspace differently")
+    if meta["layout"] != layout:
+        raise ValueError(
+            f"{what}: table at {out_dir} was built with "
+            f"layout={meta['layout']!r}, got {layout!r} — a mismatched "
+            "partition key breaks the dedup / replace-by-url invariants")
 
 
 def done_buckets(out_dir: str) -> set[int]:
@@ -160,18 +205,17 @@ def read_manifest(out_dir: str) -> list[dict]:
 
 
 def materialize(triples_ds, out_dir: str,
-                num_buckets: int = DEFAULT_BUCKETS, resume: bool = True):
+                num_buckets: int = DEFAULT_BUCKETS, resume: bool = True,
+                layout: str = "key"):
     """Run the dedup + partitioned write; returns the manifest as a
-    pandas DataFrame (small: one row per bucket written this run)."""
-    existing = table_num_buckets(out_dir)
-    if existing is not None and existing != num_buckets:
-        raise ValueError(
-            f"materialize: table at {out_dir} was built with "
-            f"num_buckets={existing}, got {num_buckets} — resuming with a "
-            "different bucket count would split the keyspace differently")
-    _write_meta(out_dir, num_buckets)
+    pandas DataFrame (small: one row per bucket written this run).
+    ``layout``: see :func:`add_keys` — ``"url"`` makes later
+    incremental merges delta-local at the cost of bucket-scoped (not
+    global) key dedup."""
+    _check_meta(out_dir, num_buckets, layout, "materialize")
+    _write_meta(out_dir, num_buckets, layout)
     ds = triples_ds.map_batches(
-        lambda b: add_keys(b, num_buckets), batch_format="pyarrow"
+        lambda b: add_keys(b, num_buckets, layout), batch_format="pyarrow"
     )
     skip = done_buckets(out_dir) if resume else set()
     if skip:
@@ -379,25 +423,24 @@ def materialize_incremental(delta_ds, out_dir: str,
     value). Equality with a from-scratch rebuild on the combined input
     is pytest-gated (tests/test_incremental.py).
 
-    Scale note: the whole-table delete scan is the price of bucketing
-    by triple-key hash. For 10^8+-url daily deltas, bucket by
-    hash(url) instead so a url's triples are partition-local and the
-    sweep shrinks to the delta's own buckets; the merge machinery is
-    unchanged."""
+    Scale note: the whole-table delete scan is the price of the
+    default triple-key-hash layout. A table built with
+    ``layout="url"`` (see :func:`add_keys`) makes a url's triples
+    partition-local, so the sweep shrinks to the DELTA's own buckets —
+    phase 2 then enumerates only those, and write AND read IO stay
+    proportional to the delta (the 10^8-url daily-crawl configuration;
+    the merge machinery is unchanged). The layout is read from the
+    table's meta, never guessed."""
     import shutil
 
     import ray
 
-    existing = table_num_buckets(out_dir)
-    if existing is not None and existing != num_buckets:
-        raise ValueError(
-            f"materialize_incremental: table at {out_dir} was built with "
-            f"num_buckets={existing}, got {num_buckets} — a mismatched "
-            "bucket count would let the same triple key survive in two "
-            "buckets")
-    _write_meta(out_dir, num_buckets)
+    meta = table_meta(out_dir)
+    layout = meta["layout"] if meta is not None else "key"
+    _check_meta(out_dir, num_buckets, layout, "materialize_incremental")
+    _write_meta(out_dir, num_buckets, layout)
     ds = delta_ds.map_batches(
-        lambda b: add_keys(b, num_buckets), batch_format="pyarrow")
+        lambda b: add_keys(b, num_buckets, layout), batch_format="pyarrow")
     stage_root = os.environ.get("FERENDA_RAY_STAGE_ROOT")
     stage_dir = (os.path.join(stage_root,
                               "ferenda_incr-" + uuid.uuid4().hex[:12])
@@ -420,7 +463,10 @@ def materialize_incremental(delta_ds, out_dir: str,
         urls_path = os.path.join(stage_dir, "_delta_urls.parquet")
         pq.write_table(urls.to_arrow(), urls_path)
 
-        buckets = sorted(delta_buckets | done_buckets(out_dir))
+        # url layout: superseded rows can only live where their url
+        # hashes — the delta's own buckets; key layout must sweep all
+        buckets = sorted(delta_buckets if layout == "url"
+                         else delta_buckets | done_buckets(out_dir))
         merge = ray.remote(merge_bucket_incremental)
         rows = ray.get([merge.remote(b, out_dir, stage_dir, urls_path)
                         for b in buckets])

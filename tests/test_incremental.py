@@ -142,6 +142,90 @@ def test_incremental_untouched_buckets_not_rewritten(ray_session, tmp_path):
             assert now == t  # untouched partitions: zero IO
 
 
+def test_url_layout_incremental_equals_rebuild(ray_session, tmp_path):
+    """layout='url': incremental merge == from-scratch rebuild on the
+    combined input (same bit-equality gate as the key layout), the
+    DISTINCT key set matches the key layout's, and the sweep touches
+    ONLY the delta urls' buckets."""
+    import os
+
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from ferenda_ray.pipelines.kg import build_triples_ds
+
+    base = corpus_table(60)
+    recrawl_urls = _single_snapshot_urls(base)[:8]
+    recrawled = _modified_rows(base, recrawl_urls)
+    fresh = _new_pages(5)
+    delta = pa.concat_tables([recrawled.cast(base.schema),
+                              fresh.cast(base.schema)])
+    rest = base.filter(pc.invert(pc.is_in(
+        base.column("url"), value_set=pa.array(recrawl_urls, pa.string()))))
+    combined = pa.concat_tables([delta.cast(base.schema), rest])
+
+    p_base = str(tmp_path / "base.parquet")
+    p_delta = str(tmp_path / "delta.parquet")
+    p_comb = str(tmp_path / "combined.parquet")
+    pq.write_table(base, p_base)
+    pq.write_table(delta, p_delta)
+    pq.write_table(combined, p_comb)
+
+    exp_dir = str(tmp_path / "expected_url")
+    mat.materialize(build_triples_ds(p_comb), exp_dir, num_buckets=8,
+                    layout="url")
+
+    got_dir = str(tmp_path / "incr_url")
+    mat.materialize(build_triples_ds(p_base), got_dir, num_buckets=8,
+                    layout="url")
+    assert mat.table_meta(got_dir)["layout"] == "url"
+
+    mtimes = {p: os.path.getmtime(os.path.join(got_dir, p,
+                                               "part-0.parquet"))
+              for p in os.listdir(got_dir) if p.startswith("bucket=")}
+    man = mat.materialize_incremental(build_triples_ds(p_delta), got_dir,
+                                      num_buckets=8)
+    pd.testing.assert_frame_equal(_read_sorted(got_dir),
+                                  _read_sorted(exp_dir))
+
+    # sweep IO ∝ delta: phase 2 enumerated exactly the delta urls'
+    # hash buckets; every other partition file untouched on disk
+    delta_urls = pa.parquet.read_table(
+        p_delta, columns=["url"]).column("url").to_pylist()
+    want_buckets = {int(h % 8) for h in
+                    pl.Series(delta_urls).hash(seed=42)}
+    assert set(man.bucket) <= want_buckets
+    for p, t in mtimes.items():
+        b = int(p.split("=", 1)[1])
+        if b not in want_buckets:
+            now = os.path.getmtime(
+                os.path.join(got_dir, p, "part-0.parquet"))
+            assert now == t, f"non-delta bucket {b} was rewritten"
+
+    # distinct key set identical across layouts
+    key_dir = str(tmp_path / "expected_key")
+    mat.materialize(build_triples_ds(p_comb), key_dir, num_buckets=8)
+    kcols = ["subj", "pred", "obj", "lang", "datatype"]
+    url_keys = _read_sorted(exp_dir)[kcols].drop_duplicates()
+    key_keys = _read_sorted(key_dir)[kcols].drop_duplicates()
+    pd.testing.assert_frame_equal(
+        url_keys.sort_values(kcols).reset_index(drop=True),
+        key_keys.sort_values(kcols).reset_index(drop=True))
+
+
+def test_layout_mismatch_raises(tmp_path, ray_session):
+    import pytest
+    import ray.data as rd
+
+    rows = [{"url": f"u{i}", "subj": f"s{i}", "pred": "p", "obj": f"o{i}",
+             "lang": "", "datatype": ""} for i in range(20)]
+    out = str(tmp_path / "tbl")
+    mat.materialize(rd.from_items(rows), out, num_buckets=4, layout="url")
+    with pytest.raises(ValueError, match="layout='url'"):
+        mat.materialize(rd.from_items(rows), out, num_buckets=4,
+                        layout="key")
+
+
 def test_incremental_num_buckets_mismatch_raises(tmp_path, ray_session):
     # ADVICE r2: a mismatched num_buckets must raise, not silently split
     # the keyspace
