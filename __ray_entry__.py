@@ -539,9 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_scores": text.stopword_scores,
         "curate_documents": text.curate_documents,
         "lang_id": text.lang_id,
-        "fingerprints": text.fingerprints,
         "doc_structure": text.doc_structure,
-        "tokenize_ids": text.tokenize_ids,
+        "tokenize_id_rows": text.tokenize_id_rows,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -580,7 +579,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": win.funnel_stages,
         "events_running_total": win.events_running_total,
         "users_in_both": win.users_in_both,
-        # ---- rows-only (approximate / seeded-sampling semantics) ----
+        # ---- rows-only (approximate / seeded-sampling semantics, or
+        # list-column feeds whose semantics are oracled via their
+        # row-form siblings fingerprint_rows / tokenize_id_rows) ----
+        "fingerprints": text.fingerprints,
+        "tokenize_ids": text.tokenize_ids,
         "hll_distinct_users": sketch.hll_distinct_users,
         "sample_documents": sample.sample_documents,
     }
@@ -722,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
         "doc_structure": text.DOC_STRUCTURE_SQL,
+        "tokenize_id_rows": text.TOKENIZE_ID_ROWS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

@@ -457,10 +457,15 @@ def encode_ids(text: str) -> list[int]:
     """Deterministic token-id encoding: BPE-ish regex tokens hashed into
     a fixed vocab (a stand-in for a real BPE table — none ships here;
     the Ray-side plumbing is what a training feed needs: bounded ids,
-    stable across workers/runs)."""
-    from ferenda_ray.util import stable_uint
+    stable across workers/runs). Vocab hash = md5 first-8-bytes
+    little-endian mod VOCAB_SIZE — exactly DuckDB's
+    ``md5_number_upper(t) % VOCAB_SIZE`` (the SimHash-oracle identity,
+    ``ops/dedup.py``), so the encoding is SQL-recomputable."""
+    import hashlib
 
-    return [stable_uint(t, VOCAB_SIZE) for t in _BPEISH.findall(text)]
+    return [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                           "little") % VOCAB_SIZE
+            for t in _BPEISH.findall(text)]
 
 
 def tokenize_ids(sf_dir: str, max_len: int = 512):
@@ -483,6 +488,49 @@ def tokenize_ids(sf_dir: str, max_len: int = 512):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def tokenize_id_rows(sf_dir: str, max_len: int = 512):
+    """Exploded (doc_id, pos, token_id) form of :func:`tokenize_ids` —
+    same encoder, one row per (truncated) token. This is the
+    driver-oracled evidence for the tokenizer semantics (the list-column
+    training feed above stays the consumption format); the SQL oracle
+    recomputes the regex tokenization + md5 vocab hash per row."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dids, poss, tids = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            ids = encode_ids(t or "")[:max_len]
+            dids.extend([d] * len(ids))
+            poss.extend(range(len(ids)))
+            tids.extend(ids)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "token_id": pa.array(tids, pa.int32()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+TOKENIZE_ID_ROWS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]{{1,3}}|[^\\sA-Za-z0-9]') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, least(len(toks), 512))) AS BIGINT) AS pos,
+       unnest(list_transform(toks[1:512],
+              t -> CAST(md5_number_upper(t) % {VOCAB_SIZE} AS INT)))
+           AS token_id
+FROM tok WHERE len(toks) > 0
+"""
 
 
 # -- TF-IDF top terms per document (two-pass; df broadcast or join) --------

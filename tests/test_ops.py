@@ -125,6 +125,12 @@ def test_doc_structure_oracle_structured(ray_session, tmp_path):
     assert got.n_lists.tolist() == [1, 0, 1, 0, 0]
 
 
+def test_tokenize_id_rows_oracle(ray_session, con):
+    from ferenda_ray.ops.text import TOKENIZE_ID_ROWS_SQL, tokenize_id_rows
+
+    _cmp(tokenize_id_rows(SF), con, TOKENIZE_ID_ROWS_SQL)
+
+
 def test_tokenize_ids(ray_session):
     from ferenda_ray.ops.text import VOCAB_SIZE, encode_ids, tokenize_ids
 
