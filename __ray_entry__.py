@@ -541,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "doc_structure": text.doc_structure,
         "tokenize_id_rows": text.tokenize_id_rows,
+        "repetition_scores": text.repetition_scores,
+        "pack_sequences": text.pack_sequences,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -726,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_rows": text.FINGERPRINT_ROWS_SQL,
         "doc_structure": text.DOC_STRUCTURE_SQL,
         "tokenize_id_rows": text.TOKENIZE_ID_ROWS_SQL,
+        "repetition_scores": text.REPETITION_SCORES_SQL,
+        "pack_sequences": text.PACK_SEQUENCES_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

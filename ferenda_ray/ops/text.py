@@ -533,6 +533,187 @@ FROM tok WHERE len(toks) > 0
 """
 
 
+# -- Gopher-style repetition signals (quality filtering) -------------------
+
+def repetition_scores(sf_dir: str):
+    """Per-doc repetition signals of corpus quality filtering (the
+    Gopher/Dolma rule family): ``frac_dup_lines`` = 1 − distinct/total
+    over newline-split lines, ``frac_top_bigram`` = occurrences of the
+    most frequent word-bigram / total bigrams (0 when fewer than two
+    ``\\S+`` tokens). Fully vectorized polars (explode + grouped shift,
+    no per-row python); definitions mirrored exactly by the SQL
+    oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        lines = df.select(
+            "doc_id",
+            (1.0 - pl.col("text").str.split("\n").list.n_unique()
+             / pl.col("text").str.split("\n").list.len())
+            .alias("frac_dup_lines"))
+        ex = (df.select("doc_id",
+                        pl.col("text").str.extract_all(r"\S+").alias("t"))
+              .explode("t")
+              .with_columns(pl.col("t").shift(-1).over("doc_id")
+                            .alias("t2")))
+        big = (ex.drop_nulls(["t", "t2"])
+               .with_columns((pl.col("t") + " " + pl.col("t2"))
+                             .alias("bg"))
+               .group_by("doc_id", "bg").len()
+               .group_by("doc_id")
+               .agg((pl.col("len").max() / pl.col("len").sum())
+                    .alias("frac_top_bigram")))
+        out = (lines.join(big, on="doc_id", how="left")
+               .with_columns(pl.col("frac_top_bigram").fill_null(0.0))
+               .sort("doc_id"))
+        return out.to_arrow()
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+REPETITION_SCORES_SQL = """
+WITH lines AS (
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                      AS DOUBLE)
+               / len(string_split(text, chr(10))) AS frac_dup_lines
+    FROM documents
+), tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\\S+')) AS t,
+           unnest(range(0, len(regexp_extract_all(text, '\\S+')))) AS i
+    FROM documents
+), bigr AS (
+    SELECT a.doc_id, a.t || ' ' || b.t AS bg
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), cnt AS (
+    SELECT doc_id, bg, count(*) AS c FROM bigr GROUP BY doc_id, bg
+), top AS (
+    SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS frac_top_bigram
+    FROM cnt GROUP BY doc_id
+)
+SELECT l.doc_id, l.frac_dup_lines,
+       coalesce(t.frac_top_bigram, 0.0) AS frac_top_bigram
+FROM lines l LEFT JOIN top t USING (doc_id)
+"""
+
+
+# -- sequence packing (concat-and-chunk training feed) ---------------------
+
+def pack_sequences(sf_dir: str, max_len: int = 512,
+                   num_buckets: int = 32):
+    """GPT-style concat-and-chunk sequence packing over the tokenized
+    corpus: documents in ``doc_id`` order form one global token
+    stream, chunked into fixed ``max_len`` training sequences; returns
+    the per-sequence summary (seq_id, n_docs contributing, n_tokens).
+
+    Distributed exact prefix-sum without a global sort OR a driver
+    row collect (the grouped-quantile offset pattern):
+
+    1. one tokenize pass → per-doc ``n`` (narrow Dataset, materialized
+       so the text is tokenized exactly once);
+    2. docs bucket by ``doc_id`` RANGE (order-preserving partitioning,
+       bounds from a min/max aggregate); per-bucket token sums reduce
+       to the driver — O(num_buckets) scalars, never rows;
+    3. exclusive bucket offsets broadcast back; each bucket locally
+       sorts its docs, cumsums, adds its offset → every doc knows its
+       global [start, end) span with no all-to-all exchange;
+    4. each doc emits one row per overlapped sequence (pure span
+       arithmetic, no token explosion), then a small
+       ``groupby(seq_id)`` sum.
+
+    The actual id feed for a trainer is the same spans + a gather of
+    ``input_ids`` — layout pinned against a single-process oracle in
+    pytest; this summary form is the driver-oracled evidence
+    (window-cumsum SQL)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            "doc_id",
+            pl.col("text").str.count_matches(
+                r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+            .cast(pl.Int64).alias("n"))
+        return df.filter(pl.col("n") > 0).to_arrow()
+
+    counts = ds.map_batches(ntok, batch_format="pyarrow").materialize()
+    bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    span = max(1, (hi - lo + num_buckets) // num_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((d - lo) // span, pa.int32()))
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow")
+    per_bucket = {r["bucket"]: r["sum(n)"] for r in
+                  bucketed.groupby("bucket").aggregate(Sum("n"))
+                  .take_all()}
+    offsets, acc = {}, 0
+    for bkt in sorted(per_bucket):
+        offsets[bkt] = acc
+        acc += per_bucket[bkt]
+    off_ref = ray.put(offsets)
+
+    def spans(g):
+        from ferenda_ray.state import fetch
+
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n"].to_numpy()
+        start = (fetch(off_ref)[g["bucket"].iloc[0]]
+                 + np.concatenate(([0], np.cumsum(n)[:-1])))
+        end = start + n
+        first = start // max_len
+        last = (end - 1) // max_len
+        reps = (last - first + 1).astype(np.int64)
+        seq = np.concatenate(
+            [np.arange(f, l + 1) for f, l in zip(first, last)])
+        s = np.repeat(start, reps)
+        e = np.repeat(end, reps)
+        ntoks = (np.minimum(e, (seq + 1) * max_len)
+                 - np.maximum(s, seq * max_len))
+        return pd.DataFrame({"seq_id": seq, "n_tokens": ntoks})
+
+    return (bucketed.groupby("bucket")
+            .map_groups(spans, batch_format="pandas")
+            .groupby("seq_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))
+
+
+PACK_SEQUENCES_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS n
+    FROM documents
+), nz AS (
+    SELECT doc_id, n FROM tok WHERE n > 0
+), ofs AS (
+    SELECT doc_id, n,
+           CAST(sum(n) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n
+                AS BIGINT) AS s
+    FROM nz
+), spans AS (
+    SELECT doc_id, n, s, s + n AS e,
+           unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq
+    FROM ofs
+)
+SELECT CAST(seq AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least(e, (seq + 1) * 512) - greatest(s, seq * 512))
+            AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq
+"""
+
+
 # -- TF-IDF top terms per document (two-pass; df broadcast or join) --------
 
 # Above this many distinct terms the df map stops being broadcast and

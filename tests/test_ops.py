@@ -142,3 +142,77 @@ def test_tokenize_ids(ray_session):
     assert all(0 <= i < VOCAB_SIZE for i in first.input_ids)
     # deterministic across calls/processes
     assert encode_ids("Hello, world 42!") == encode_ids("Hello, world 42!")
+
+
+def test_repetition_scores_oracle(ray_session, con):
+    from ferenda_ray.ops.text import REPETITION_SCORES_SQL, repetition_scores
+
+    _cmp(repetition_scores(SF), con, REPETITION_SCORES_SQL)
+
+
+def test_repetition_scores_handcheck(ray_session, tmp_path):
+    """Hand-computed signals: a doc that is one line repeated and a doc
+    with one dominant bigram score high; clean prose scores low."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import repetition_scores
+
+    texts = [
+        "spam spam spam spam spam spam",      # top bigram = all bigrams
+        "a\nb\nc\nd",                         # all lines distinct
+        "x\nx\nx\nx",                         # 1 distinct of 4 lines
+        "one two three four five six seven",  # every bigram unique
+    ]
+    tab = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (repetition_scores(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.frac_top_bigram[0] == 1.0
+    assert got.frac_dup_lines[1] == 0.0
+    assert abs(got.frac_dup_lines[2] - 0.75) < 1e-12
+    assert abs(got.frac_top_bigram[3] - 1 / 6) < 1e-12
+
+
+def test_pack_sequences_oracle(ray_session, con):
+    from ferenda_ray.ops.text import PACK_SEQUENCES_SQL, pack_sequences
+
+    _cmp(pack_sequences(SF), con, PACK_SEQUENCES_SQL)
+
+
+def test_pack_sequences_vs_single_process(ray_session):
+    """Layout pin: the distributed bucket-offset packing equals a
+    single-process concat-and-chunk at a non-default max_len — exact
+    (seq_id, n_docs, n_tokens) table, and token conservation holds."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import pack_sequences
+
+    max_len = 200
+    got = (pack_sequences(SF, max_len=max_len, num_buckets=7).to_pandas()
+           .sort_values("seq_id").reset_index(drop=True))
+
+    tok_re = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(zip(tab.column("doc_id").to_pylist(),
+                      tab.column("text").to_pylist()))
+    exp: dict[int, list[int]] = {}
+    pos = 0
+    for _d, text in docs:
+        n = len(tok_re.findall(text))
+        if n == 0:
+            continue
+        start, end = pos, pos + n
+        for seq in range(start // max_len, (end - 1) // max_len + 1):
+            dseq = exp.setdefault(seq, [0, 0])
+            dseq[0] += 1
+            dseq[1] += min(end, (seq + 1) * max_len) - max(start, seq * max_len)
+        pos = end
+    assert got.seq_id.tolist() == sorted(exp)
+    assert got.n_docs.tolist() == [exp[s][0] for s in sorted(exp)]
+    assert got.n_tokens.tolist() == [exp[s][1] for s in sorted(exp)]
+    assert int(got.n_tokens.sum()) == pos  # token conservation
+    # every sequence except the last is exactly full
+    assert (got.n_tokens.values[:-1] == max_len).all()
