@@ -543,11 +543,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_id_rows": text.tokenize_id_rows,
         "repetition_scores": text.repetition_scores,
         "pack_sequences": text.pack_sequences,
+        "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
+        "mix_corpus": sample.mix_corpus,
+        # ---- stable r1/r2-green oracle families (rotated past the
+        # window edge; all were rows+schema+hash green in r1 or r2) ----
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
-        # ---- stable r1/r2-green oracle families (rotated past the
-        # window edge; all were rows+schema+hash green in r1 or r2) ----
         "q1_pricing_summary": rel.q1_pricing_summary,
         "events_hourly": rel.events_hourly,
         "count_distinct_users": rel.count_distinct_users,
@@ -730,6 +732,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_id_rows": text.TOKENIZE_ID_ROWS_SQL,
         "repetition_scores": text.REPETITION_SCORES_SQL,
         "pack_sequences": text.PACK_SEQUENCES_SQL,
+        "fingerprint_overlap_pairs": text.FINGERPRINT_OVERLAP_SQL,
+        "mix_corpus": sample.MIX_CORPUS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

@@ -139,3 +139,90 @@ def sample_documents(sf_dir: str, k: int = 50):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     return reservoir_sample(ds, k)
+
+
+# -- corpus mixing (source rebalancing to a token budget) -------------------
+
+_MIX_SCALE = 10000
+
+
+def mix_corpus(sf_dir: str):
+    """Source-rebalanced corpus mix — the Dolma/RedPajama mixer step:
+    downsample every over-represented source to the MEDIAN source's
+    token total, so no single domain dominates the training mix.
+
+    Two passes, both narrow:
+
+    1. token counts per doc (one vectorized pass over text) feed a
+       per-source sum — a ``groupby(source)`` whose output is
+       #sources rows (constant, broadcast via ``ray.put``), from which
+       the driver derives one integer keep-threshold per source:
+       ``thr = floor(SCALE * budget / tokens_src)`` (``SCALE`` when the
+       source is already within budget), budget = discrete median of
+       the source totals;
+    2. a pure per-batch filter keeps doc where
+       ``mix(doc_id) % SCALE < thr[source]`` — deterministic,
+       resume-stable, no shuffle.
+
+    All arithmetic is int64 (floor division), so the DuckDB oracle
+    computes the identical predicate (``quantile_disc`` = the same
+    discrete median; ``//`` = the same floor division).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            "doc_id", "source",
+            pl.col("text").str.count_matches(r"\S+")
+            .cast(pl.Int64).alias("n_tokens"))
+        return df.to_arrow()
+
+    counts = ds.map_batches(ntok, batch_format="pyarrow").materialize()
+    totals = {r["source"]: int(r["sum(n_tokens)"]) for r in
+              counts.groupby("source").aggregate(Sum("n_tokens"))
+              .take_all()}
+    sorted_totals = sorted(totals.values())
+    budget = sorted_totals[(len(sorted_totals) - 1) // 2]  # quantile_disc .5
+    thr = {s: _MIX_SCALE if t <= budget
+           else (_MIX_SCALE * budget) // t
+           for s, t in totals.items()}
+    thr_ref = ray.put(thr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        from ferenda_ray.state import fetch
+
+        t = fetch(thr_ref)
+        keys = np.asarray(b.column("doc_id").to_numpy(zero_copy_only=False))
+        lim = (pl.from_arrow(b.select(["source"]))
+               .select(pl.col("source").replace_strict(
+                   t, return_dtype=pl.Int64))
+               .to_series().to_numpy())
+        return b.filter(pa.array(_mix(keys) % _MIX_SCALE < lim))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+MIX_CORPUS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens
+    FROM documents
+), tot AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st
+    FROM tok GROUP BY source
+), med AS (
+    SELECT quantile_disc(st, 0.5) AS budget FROM tot
+), thr AS (
+    SELECT source,
+           CASE WHEN st <= budget THEN {_MIX_SCALE}
+                ELSE ({_MIX_SCALE} * budget) // st END AS lim
+    FROM tot, med
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM tok t JOIN thr USING (source)
+WHERE (t.doc_id * 48271) % 2147483647 % {_MIX_SCALE} < thr.lim
+"""

@@ -285,6 +285,76 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# -- cross-doc span overlap via winnowing fingerprints ----------------------
+
+_OVERLAP_MAX_DF = 20   # boilerplate cap: fps in more docs carry no signal
+_OVERLAP_MIN_SHARED = 2
+
+
+def fingerprint_overlap_pairs(sf_dir: str,
+                              min_shared: int = _OVERLAP_MIN_SHARED,
+                              max_df: int = _OVERLAP_MAX_DF):
+    """Doc pairs sharing ≥ ``min_shared`` distinct winnowing
+    fingerprints — MOSS-style local overlap detection (shared spans,
+    not whole-doc similarity; complements MinHash which misses short
+    verbatim reuse inside otherwise-different docs).
+
+    Shape: explode fingerprints (one pass over text), per-batch
+    distinct partial, one ``groupby(fp)`` exchange of skinny
+    ``(doc_id, fp)`` rows, pair emit inside each fp group, then a
+    small pair-count groupby. Fingerprints appearing in more than
+    ``max_df`` docs are dropped before pairing — the LSH hot-bucket
+    cap: boilerplate grams would otherwise emit O(df²) pairs and carry
+    no overlap signal. Pair blowup is therefore bounded by
+    C(max_df, 2) per fingerprint.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        d_o, f_o = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for f in set(winnow_fingerprint(t)):
+                d_o.append(d)
+                f_o.append(f % (1 << 62))
+        return pa.table({"doc_id": pa.array(d_o, pa.int64()),
+                         "fp": pa.array(f_o, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"]))
+        if len(docs) < 2 or len(docs) > max_df:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        a, b = zip(*[(x, y) for i, x in enumerate(docs)
+                     for y in docs[i + 1:]])
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("n_shared"), min_shared))
+
+    return (ds.map_batches(fp_rows, batch_format="pyarrow")
+            .groupby("fp").map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="n_shared"))
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+FINGERPRINT_OVERLAP_SQL = f"""
+WITH dfp AS (
+    SELECT DISTINCT doc_id, fp FROM ({FINGERPRINT_ROWS_SQL})
+), ok AS (
+    SELECT doc_id, fp FROM dfp
+    QUALIFY count(*) OVER (PARTITION BY fp) BETWEEN 2 AND {_OVERLAP_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
+
 # -- plain-text structural parse (TextReader S5 analog) --------------------
 
 _HEADING_LINE = __import__("re").compile(r"^(\d+(?:\.\d+)*)\.?\s+\S")

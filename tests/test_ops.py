@@ -216,3 +216,71 @@ def test_pack_sequences_vs_single_process(ray_session):
     assert int(got.n_tokens.sum()) == pos  # token conservation
     # every sequence except the last is exactly full
     assert (got.n_tokens.values[:-1] == max_len).all()
+
+
+def test_fingerprint_overlap_pairs_oracle(ray_session, con):
+    from ferenda_ray.ops.text import (FINGERPRINT_OVERLAP_SQL,
+                                      fingerprint_overlap_pairs)
+
+    _cmp(fingerprint_overlap_pairs(SF), con, FINGERPRINT_OVERLAP_SQL)
+
+
+def test_fingerprint_overlap_handcheck(ray_session, tmp_path):
+    """Two docs sharing a verbatim 12-token span must pair; an unrelated
+    doc must not; a boilerplate span in >max_df docs must be ignored."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import fingerprint_overlap_pairs
+
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    boiler = "per aspera ad astra semper fidelis carpe diem veni vidi vici"
+    texts = [
+        f"intro words here {span} and a unique tail one",
+        f"completely different start {span} another unique ending two",
+        "nothing shared with anyone at all in this one whatsoever really",
+    ] + [f"{boiler} filler{i} " * 3 for i in range(25)]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (fingerprint_overlap_pairs(str(tmp_path)).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert (0, 1) in set(zip(got.doc_a, got.doc_b))
+    assert not ((got.doc_a == 2) | (got.doc_b == 2)).any()
+    # the 25 boilerplate docs share every fingerprint, but df > max_df
+    # caps them out of the pair stream
+    assert not (got.doc_a >= 3).any()
+
+
+def test_mix_corpus_oracle(ray_session, con):
+    from ferenda_ray.ops.sample import MIX_CORPUS_SQL, mix_corpus
+
+    _cmp(mix_corpus(SF), con, MIX_CORPUS_SQL)
+
+
+def test_mix_corpus_rebalances(ray_session):
+    """Post-mix token totals: within-budget sources keep every doc;
+    over-budget sources shrink to ≈ the median source's total."""
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.sample import mix_corpus
+
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    got = mix_corpus(SF).to_pandas()
+    pre = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source", "text"])
+    pre["n_tokens"] = pre.text.str.count(r"\S+")
+    tot_pre = pre.groupby("source").n_tokens.sum()
+    budget = sorted(tot_pre)[(len(tot_pre) - 1) // 2]
+    tot_post = got.groupby("source").n_tokens.sum()
+    for s, t in tot_pre.items():
+        if t <= budget:
+            assert tot_post.get(s, 0) == t, s  # kept whole
+        else:
+            assert tot_post.get(s, 0) <= t, s  # never grows
+    # the most over-represented source must actually shrink, and the
+    # whole mix must lose tokens
+    worst = tot_pre.idxmax()
+    assert tot_pre[worst] > budget
+    assert tot_post.get(worst, 0) < tot_pre[worst]
+    assert tot_post.sum() < tot_pre.sum()
