@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": text.pack_sequences,
         "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
         "mix_corpus": sample.mix_corpus,
+        "quality_classifier": text.quality_classifier,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
         "ft_search": ft_search,
@@ -734,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": text.PACK_SEQUENCES_SQL,
         "fingerprint_overlap_pairs": text.FINGERPRINT_OVERLAP_SQL,
         "mix_corpus": sample.MIX_CORPUS_SQL,
+        "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

@@ -7,6 +7,12 @@
   (no lxml/libxslt — stdlib only), so the transform is a deterministic
   pure-Python renderer with the same shape: compiled "template" state
   built once per worker, per-doc tree walk, annotations merged in.
+  User templates are matched by an XSLT-pattern subset
+  (:class:`_TemplateSet`: ``Kind``, ``Parent/Kind``,
+  ``Kind[field=value]``, ``*`` with XSLT priority/document-order
+  rules), so generate/TOC styling is template-rule-driven — the same
+  extension model as the reference's per-repo XSLT, minus the hosted
+  engine.
 * :func:`transformlinks_batch` — rewrite every href in generated HTML
   through a broadcast url-transform map (reference M16
   ``documentrepository.py:2673-2717``: canonical→local forms).
@@ -70,26 +76,97 @@ def _apply_template(tpl: str, elem: dict, url: str, children: str,
     return tpl.format_map(ctx)
 
 
+class _TemplateSet:
+    """Compiled template rules — the XSLT processing model
+    (match pattern → body, most-specific rule wins, apply-templates
+    recursion) as a pure-Python interpreter (reference
+    ``transformer.py:25-372`` drives libxslt; same extension surface).
+
+    Pattern grammar (a practical XSLT-pattern subset):
+
+    * ``*`` — any element (priority 0, like the XSLT built-in rules)
+    * ``Kind`` — match by element kind (priority 1)
+    * ``Parent/Kind`` — kind with immediate-parent test (priority 2)
+    * ``Kind[field]`` / ``Kind[field=value]`` — attribute-presence /
+      attribute-value predicate (priority 3; +1 when combined with a
+      parent step)
+
+    The highest-priority matching rule renders the element; ties break
+    toward the later-defined rule (document order, as in XSLT). A plain
+    ``Kind`` key behaves exactly as the pre-round-3 per-kind template
+    dict, so existing templates are unaffected.
+    """
+
+    _PAT = re.compile(
+        r"^(?:(?P<parent>\*|\w+)/)?(?P<kind>\*|\w+)"
+        r"(?:\[(?P<field>\w+)(?:=(?P<value>[^\]]*))?\])?$")
+
+    def __init__(self, templates: dict):
+        self.rules = []
+        for i, (pat, tpl) in enumerate(templates.items()):
+            m = self._PAT.match(pat)
+            if not m:
+                raise ValueError(f"bad template pattern: {pat!r}")
+            parent, kind, field, value = m.group(
+                "parent", "kind", "field", "value")
+            prio = ((1 if kind != "*" else 0)
+                    + (1 if parent else 0)
+                    + (2 if field else 0))
+            self.rules.append((prio, i, parent, kind, field, value, tpl))
+        # highest priority first, later definition wins ties
+        self.rules.sort(key=lambda r: (-r[0], -r[1]))
+
+    def lookup(self, elem: dict, parent_kind: str | None) -> str | None:
+        kind = elem["kind"]
+        for _p, _i, parent, k, field, value, tpl in self.rules:
+            if k != "*" and k != kind:
+                continue
+            if parent and parent != "*" and parent != parent_kind:
+                continue
+            if field is not None:
+                if field not in elem:
+                    continue
+                if value is not None and str(elem[field]) != value:
+                    continue
+            return tpl
+        return None
+
+
+_TPL_CACHE: dict[tuple, _TemplateSet] = {}
+
+
+def _template_set(templates: dict) -> _TemplateSet:
+    key = tuple(templates.items())  # small str→str dict; content-keyed
+    ts = _TPL_CACHE.get(key)
+    if ts is None:
+        ts = _TPL_CACHE[key] = _TemplateSet(templates)
+    return ts
+
+
 def _render_elem(elem: dict, out: list[str], url: str,
-                 templates: dict | None = None) -> None:
+                 templates: dict | None = None,
+                 parent_kind: str | None = None) -> None:
     kind = elem["kind"]
-    if templates and kind in templates:
-        kids: list[str] = []
-        for ch in elem.get("children", []):
-            _render_elem(ch, kids, url, templates)
-        out.append(_apply_template(templates[kind], elem, url,
-                                   "\n".join(kids), _render_inline(elem)))
-        return
+    if templates:
+        tpl = _template_set(templates).lookup(elem, parent_kind)
+        if tpl is not None:
+            kids: list[str] = []
+            for ch in elem.get("children", []):
+                _render_elem(ch, kids, url, templates, kind)
+            out.append(_apply_template(tpl, elem, url,
+                                       "\n".join(kids),
+                                       _render_inline(elem)))
+            return
     if kind == "Body":
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates)
+            _render_elem(ch, out, url, templates, kind)
     elif kind == "Section":
         frag = f"S{elem['ordinal']}"
         out.append(f'<section id={quoteattr(frag)} about='
                    f'{quoteattr(url + "#" + frag)}>')
         out.append(f"<h2>{escape(elem['ordinal'])}. {escape(elem['title'])}</h2>")
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates)
+            _render_elem(ch, out, url, templates, kind)
         out.append("</section>")
     elif kind == "Heading":
         lvl = int(elem.get("level", 2))
@@ -115,7 +192,7 @@ def _render_elem(elem: dict, out: list[str], url: str,
             li = [f"<li>{_render_inline(ch)}"]
             for sub in ch.get("children", []):
                 sub_out: list[str] = []
-                _render_elem(sub, sub_out, url, templates)
+                _render_elem(sub, sub_out, url, templates, ch["kind"])
                 li.extend(sub_out)
             li.append("</li>")
             out.append("".join(li) if len(li) == 2 else "\n".join(li))

@@ -284,3 +284,30 @@ def test_mix_corpus_rebalances(ray_session):
     assert tot_pre[worst] > budget
     assert tot_post.get(worst, 0) < tot_pre[worst]
     assert tot_post.sum() < tot_pre.sum()
+
+
+def test_quality_classifier_oracle(ray_session, con):
+    from ferenda_ray.ops.text import QUALITY_CLASSIFIER_SQL, quality_classifier
+
+    _cmp(quality_classifier(SF), con, QUALITY_CLASSIFIER_SQL)
+
+
+def test_quality_classifier_separates(ray_session, tmp_path):
+    """Prose scores above the keep threshold; digit soup below it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import quality_classifier
+
+    texts = [
+        "It is the case that the data for it is in the file and "
+        "that it is a good day for the team to review it as planned.",
+        "0192 3847 5656 1029 3847 5757 0192 8383 4747 5656 1029 0101",
+    ]
+    tab = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (quality_classifier(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert bool(got.keep[0]) is True
+    assert bool(got.keep[1]) is False
+    assert got.quality_score[0] > got.quality_score[1]

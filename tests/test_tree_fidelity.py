@@ -215,3 +215,64 @@ def test_nested_sibling_sublist_kind_change():
     assert [c["text"] for c in subs[0]["children"]] == ["o1"]
     assert [c["text"] for c in subs[1]["children"]] == ["u1"]
     assert ul["children"][1]["text"] == "tail"
+
+
+def test_template_pattern_rules():
+    """The XSLT-style pattern subset: parent steps, attribute
+    predicates, wildcard fallback, and specificity ordering."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": "Intro", "children": [
+            {"kind": "Paragraph", "text": "inside section"},
+            {"kind": "Heading", "level": 3, "text": "Deep"},
+            {"kind": "Heading", "level": 2, "text": "Shallow"}]},
+        {"kind": "Paragraph", "text": "top level"}]}
+    html = generate_html(
+        "https://example.org/d", "T", tree,
+        templates={
+            # parent step: only paragraphs directly inside a Section
+            "Section/Paragraph": '<p class="sec">{inline}</p>',
+            # value predicate beats the plain-kind rule
+            "Heading": "<h9>{text_esc}</h9>",
+            "Heading[level=3]": '<h3 class="deep">{text_esc}</h3>',
+        })
+    assert '<p class="sec">inside section</p>' in html
+    assert "<p>top level</p>" in html          # builtin rule still applies
+    assert '<h3 class="deep">Deep</h3>' in html
+    assert "<h9>Shallow</h9>" in html
+
+
+def test_template_wildcard_and_presence_predicate():
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Paragraph", "text": "a"},
+        {"kind": "Preformatted", "text": "b"}]}
+    html = generate_html(
+        "https://example.org/d", "T", tree,
+        # wildcard must apply-templates ({children}) or it swallows the
+        # subtree — the XSLT-rule contract
+        templates={"*": "<x>{inline}{children}</x>",
+                   "Paragraph[text=a]": "<only>{inline}</only>"})
+    assert "<only>a</only>" in html
+    assert "<x>b</x>" in html
+    import pytest
+    with pytest.raises(ValueError):
+        generate_html("u", "T", tree, templates={"bad pattern!": "x"})
+
+
+def test_template_default_output_unchanged_with_patterns_available():
+    """Adding the pattern engine must not change default rendering."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "2", "title": "T2", "children": [
+            {"kind": "Paragraph", "text": "x"},
+            {"kind": "UnorderedList", "children": [
+                {"kind": "ListItem", "text": "i1", "children": [
+                    {"kind": "OrderedList", "children": [
+                        {"kind": "ListItem", "text": "n1"}]}]}]}]}]}
+    out = generate_html("https://example.org/d", "T", tree)
+    assert "<section id=\"S2\"" in out
+    assert "<ul>" in out and "<ol>" in out and "<li>i1" in out
