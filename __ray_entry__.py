@@ -532,8 +532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
-        "exact_dedup": dedup.exact_dedup,
-        "token_counts": text.token_counts,
         "tfidf_top_terms": text.tfidf_top_terms,
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
@@ -546,8 +544,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
         "mix_corpus": sample.mix_corpus,
         "quality_classifier": text.quality_classifier,
+        "hopping_window_stats": win.hopping_window_stats,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
+        "exact_dedup": dedup.exact_dedup,
+        "token_counts": text.token_counts,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -736,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_overlap_pairs": text.FINGERPRINT_OVERLAP_SQL,
         "mix_corpus": sample.MIX_CORPUS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
+        "hopping_window_stats": win.HOPPING_WINDOW_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

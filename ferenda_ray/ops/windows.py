@@ -367,3 +367,91 @@ LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 ORDER BY user_id
 """
+
+
+# -- hopping (sliding) window aggregate ------------------------------------
+
+HOP_SIZE_MIN = 60
+HOP_STEP_MIN = 15
+
+
+def hopping_window_stats(sf_dir: str, size_min: int = HOP_SIZE_MIN,
+                         hop_min: int = HOP_STEP_MIN):
+    """Hopping-window aggregate (size 60 min, hop 15 min): every event
+    counts toward ``size/hop`` overlapping windows — the sliding-window
+    streaming primitive (tumbling = the special case ``hop == size``,
+    already covered by ``events_hourly``).
+
+    Scale shape: per-batch PARTIAL aggregation to (event_type,
+    hop-bucket) happens BEFORE the ×(size/hop) window expansion, so the
+    shuffle carries expanded partials (bounded by #types × #buckets ×
+    k per block), never expanded raw events. Value sums ride as exact
+    int64 cents end-to-end (bit-identical to the sequential oracle).
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.ops.relational import _cents, _unscale
+
+    assert size_min % hop_min == 0
+    k = size_min // hop_min
+    hop_s = hop_min * 60
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        secs = (b.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[s]").astype(np.int64))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "hb": pa.array(secs // hop_s, pa.int64()),
+                      "c": _cents(b.column("value"))})
+        g = (pl.from_arrow(t).group_by("event_type", "hb")
+             .agg(pl.len().alias("n"), pl.col("c").sum()))
+        # expand each hop-bucket partial into the k windows it feeds
+        exp = (g.join(pl.DataFrame({"off": list(range(k))}), how="cross")
+               .with_columns((pl.col("hb") - pl.col("off")).alias("wb"))
+               .select("event_type", "wb", "n", "c"))
+        return exp.to_arrow()
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "wb"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("c", alias_name="value_c")))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ws = (b.column("wb").to_numpy(zero_copy_only=False)
+              * hop_s).astype("datetime64[s]").astype("datetime64[us]")
+        return (b.append_column("window_start",
+                                pa.array(ws, pa.timestamp("us")))
+                .drop_columns(["wb"]))
+
+    return _unscale(agg.map_batches(stamp, batch_format="pyarrow"),
+                    {"sum_value": ("value_c", 100.0, None)},
+                    drop=["value_c"])
+
+
+HOPPING_WINDOW_SQL = f"""
+WITH e AS (
+    SELECT event_type,
+           epoch(date_trunc('second', ts))::BIGINT
+               // {HOP_STEP_MIN * 60} AS hb,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+), w AS (
+    SELECT event_type, c,
+           unnest(range(hb - {HOP_SIZE_MIN // HOP_STEP_MIN - 1}, hb + 1))
+               AS wb
+    FROM e
+)
+SELECT event_type,
+       count(*) AS n_events,
+       make_timestamp(wb * {HOP_STEP_MIN * 60} * 1000000)
+           AS window_start,
+       CAST(sum(c) AS BIGINT) / 100.0 AS sum_value
+FROM w GROUP BY event_type, wb
+"""

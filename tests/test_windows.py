@@ -98,3 +98,40 @@ def test_funnel_requires_order(ray_session):
     out = win.funnel_stages(d).to_pandas().set_index("user_id")
     assert out.loc[1, "funnel_stage"] == 2  # view→click, purchase too early
     assert out.loc[2, "funnel_stage"] == 1  # view only (purchase first)
+
+
+def test_hopping_window_oracle(ray_session):
+    import duckdb
+
+    from ferenda_ray.ops.windows import (HOPPING_WINDOW_SQL,
+                                         hopping_window_stats)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    mine = (hopping_window_stats("/root/testdata/sf0.001").to_pandas()
+            [["event_type", "window_start", "n_events", "sum_value"]]
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    want = (con.sql(HOPPING_WINDOW_SQL).df()
+            [["event_type", "window_start", "n_events", "sum_value"]]
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_hopping_window_covers_tumbling(ray_session):
+    """hop == size degenerates to the tumbling hourly aggregate."""
+    from ferenda_ray.ops.relational import events_hourly
+    from ferenda_ray.ops.windows import hopping_window_stats
+
+    hop = (hopping_window_stats("/root/testdata/sf0.001",
+                                size_min=60, hop_min=60).to_pandas()
+           .sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    tumb = (events_hourly("/root/testdata/sf0.001").to_pandas()
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    assert (hop.n_events.values == tumb.n_events.values).all()
+    assert (hop.sum_value.values == tumb.sum_value.values).all()
+    assert (hop.window_start.values == tumb.hour.values).all()
