@@ -529,7 +529,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
-        "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "tfidf_top_terms": text.tfidf_top_terms,
@@ -545,10 +544,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpus": sample.mix_corpus,
         "quality_classifier": text.quality_classifier,
         "hopping_window_stats": win.hopping_window_stats,
+        "lm_cross_entropy": text.lm_cross_entropy,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -738,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": sample.MIX_CORPUS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "hopping_window_stats": win.HOPPING_WINDOW_SQL,
+        "lm_cross_entropy": text.LM_CROSS_ENTROPY_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

@@ -1174,3 +1174,101 @@ SELECT doc_id,
             + frac_dup_lines * {_QC_W["frac_dup_lines"]}))) >= 0.5 AS keep
 FROM f
 """
+
+
+# -- unigram-LM cross-entropy scoring (perplexity-filter slot) -------------
+
+def lm_cross_entropy(sf_dir: str):
+    """Per-doc cross-entropy under the corpus unigram LM — the
+    CCNet/Dolma perplexity-filter slot (there a KenLM model; here the
+    corpus's own unigram distribution, which needs no external model):
+    ``H(doc) = ln(N) − (Σ_t n_t·ln(c_t)) / n_doc`` over lowercase
+    alpha tokens, where ``c_t`` is the corpus count of token ``t`` and
+    ``N`` the corpus token total.
+
+    Distributed shape — NO vocabulary broadcast (the df-map trap):
+
+    1. per-batch partial: (doc_id, t, n) collapsed term counts;
+    2. ONE ``groupby(hash(t) % B)`` exchange — bucket-level, never
+       per-key — and inside each bucket task a vectorized
+       token-groupby yields every token's global ``c_t`` (a token's
+       rows all land in its bucket), immediately consumed as per-doc
+       contributions ``n·ln(c_t)``; the count table never exists as a
+       driver/broadcast object;
+    3. a small ``groupby(doc_id)`` sum + the scalar ln(N).
+
+    Hot tokens ("the") arrive pre-collapsed to one row per (doc, t),
+    so a token's rows are bounded by #docs and buckets stay balanced —
+    the same bound the incoming-refs bucketing relies on. Float note:
+    per-doc sums of ~10-magnitude ln terms keep accumulation error
+    ~1e-13, far inside the oracle gate's 1e-6 rounding."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    num_buckets = 32
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        g = (df.select("doc_id",
+                       pl.col("text").str.to_lowercase()
+                       .str.extract_all(r"[a-z]+").alias("t"))
+             .explode("t").drop_nulls("t")
+             .group_by("doc_id", "t").len().rename({"len": "n"})
+             .with_columns(pl.col("n").cast(pl.Int64)))
+        # vectorized within-job-stable bucket hash (co-locates a
+        # token's rows; nothing persisted depends on it)
+        g = g.with_columns(
+            (pl.col("t").hash(42) % num_buckets)
+            .cast(pl.Int32).alias("bucket"))
+        return g.to_arrow()
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_total = grouped.aggregate(Sum("n"))["sum(n)"]
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("t")["n"].transform("sum").to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "s": g["n"].to_numpy() * np.log(c.astype(np.float64)),
+            "n": g["n"].to_numpy(),
+        })
+
+    per_doc = (grouped.groupby("bucket")
+               .map_groups(score_bucket, batch_format="pandas")
+               .groupby("doc_id")
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n")))
+
+    logN = float(np.log(n_total))
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pc.subtract(pa.scalar(logN),
+                        pc.divide(b.column("s"),
+                                  pc.cast(b.column("n"), pa.float64())))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cross_entropy": h})
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
+LM_CROSS_ENTROPY_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+    FROM documents
+), grouped AS (
+    SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t
+), cnt AS (
+    SELECT t, CAST(sum(n) AS BIGINT) AS c FROM grouped GROUP BY t
+), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS N FROM grouped
+), per AS (
+    SELECT g.doc_id, sum(g.n * ln(cnt.c)) AS s,
+           CAST(sum(g.n) AS BIGINT) AS n
+    FROM grouped g JOIN cnt USING (t) GROUP BY g.doc_id
+)
+SELECT doc_id, ln((SELECT N FROM tot)) - s / n AS cross_entropy
+FROM per
+"""

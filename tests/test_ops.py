@@ -311,3 +311,30 @@ def test_quality_classifier_separates(ray_session, tmp_path):
     assert bool(got.keep[0]) is True
     assert bool(got.keep[1]) is False
     assert got.quality_score[0] > got.quality_score[1]
+
+
+def test_lm_cross_entropy_oracle(ray_session, con):
+    from ferenda_ray.ops.text import LM_CROSS_ENTROPY_SQL, lm_cross_entropy
+
+    _cmp(lm_cross_entropy(SF), con, LM_CROSS_ENTROPY_SQL)
+
+
+def test_lm_cross_entropy_ordering(ray_session, tmp_path):
+    """A doc made of corpus-common tokens must score lower entropy than
+    a doc of corpus-unique tokens — the perplexity-filter invariant."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import lm_cross_entropy
+
+    texts = (["common words repeated here"] * 8
+             + ["zqx vbn mlk pqr unique gibberish tokens wow"])
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (lm_cross_entropy(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.cross_entropy[0] < got.cross_entropy[8]
+    # hand check doc 0: every token has corpus count 8, N = 40
+    assert abs(got.cross_entropy[0] - (math.log(40) - math.log(8))) < 1e-9
