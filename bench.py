@@ -116,6 +116,10 @@ def run_queries() -> dict[str, float]:
         ("props_stats", rel.props_stats),
         ("top_terms", sketch.top_terms),
         ("value_quantiles", sketch.value_quantiles),
+        ("pack_sequences", text.pack_sequences),
+        ("quality_classifier", text.quality_classifier),
+        ("lm_cross_entropy", text.lm_cross_entropy),
+        ("hopping_window_stats", win.hopping_window_stats),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
