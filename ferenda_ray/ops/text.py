@@ -1228,11 +1228,15 @@ def lm_cross_entropy(sf_dir: str):
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby("t")["n"].transform("sum").to_numpy()
-        return pd.DataFrame({
+        part = pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy(),
             "s": g["n"].to_numpy() * np.log(c.astype(np.float64)),
             "n": g["n"].to_numpy(),
         })
+        # per-doc partial inside the bucket: the doc-level exchange
+        # carries ≤ one row per (doc, bucket), not one per (doc, term)
+        return (part.groupby("doc_id", as_index=False)
+                .agg(s=("s", "sum"), n=("n", "sum")))
 
     per_doc = (grouped.groupby("bucket")
                .map_groups(score_bucket, batch_format="pandas")
