@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
+    from ferenda_ray.pipelines import curate
 
     from ferenda_ray.ops.fulltext import ft_search
 
@@ -532,7 +533,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "tfidf_top_terms": text.tfidf_top_terms,
-        "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
         "curate_documents": text.curate_documents,
         "lang_id": text.lang_id,
@@ -545,10 +545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": text.quality_classifier,
         "hopping_window_stats": win.hopping_window_stats,
         "lm_cross_entropy": text.lm_cross_entropy,
+        "curation_pipeline": curate.curation_pipeline,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
@@ -678,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
+    from ferenda_ray.pipelines import curate
 
     return {
         "events_asof_orders": win.EVENTS_ASOF_ORDERS_SQL,
@@ -740,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "hopping_window_stats": win.HOPPING_WINDOW_SQL,
         "lm_cross_entropy": text.LM_CROSS_ENTROPY_SQL,
+        "curation_pipeline": curate.CURATION_PIPELINE_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

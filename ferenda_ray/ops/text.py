@@ -697,10 +697,6 @@ def pack_sequences(sf_dir: str, max_len: int = 512,
     ``input_ids`` — layout pinned against a single-process oracle in
     pytest; this summary form is the driver-oracled evidence
     (window-cumsum SQL)."""
-    import numpy as np
-    import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def ntok(b: pa.Table) -> pa.Table:
@@ -711,7 +707,21 @@ def pack_sequences(sf_dir: str, max_len: int = 512,
             .cast(pl.Int64).alias("n"))
         return df.filter(pl.col("n") > 0).to_arrow()
 
-    counts = ds.map_batches(ntok, batch_format="pyarrow").materialize()
+    counts = ds.map_batches(ntok, batch_format="pyarrow")
+    return pack_from_counts(counts, max_len=max_len,
+                            num_buckets=num_buckets)
+
+
+def pack_from_counts(counts, max_len: int = 512, num_buckets: int = 32):
+    """The packing core over an already-tokenized ``(doc_id, n)``
+    Dataset (n > 0) — reused by :func:`pack_sequences` and the curation
+    pipeline; see pack_sequences for the distributed-prefix-sum
+    design."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    counts = counts.materialize()
     bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))
     lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
     span = max(1, (hi - lo + num_buckets) // num_buckets)
