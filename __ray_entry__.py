@@ -216,7 +216,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ferenda_ray.ops import (ann, bloom, decontam, dedup, profile,
+    from ferenda_ray.ops import (ann, bloom, bpe, decontam, dedup, profile,
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
@@ -533,7 +533,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "tfidf_top_terms": text.tfidf_top_terms,
-        "stopword_scores": text.stopword_scores,
         "curate_documents": text.curate_documents,
         "lang_id": text.lang_id,
         "doc_structure": text.doc_structure,
@@ -546,11 +545,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_stats": win.hopping_window_stats,
         "lm_cross_entropy": text.lm_cross_entropy,
         "curation_pipeline": curate.curation_pipeline,
+        "bpe_train": bpe.bpe_train,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
+        "stopword_scores": text.stopword_scores,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
@@ -676,7 +677,7 @@ def docx_blocks(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_ray.ops import (ann, bloom, decontam, dedup, profile,
+    from ferenda_ray.ops import (ann, bloom, bpe, decontam, dedup, profile,
                                  relational as rel, sample,
                                  sketch, text,
                                  windows as win)
@@ -744,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window_stats": win.HOPPING_WINDOW_SQL,
         "lm_cross_entropy": text.LM_CROSS_ENTROPY_SQL,
         "curation_pipeline": curate.CURATION_PIPELINE_SQL,
+        "bpe_train": bpe.BPE_TRAIN_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

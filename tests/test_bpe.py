@@ -1,0 +1,51 @@
+"""BPE merge-learning tests: unrolled-SQL oracle equality, a
+hand-computable corpus, and determinism across runs."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_oracle(ray_session):
+    from ferenda_ray.ops.bpe import bpe_sql, bpe_train
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    mine = bpe_train(SF, num_merges=4).reset_index(drop=True)
+    want = con.sql(bpe_sql(4)).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_bpe_handcheck(ray_session, tmp_path):
+    """'banana' x3 + 'bandana': pair (a,n) dominates (count 7), then
+    (an,a) (count 5: 2x in each banana after merge... hand-derived),
+    and ties break lexicographically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.bpe import bpe_train
+
+    tab = pa.table({"text": pa.array(
+        ["banana banana banana bandana"], pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = bpe_train(str(tmp_path), num_merges=2)
+    # vocab: banana n=3, bandana n=1
+    # pairs: (a,n)=3*2+2=8? banana has a-n twice, bandana twice → 3*2+1*2=8
+    assert (got.lhs[0], got.rhs[0]) == ("a", "n")
+    assert got.n[0] == 8
+    # after merge: b|an|an|a (x3), b|an|d|an|a
+    # pairs: (b,an)=4, (an,an)=3, (an,a)=4, (an,d)=1, (d,an)=1
+    # tie between (an,a) and (b,an) at 4 → lexicographic: "an"<"b"
+    assert (got.lhs[1], got.rhs[1]) == ("an", "a")
+    assert got.n[1] == 4
+
+
+def test_bpe_deterministic(ray_session):
+    from ferenda_ray.ops.bpe import bpe_train
+
+    a = bpe_train(SF, num_merges=3)
+    b = bpe_train(SF, num_merges=3)
+    pd.testing.assert_frame_equal(a, b)
