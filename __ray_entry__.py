@@ -527,7 +527,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- operators whose code changed this round stay inside the
         # 50-entry recording window for fresh driver evidence ----
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
-        "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
@@ -546,12 +545,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_cross_entropy": text.lm_cross_entropy,
         "curation_pipeline": curate.curation_pipeline,
         "bpe_train": bpe.bpe_train,
+        "bpe_token_counts": bpe.bpe_token_counts,
         # ---- stable r1/r2-green oracle families (rotated past the
         # window edge; all were rows+schema+hash green in r1 or r2) ----
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
@@ -746,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_cross_entropy": text.LM_CROSS_ENTROPY_SQL,
         "curation_pipeline": curate.CURATION_PIPELINE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
+        "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
         "ft_search": _ft_sql(),
         "kg_ft_search": _kg_ft_sql(),
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),

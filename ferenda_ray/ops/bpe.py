@@ -112,9 +112,17 @@ def bpe_train(sf_dir: str, num_merges: int = NUM_MERGES) -> pd.DataFrame:
 
 def bpe_sql(num_merges: int = NUM_MERGES) -> str:
     """Unrolled-CTE recompute of the merge loop (materialized CTEs keep
-    DuckDB from re-deriving each round)."""
+    DuckDB from re-deriving each round). The word column rides along
+    the v-chain so the final vocabulary doubles as the word→symbols
+    map for :data:`BPE_TOKEN_COUNTS_SQL`."""
+    return _bpe_cte(num_merges) + "\n" + "\nUNION ALL\n".join(
+        f"SELECT rank, lhs, rhs, n FROM b{r}" for r in range(num_merges)
+    ) + "\nORDER BY rank"
+
+
+def _bpe_cte(num_merges: int) -> str:
     parts = ["""WITH v0 AS MATERIALIZED (
-    SELECT array_to_string(string_split(w, ''), '|') AS sym,
+    SELECT w, array_to_string(string_split(w, ''), '|') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
           FROM documents)
@@ -131,15 +139,90 @@ def bpe_sql(num_merges: int = NUM_MERGES) -> str:
     SELECT {r} AS rank, lhs, rhs, c AS n
     FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1
 ), v{r + 1} AS MATERIALIZED (
-    SELECT replace(substr(m, 2, length(m) - 2), '||', '|') AS sym, n
-    FROM (SELECT replace('|' || replace(v.sym, '|', '||') || '|',
+    SELECT w, replace(substr(m, 2, length(m) - 2), '||', '|') AS sym, n
+    FROM (SELECT v.w, replace('|' || replace(v.sym, '|', '||') || '|',
                          '|' || b.lhs || '||' || b.rhs || '|',
                          '|' || b.lhs || b.rhs || '|') AS m, v.n
           FROM v{r} v CROSS JOIN b{r} b)
 )""")
-    union = "\nUNION ALL\n".join(
-        f"SELECT rank, lhs, rhs, n FROM b{r}" for r in range(num_merges))
-    return "".join(parts) + "\n" + union + "\nORDER BY rank"
+    return "".join(parts)
 
 
 BPE_TRAIN_SQL = bpe_sql()
+
+
+def bpe_token_counts(sf_dir: str,
+                     num_merges: int = NUM_MERGES):
+    """Per-doc token counts under the LEARNED tokenizer — the apply
+    side of BPE: ``n_bpe_tokens(doc) = Σ_w count(w, doc) · |sym_w|``
+    where ``sym_w`` is word ``w``'s symbol sequence after the merge
+    table. Also reports the raw char-token count for the compression
+    view.
+
+    Shape: train (vocab-level, above), broadcast the CONSTANT merge
+    list, then one vectorized pass over docs — per-batch word counts
+    joined against a per-worker-memoized word→len map built by
+    replaying the merges on the batch's distinct words. The SQL oracle
+    replays the same unrolled rounds."""
+    import ray
+
+    from ferenda_ray.state import fetch
+
+    merges = bpe_train(sf_dir, num_merges=num_merges)
+    pairs = list(zip(merges["lhs"], merges["rhs"]))
+    merges_ref = ray.put(pairs)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        mp = fetch(merges_ref)
+        df = (pl.from_arrow(b)
+              .select("doc_id",
+                      pl.col("text").str.to_lowercase()
+                      .str.extract_all(r"[a-z]+").alias("w"))
+              .explode("w").drop_nulls("w")
+              .group_by("doc_id", "w").len().rename({"len": "k"})
+              .with_columns(pl.col("k").cast(pl.Int64)))
+        vocab = (df.select("w").unique()
+                 .with_columns(pl.col("w").str.extract_all(r"[a-z]")
+                               .list.join("|").alias("sym")))
+        sym = pl.col("sym")
+        for lhs, rhs in mp:
+            sym = _apply_merge(sym, lhs, rhs)
+        vocab = vocab.with_columns(
+            (sym.str.count_matches(r"\|", literal=False) + 1)
+            .cast(pl.Int64).alias("slen"),
+            pl.col("w").str.len_chars().cast(pl.Int64).alias("clen"))
+        out = (df.join(vocab.select("w", "slen", "clen"), on="w")
+               .group_by("doc_id")
+               .agg((pl.col("k") * pl.col("slen")).sum()
+                    .alias("n_bpe_tokens"),
+                    (pl.col("k") * pl.col("clen")).sum()
+                    .alias("n_char_tokens")))
+        return out.sort("doc_id").to_arrow()
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def bpe_token_counts_sql(num_merges: int = NUM_MERGES) -> str:
+    return f"""{_bpe_cte(num_merges)}
+, wsym AS MATERIALIZED (
+    SELECT w, len(string_split(sym, '|')) AS slen, length(w) AS clen
+    FROM v{num_merges}
+), wc AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents)
+    GROUP BY doc_id, w
+)
+SELECT wc.doc_id,
+       CAST(sum(wc.k * wsym.slen) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(wc.k * wsym.clen) AS BIGINT) AS n_char_tokens
+FROM wc JOIN wsym USING (w)
+GROUP BY wc.doc_id
+"""
+
+
+BPE_TOKEN_COUNTS_SQL = bpe_token_counts_sql()

@@ -49,3 +49,21 @@ def test_bpe_deterministic(ray_session):
     a = bpe_train(SF, num_merges=3)
     b = bpe_train(SF, num_merges=3)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_token_counts_oracle(ray_session):
+    from ferenda_ray.ops.bpe import BPE_TOKEN_COUNTS_SQL, bpe_token_counts
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    mine = (bpe_token_counts(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_bpe_tokens", "n_char_tokens"]])
+    want = (con.sql(BPE_TOKEN_COUNTS_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_bpe_tokens", "n_char_tokens"]])
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    # merges only ever shrink the sequence
+    assert (mine.n_bpe_tokens <= mine.n_char_tokens).all()
+    assert mine.n_bpe_tokens.sum() < mine.n_char_tokens.sum()
