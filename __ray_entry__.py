@@ -416,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_histogram(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_triangle_count(sf_dir: str):
+        from ferenda_ray.ops.graph import edges_from_triples, triangle_count
+
+        return triangle_count(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_nt_dump(sf_dir: str):
         from ferenda_ray.stages.materialize import nt_lines
 
@@ -500,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_hits": kg_hits,
         "kg_degree_histogram": kg_degree_histogram,
+        "kg_triangle_count": kg_triangle_count,
         "kg_toc_pagesets": kg_toc_pagesets,
         "kg_news_feeds": kg_news_feeds,
         "kg_nt_dump": kg_nt_dump,
@@ -527,8 +534,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- operators whose code changed this round stay inside the
         # 50-entry recording window for fresh driver evidence ----
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
-        "dup_clusters": lambda sf: dedup.dup_clusters(
-            dedup.minhash_dedup_pairs(sf)),
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
         "tfidf_top_terms": text.tfidf_top_terms,
@@ -553,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "dup_clusters": lambda sf: dedup.dup_clusters(
+            dedup.minhash_dedup_pairs(sf)),
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,

@@ -420,3 +420,85 @@ def degree_histogram(edges_ds):
     graphanalyze degree-plot data."""
     ind = in_degrees(edges_ds)
     return ind.groupby("in_degree").aggregate(Count(alias_name="n_nodes"))
+
+
+# -- triangle counting (wedge-close, bucketed) ------------------------------
+
+def triangle_count(edges_ds, num_buckets: int = 16):
+    """Global triangle count of the (undirected, canonicalized) graph —
+    the standard wedge-generate + wedge-close two-exchange algorithm:
+
+    1. canonical distinct edges ``(a < b)``;
+    2. wedges grouped by their APEX (the lower endpoint ``a``): per
+       bucket, a vectorized pandas self-merge emits ``(b, c)`` per
+       neighbor pair ``b < c`` — canonical form means every neighbor
+       of the apex is greater than it, so each candidate triangle
+       ``a<b<c`` is generated exactly once;
+    3. wedge-close: wedges union edges, bucketed by the ``(b, c)``
+       pair hash; per bucket one vectorized merge counts wedges whose
+       closing edge exists; partial counts sum to one scalar row.
+
+    Apex grouping by node ID (not degree) keeps the oracle a pure
+    three-way SQL join; a high-ID hub's wedge set is its degree
+    squared — the documented skew ceiling (the degree-ordered variant
+    halves it but is no longer order-free; note kept with the code).
+    """
+    import numpy as np
+
+    from ferenda_ray.util import stable_uint
+
+    def canon(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_pylist()
+        dst = b.column("dst").to_pylist()
+        a = [min(s, d) for s, d in zip(src, dst) if s != d]
+        c = [max(s, d) for s, d in zip(src, dst) if s != d]
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(c, pa.string())})
+
+    und = (edges_ds.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).aggregate(Count())
+           .select_columns(["a", "b"]).materialize())
+
+    def bucket_by(col):
+        def f(b: pa.Table) -> pa.Table:
+            keys = [stable_uint(k, num_buckets)
+                    for k in b.column(col).to_pylist()]
+            return b.append_column("bucket", pa.array(keys, pa.int32()))
+        return f
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="a")
+        m = m[m["b_x"] < m["b_y"]]
+        return pd.DataFrame({"wa": m["b_x"].to_numpy(),
+                             "wb": m["b_y"].to_numpy(),
+                             "side": np.zeros(len(m), dtype=np.int8)})
+
+    wedge_rows = (und.map_batches(bucket_by("a"), batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(wedges, batch_format="pandas"))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"wa": b.column("a"), "wb": b.column("b"),
+                         "side": pa.array([1] * b.num_rows, pa.int8())})
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        keys = [stable_uint(f"{x}|{y}", num_buckets)
+                for x, y in zip(b.column("wa").to_pylist(),
+                                b.column("wb").to_pylist())]
+        return b.append_column("bucket", pa.array(keys, pa.int32()))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 1][["wa", "wb"]].drop_duplicates()
+        w = g[g["side"] == 0]
+        n = len(w.merge(e, on=["wa", "wb"]))
+        return pd.DataFrame({"n": [n]})
+
+    from ray.data.aggregate import Sum
+
+    agg = (wedge_rows.union(und.map_batches(edge_rows,
+                                            batch_format="pyarrow"))
+           .map_batches(pair_bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(close, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n_triangles")))
+    return pd.DataFrame({"n_triangles": [int(agg["n_triangles"])]})

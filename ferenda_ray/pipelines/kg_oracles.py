@@ -307,6 +307,12 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"FROM {tri}) "
             f"SELECT uri, count(*) AS n_refs FROM refs "
             f"WHERE uri NOT IN (SELECT uri FROM defs) GROUP BY uri"),
+        "kg_triangle_count": (
+            f"WITH u AS (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM ({edges}) WHERE src <> dst) "
+            f"SELECT count(*) AS n_triangles "
+            f"FROM u e1 JOIN u e2 ON e1.b = e2.a "
+            f"JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"),
         "kg_degree_histogram": (
             f"WITH ind AS (SELECT dst, count(*) AS in_degree "
             f"FROM ({edges}) GROUP BY dst) "

@@ -217,3 +217,42 @@ def test_pagerank_equals_sequential_reference(ray_session):
     assert len(got) == n
     for row in got.itertuples():
         assert abs(row.rank - want[row.url]) < 1e-9, row.url
+
+
+def test_triangle_count_handcheck(ray_session):
+    """K4 has 4 triangles; adding a pendant edge changes nothing;
+    duplicate/reversed/self-loop edges are canonicalized away."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import triangle_count
+
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x, y in itertools.combinations(nodes, 2)]
+    edges += [("y", "x"), ("x", "y"), ("e", "a"), ("a", "a")]  # noise
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = triangle_count(rd.from_pandas(df), num_buckets=3)
+    assert int(got.n_triangles[0]) == 4
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Random-ish deterministic graph: bucketed wedge-close equals an
+    in-memory brute force."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import triangle_count
+
+    edges = [(f"n{(i * 7) % 23}", f"n{(i * 13 + 5) % 23}")
+             for i in range(80)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    brute = sum(1 for a, b, c in itertools.combinations(
+        sorted({n for e in und for n in e}), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und)
+    got = triangle_count(rd.from_pandas(df), num_buckets=5)
+    assert int(got.n_triangles[0]) == brute
