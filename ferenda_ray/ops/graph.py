@@ -189,8 +189,19 @@ from ferenda_ray.bsp import read_partials as _read_partials
 from ferenda_ray.bsp import write_partials as _write_partials
 
 
+def _resume_round(root: str, num_buckets: int, n_iter: int) -> int:
+    """Highest r (≤ n_iter) whose rank files exist for EVERY bucket —
+    the restart point after a crash; 0 when nothing usable exists."""
+    for r in range(n_iter, -1, -1):
+        if all(os.path.exists(os.path.join(root,
+                                           f"rank{r}-{b:05d}.parquet"))
+               for b in range(num_buckets)):
+            return r
+    return 0
+
+
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
-             num_buckets: int = 16):
+             num_buckets: int = 16, resume_root: str | None = None):
     """PageRank with bounded power iterations on the BSP tier (module
     docstring): edges partitioned once, the rank vector is per-bucket
     parquet (never a driver dict — round 1 re-broadcast a driver rank
@@ -198,13 +209,44 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
     local pre-aggregation by dst) + one reduce wave (sum partials →
     next rank). Driver state per round: the dangling-mass scalar.
     Returns a lazy Dataset (url, rank) over the per-bucket result
-    parquet — node-level output never concentrates on the driver."""
+    parquet — node-level output never concentrates on the driver.
+
+    ``resume_root``: a caller-chosen durable stage dir (shared storage
+    on a cluster). A rerun after a crash skips the one-time edge
+    staging (validated against the persisted ``num_buckets`` — a
+    mismatch raises rather than silently splitting the keyspace
+    differently) and restarts from the last round whose rank files are
+    complete in every bucket; both waves are idempotent (fragment
+    filenames are deterministic, so a half-written round is simply
+    overwritten). Output is bit-identical to an uninterrupted run
+    (chaos-gated in tests/test_bsp_resume.py)."""
+    import json as _json
+
     from ferenda_ray.bsp import publish_dataset
 
-    root = _graph_stage_root()
+    root = resume_root or _graph_stage_root()
+    marker = os.path.join(root, "_staged.json")
+    done = False
     try:
-        n = _stage_graph(edges_ds, root, num_buckets)
+        if resume_root and os.path.exists(marker):
+            meta = _json.load(open(marker))
+            if meta["num_buckets"] != num_buckets:
+                raise ValueError(
+                    f"resume_root was staged with num_buckets="
+                    f"{meta['num_buckets']}, got {num_buckets}")
+            n = meta["n"]
+        else:
+            # no marker = staging never completed; a partial hive dir
+            # would take APPENDED fragments on rewrite (duplicated
+            # edges), so start clean — the ft-index atomicity rule
+            if resume_root and os.path.isdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            n = _stage_graph(edges_ds, root, num_buckets)
+            with open(marker, "w") as f:
+                _json.dump({"n": n, "num_buckets": num_buckets}, f)
         if n == 0:
+            done = True
             return rd.from_arrow(pa.table(
                 {"url": pa.array([], pa.string()),
                  "rank": pa.array([], pa.float64())}))
@@ -218,7 +260,10 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
                            os.path.join(root, f"rank0-{b:05d}.parquet"))
 
-        ray.get([init_rank.remote(b) for b in range(num_buckets)])
+        r_start = (_resume_round(root, num_buckets, n_iter)
+                   if resume_root else 0)
+        if r_start == 0:
+            ray.get([init_rank.remote(b) for b in range(num_buckets)])
 
         @ray.remote
         def pr_map(b: int, r: int) -> float:
@@ -247,20 +292,25 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
                            os.path.join(root, f"rank{r + 1}-{b:05d}.parquet"))
 
-        for r in range(n_iter):
+        for r in range(r_start, n_iter):
             dangling = sum(ray.get(
                 [pr_map.remote(b, r) for b in range(num_buckets)]))
             base = (1.0 - damping) / n + damping * dangling / n
             ray.get([pr_reduce.remote(b, r, base)
                      for b in range(num_buckets)])
 
-        return publish_dataset(
+        out = publish_dataset(
             root,
             [os.path.join(root, f"rank{n_iter}-{b:05d}.parquet")
              for b in range(num_buckets)],
             "ferenda_graph_pr", columns=["url", "rank"])
+        done = True
+        return out
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        # a durable resume_root survives a crash (that is its point);
+        # it is removed once the run completes
+        if not resume_root or done:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
