@@ -177,13 +177,25 @@ def cmd_profile(args) -> int:
 
 
 def cmd_curate(args) -> int:
-    """Per-language median-quality curation filter over a documents
-    table; writes the kept (doc_id, lang, mean_token_len) as parquet."""
+    """Curation over a documents table. Default: the per-language
+    median-quality filter (kept rows as parquet). ``--pipeline``: the
+    full composed chain — quality gate → exact dedup → source mixing →
+    sequence packing — writing the packed-sequence training-feed
+    summary."""
     import os
 
+    sf_dir = os.path.dirname(args.documents) or "."
+    if args.pipeline:
+        from ferenda_ray.pipelines.curate import curation_pipeline
+
+        out = curation_pipeline(sf_dir, max_len=args.max_len)
+        out.write_parquet(args.out)
+        df = __import__("ray").data.read_parquet(args.out)
+        print(json.dumps({"out": args.out, "sequences": df.count()}))
+        return 0
     from ferenda_ray.ops.text import curate_documents
 
-    kept = curate_documents(os.path.dirname(args.documents) or ".")
+    kept = curate_documents(sf_dir)
     kept.write_parquet(args.out)
     print(json.dumps({"out": args.out}))
     return 0
@@ -258,6 +270,9 @@ def main(argv=None) -> int:
     sp.add_argument("--documents", required=True,
                     help="documents.parquet path")
     sp.add_argument("--out", required=True)
+    sp.add_argument("--pipeline", action="store_true",
+                    help="full gate→dedup→mix→pack chain")
+    sp.add_argument("--max-len", type=int, default=512)
     sp.set_defaults(fn=cmd_curate)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
