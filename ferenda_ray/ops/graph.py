@@ -313,7 +313,8 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             shutil.rmtree(root, ignore_errors=True)
 
 
-def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
+def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
+         resume_root: str | None = None):
     """HITS hub/authority scores (reference ``graphanalyze.py:896-925``)
     on the same BSP tier as :func:`pagerank`: per half-step, a map wave
     joins the (bucket-aligned) score vector to its edge partition and
@@ -323,13 +324,39 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
     Returns a lazy Dataset (url, authority, hub): the final
     score-normalize-merge is a per-bucket wave (scores are bucketed by
     the same hash(url) as the node table, so the merge is local) and
-    the result is read back from the per-bucket parquet."""
+    the result is read back from the per-bucket parquet.
+
+    ``resume_root``: same contract as :func:`pagerank`. Because score
+    files are SPARSE (a bucket with no partials writes none) and the
+    norms are driver scalars, round completion cannot be inferred from
+    files — each completed iteration writes a ``round-{i}.json``
+    marker carrying both norms, and a rerun restarts after the highest
+    marker (no round ever overwrites an earlier round's files, so a
+    crashed later round leaves completed ones intact)."""
+    import json as _json
+
     from ferenda_ray.bsp import publish_dataset
 
-    root = _graph_stage_root()
+    root = resume_root or _graph_stage_root()
+    marker = os.path.join(root, "_staged.json")
+    done = False
     try:
-        n = _stage_graph(edges_ds, root, num_buckets)
+        if resume_root and os.path.exists(marker):
+            meta = _json.load(open(marker))
+            if meta["num_buckets"] != num_buckets:
+                raise ValueError(
+                    f"resume_root was staged with num_buckets="
+                    f"{meta['num_buckets']}, got {num_buckets}")
+            n = meta["n"]
+        else:
+            if resume_root and os.path.isdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            n = _stage_graph(edges_ds, root, num_buckets)
+            with open(marker, "w") as f:
+                _json.dump({"n": n, "num_buckets": num_buckets}, f)
         if n == 0:
+            done = True
             return rd.from_arrow(pa.table(
                 {"url": pa.array([], pa.string()),
                  "authority": pa.array([], pa.float64()),
@@ -375,7 +402,18 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
         hub_norm = 1.0
         hub_default = 1.0  # initial hub = 1 for every node (no file yet)
         auth_norm = 1.0
-        for i in range(n_iter):
+        start = 0
+        if resume_root:
+            for i in range(n_iter - 1, -1, -1):
+                rm = os.path.join(root, f"round-{i}.json")
+                if os.path.exists(rm):
+                    rmeta = _json.load(open(rm))
+                    start = i + 1
+                    hub_norm = rmeta["hub_norm"]
+                    auth_norm = rmeta["auth_norm"]
+                    hub_default = 0.0
+                    break
+        for i in range(start, n_iter):
             # authority(v) = Σ hub(u), u→v
             ray.get([half_step.remote(b, "edges_by_src", "src", "dst",
                                       f"{hub_tag}{i}", f"ac{i}",
@@ -394,6 +432,10 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
                           for b in range(num_buckets)])
             hub_norm = (sum(sq) ** 0.5) or 1.0
             hub_default = 0.0
+            if resume_root:
+                with open(os.path.join(root, f"round-{i}.json"), "w") as f:
+                    _json.dump({"hub_norm": hub_norm,
+                                "auth_norm": auth_norm}, f)
 
         @ray.remote
         def finalize(b: int, a_norm: float, h_norm: float) -> None:
@@ -422,13 +464,16 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16):
 
         ray.get([finalize.remote(b, auth_norm, hub_norm)
                  for b in range(num_buckets)])
-        return publish_dataset(
+        out = publish_dataset(
             root,
             [os.path.join(root, f"final-{b:05d}.parquet")
              for b in range(num_buckets)],
             "ferenda_graph_hits")
+        done = True
+        return out
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not resume_root or done:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def skeleton(triples_ds):

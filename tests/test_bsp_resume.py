@@ -107,3 +107,58 @@ def test_pagerank_resume_bucket_mismatch(ray_session, tmp_path):
     json.dump({"n": 60, "num_buckets": 4}, open(f"{root}/_staged.json", "w"))
     with pytest.raises(ValueError, match="num_buckets"):
         pagerank(edges, n_iter=1, num_buckets=8, resume_root=root)
+
+
+def _hits_script(resume_root: str, out_csv: str,
+                 kill_after_round: int | None):
+    kill = ""
+    if kill_after_round is not None:
+        kill = (
+            "import ferenda_ray.ops.graph as G\n"
+            "_orig_wp = G._write_partials\n"
+            "def _kp(root, tag, frm, df, col):\n"
+            f"    if tag.startswith('ac') and int(tag[2:]) >= {kill_after_round}:\n"
+            "        os.kill(os.getpid(), signal.SIGKILL)\n"
+            "    return _orig_wp(root, tag, frm, df, col)\n"
+            "G._write_partials = _kp\n"
+        )
+    return (
+        "import os, signal, sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False,\n"
+        "         logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        + kill +
+        "from ferenda_ray.sources.pages import corpus_table\n"
+        "import pyarrow.parquet as pq\n"
+        "from ferenda_ray.pipelines.kg import build_triples_ds\n"
+        "from ferenda_ray.ops.graph import edges_from_triples, hits\n"
+        "pages = '/tmp/bsp_resume_pages.parquet'\n"
+        "if not os.path.exists(pages):\n"
+        f"    pq.write_table(corpus_table({SF_EDGES}), pages)\n"
+        "tri = build_triples_ds(pages)\n"
+        "scores = hits(edges_from_triples(tri), n_iter=5,\n"
+        f"              num_buckets=4, resume_root={resume_root!r})\n"
+        "df = scores.to_pandas().sort_values('url')\n"
+        f"df.to_csv({out_csv!r}, index=False)\n"
+        "ray.shutdown()\n"
+    )
+
+
+def test_hits_chaos_resume(tmp_path):
+    root = str(tmp_path / "stage")
+    ref_csv = str(tmp_path / "ref.csv")
+    got_csv = str(tmp_path / "got.csv")
+    assert _run(_hits_script(str(tmp_path / "ref_stage"), ref_csv,
+                             None)) == 0
+    rc = _run(_hits_script(root, got_csv, 3))
+    assert rc != 0
+    assert os.path.isdir(root)
+    # rounds 0-2 completed durably before the kill
+    assert os.path.exists(os.path.join(root, "round-2.json"))
+    assert _run(_hits_script(root, got_csv, None)) == 0
+    pd.testing.assert_frame_equal(pd.read_csv(ref_csv),
+                                  pd.read_csv(got_csv))
+    assert not os.path.isdir(root)
