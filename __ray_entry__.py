@@ -536,7 +536,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
-        "tfidf_top_terms": text.tfidf_top_terms,
         "curate_documents": text.curate_documents,
         "lang_id": text.lang_id,
         "doc_structure": text.doc_structure,
@@ -544,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "pack_sequences": text.pack_sequences,
         "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
+        "fingerprint_containment_pairs": text.fingerprint_containment_pairs,
         "mix_corpus": sample.mix_corpus,
         "quality_classifier": text.quality_classifier,
         "hopping_window_stats": win.hopping_window_stats,
@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
@@ -748,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": text.REPETITION_SCORES_SQL,
         "pack_sequences": text.PACK_SEQUENCES_SQL,
         "fingerprint_overlap_pairs": text.FINGERPRINT_OVERLAP_SQL,
+        "fingerprint_containment_pairs": text.FINGERPRINT_CONTAINMENT_SQL,
         "mix_corpus": sample.MIX_CORPUS_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "hopping_window_stats": win.HOPPING_WINDOW_SQL,

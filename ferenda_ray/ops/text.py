@@ -355,6 +355,147 @@ GROUP BY 1, 2 HAVING count(*) >= {_OVERLAP_MIN_SHARED}
 """
 
 
+_CONTAIN_TAU_PCT = 50
+
+
+def fingerprint_containment_pairs(sf_dir: str,
+                                  tau_pct: int = _CONTAIN_TAU_PCT,
+                                  max_df: int = _OVERLAP_MAX_DF):
+    """ASYMMETRIC near-dup detection: pairs where the smaller doc's
+    fingerprint set is ≥ ``tau_pct``% covered by the shared set —
+    catches quotation/repost containment that symmetric Jaccard (and
+    MinHash) under-scores when sizes differ wildly. Output columns:
+    (doc_a, doc_b, n_shared, n_a, n_b, containment_pct) with
+    ``containment_pct = 100·n_shared // min(n_a, n_b)`` — pure integer
+    arithmetic, so the SQL oracle is exact.
+
+    Shape: the overlap pair stream (one fp-grouped exchange, max_df
+    cap) plus per-doc TOTAL distinct-fp counts (uncapped — the
+    denominator must not lose boilerplate mass), attached to the pair
+    table via two bucketed cogroups (by doc_a, then doc_b); pairs and
+    counts are both skinny, no driver-side map."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    num_buckets = 16
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        d_o, f_o = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for f in set(winnow_fingerprint(t)):
+                d_o.append(d)
+                f_o.append(f % (1 << 62))
+        return pa.table({"doc_id": pa.array(d_o, pa.int64()),
+                         "fp": pa.array(f_o, pa.int64())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"]))
+        if len(docs) < 2 or len(docs) > max_df:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        a, b = zip(*[(x, y) for i, x in enumerate(docs)
+                     for y in docs[i + 1:]])
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    pair_counts = (rows.groupby("fp")
+                   .map_groups(pairs, batch_format="pandas")
+                   .groupby(["doc_a", "doc_b"])
+                   .aggregate(Count(alias_name="n_shared")))
+
+    def attach(pairs_ds, counts_ds, pair_cols: list[str], key: str,
+               out: str):
+        """Bucketed cogroup: pair rows pick up the doc's n_fp. Both
+        union sides carry the SAME columns (``pair_cols`` + nfp_side +
+        bucket); the count side nulls the pair columns it lacks."""
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            k = b.column(key).to_numpy(zero_copy_only=False)
+            b = b.append_column("nfp_side",
+                                pa.nulls(b.num_rows, pa.int64()))
+            return b.append_column(
+                "bucket", pa.array(k % num_buckets, pa.int32()))
+
+        def tag_counts(b: pa.Table) -> pa.Table:
+            k = b.column("doc_id").to_numpy(zero_copy_only=False)
+            cols = {}
+            for c in pair_cols:
+                cols[c] = (b.column("doc_id") if c == key
+                           else pa.nulls(b.num_rows, pa.int64()))
+            cols["nfp_side"] = b.column("n_fp")
+            t = pa.table(cols)
+            return t.append_column(
+                "bucket", pa.array(k % num_buckets, pa.int32()))
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = (g[g["nfp_side"].notna()]
+                   [[key, "nfp_side"]].drop_duplicates(key))
+            pr = g[g["nfp_side"].isna()].drop(columns=["nfp_side"])
+            j = pr.merge(cnt, on=key)
+            return j.rename(columns={"nfp_side": out}).drop(
+                columns=["bucket"])
+
+        return (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+                .union(counts_ds.map_batches(tag_counts,
+                                             batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(join, batch_format="pandas"))
+
+    with_a = attach(pair_counts, counts,
+                    ["doc_a", "doc_b", "n_shared"], "doc_a", "n_a")
+    with_b = attach(with_a, counts,
+                    ["doc_a", "doc_b", "n_shared", "n_a"], "doc_b", "n_b")
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # the cogroup merges ride through pandas (nullable → float);
+        # re-cast so the output (and the driver's value hash) is int
+        ns = (b.column("n_shared").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        na = b.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = (b.column("doc_a").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        db = (b.column("doc_b").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        pct = (100 * ns) // np.minimum(na, nb)
+        out = pa.table({"doc_a": pa.array(da), "doc_b": pa.array(db),
+                        "n_shared": pa.array(ns), "n_a": pa.array(na),
+                        "n_b": pa.array(nb),
+                        "containment_pct": pa.array(pct, pa.int64())})
+        return out.filter(pc.greater_equal(out.column("containment_pct"),
+                                           tau_pct))
+
+    return with_b.map_batches(fin, batch_format="pyarrow")
+
+
+FINGERPRINT_CONTAINMENT_SQL = f"""
+WITH dfp AS (
+    SELECT DISTINCT doc_id, fp FROM ({FINGERPRINT_ROWS_SQL})
+), cnt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM dfp GROUP BY doc_id
+), ok AS (
+    SELECT doc_id, fp FROM dfp
+    QUALIFY count(*) OVER (PARTITION BY fp) BETWEEN 2 AND {_OVERLAP_MAX_DF}
+), p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+       (100 * p.n_shared) // least(ca.n_fp, cb.n_fp) AS containment_pct
+FROM p JOIN cnt ca ON ca.doc_id = p.doc_a
+       JOIN cnt cb ON cb.doc_id = p.doc_b
+WHERE (100 * p.n_shared) // least(ca.n_fp, cb.n_fp)
+      >= {_CONTAIN_TAU_PCT}
+"""
+
+
 # -- plain-text structural parse (TextReader S5 analog) --------------------
 
 _HEADING_LINE = __import__("re").compile(r"^(\d+(?:\.\d+)*)\.?\s+\S")

@@ -338,3 +338,34 @@ def test_lm_cross_entropy_ordering(ray_session, tmp_path):
     assert got.cross_entropy[0] < got.cross_entropy[8]
     # hand check doc 0: every token has corpus count 8, N = 40
     assert abs(got.cross_entropy[0] - (math.log(40) - math.log(8))) < 1e-9
+
+
+def test_fingerprint_containment_oracle(ray_session, con):
+    from ferenda_ray.ops.text import (FINGERPRINT_CONTAINMENT_SQL,
+                                      fingerprint_containment_pairs)
+
+    _cmp(fingerprint_containment_pairs(SF), con,
+         FINGERPRINT_CONTAINMENT_SQL)
+
+
+def test_fingerprint_containment_asymmetry(ray_session, tmp_path):
+    """A short doc fully quoted inside a long doc must register ~100%
+    containment even though symmetric overlap/Jaccard is small."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ferenda_ray.ops.text import (fingerprint_containment_pairs,
+                                      winnow_fingerprint)
+
+    quote = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa")
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(120))
+    texts = [quote, f"{filler} {quote} {filler}"]
+    tab = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = fingerprint_containment_pairs(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.doc_a, row.doc_b) == (0, 1)
+    assert row.n_a < row.n_b  # genuinely asymmetric sizes
+    assert row.containment_pct >= 50
