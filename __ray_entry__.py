@@ -536,7 +536,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
-        "curate_documents": text.curate_documents,
         "lang_id": text.lang_id,
         "doc_structure": text.doc_structure,
         "tokenize_id_rows": text.tokenize_id_rows,
@@ -545,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
         "fingerprint_containment_pairs": text.fingerprint_containment_pairs,
         "mix_corpus": sample.mix_corpus,
+        "curriculum_deciles": sample.curriculum_deciles,
         "quality_classifier": text.quality_classifier,
         "hopping_window_stats": win.hopping_window_stats,
         "lm_cross_entropy": text.lm_cross_entropy,
@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "curate_documents": text.curate_documents,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
@@ -751,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_overlap_pairs": text.FINGERPRINT_OVERLAP_SQL,
         "fingerprint_containment_pairs": text.FINGERPRINT_CONTAINMENT_SQL,
         "mix_corpus": sample.MIX_CORPUS_SQL,
+        "curriculum_deciles": sample.CURRICULUM_DECILES_SQL,
         "quality_classifier": text.QUALITY_CLASSIFIER_SQL,
         "hopping_window_stats": win.HOPPING_WINDOW_SQL,
         "lm_cross_entropy": text.LM_CROSS_ENTROPY_SQL,

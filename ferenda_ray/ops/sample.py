@@ -226,3 +226,119 @@ SELECT t.doc_id, t.source, t.n_tokens
 FROM tok t JOIN thr USING (source)
 WHERE (t.doc_id * 48271) % 2147483647 % {_MIX_SCALE} < thr.lim
 """
+
+
+# -- curriculum ordering (exact global deciles by quality) ------------------
+
+_CURR_BUCKETS = 32
+
+
+def curriculum_deciles(sf_dir: str):
+    """Curriculum-training order: every doc's EXACT global decile by
+    ascending quality score (easy→hard scheduling reads deciles high
+    to low). Distributed exact ranking without a global sort barrier:
+
+    1. one pass computes the quality score (the classifier's sigmoid,
+       ``ops.text.quality_classifier`` features);
+    2. docs bucket by ``floor(score·B)`` — a pure, ORDER-PRESERVING
+       function of the row (scores live in (0,1)), so bucket i holds
+       exactly the rows ranked between buckets <i and >i; per-bucket
+       counts reduce to B driver scalars;
+    3. exclusive offsets broadcast back; each bucket sorts locally by
+       (score, doc_id) and adds its offset → exact global 0-based
+       rank; NTILE(10) arithmetic (first n%10 tiles one larger) maps
+       rank → decile, matching DuckDB's ntile exactly.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ferenda_ray.ops.text import _QC_B, _QC_W, STOPWORDS
+
+    sw = list(STOPWORDS)
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        alpha = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
+        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
+        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
+        n_tok = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
+        z = (pl.lit(_QC_B)
+             + (alpha.list.eval(pl.element().is_in(sw)).list.sum()
+                .cast(pl.Float64) / alpha.list.len().cast(pl.Float64))
+             .fill_nan(0.0) * _QC_W["stopword_ratio"]
+             + ((n_chars - n_space) / n_tok) * _QC_W["mean_token_len"]
+             + (pl.col("text").str.count_matches(r"[0-9]")
+                .cast(pl.Float64) / n_chars) * _QC_W["digit_ratio"]
+             + (1.0 - pl.col("text").str.split("\n").list.n_unique()
+                / pl.col("text").str.split("\n").list.len())
+             * _QC_W["frac_dup_lines"])
+        out = df.select(
+            "doc_id",
+            (1.0 / (1.0 + (-z).exp())).alias("quality_score"))
+        out = out.with_columns(
+            (pl.col("quality_score") * _CURR_BUCKETS)
+            .floor().cast(pl.Int32).alias("bucket"))
+        return out.to_arrow()
+
+    scored = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow").materialize()
+    per_bucket = {r["bucket"]: r["count()"] for r in
+                  scored.groupby("bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for bkt in sorted(per_bucket):
+        offsets[bkt] = acc
+        acc += per_bucket[bkt]
+    n = acc
+    q, rem = divmod(n, 10)
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ferenda_ray.state import fetch
+
+        g = g.sort_values(["quality_score", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        r = fetch(off_ref)[g["bucket"].iloc[0]] + np.arange(len(g))
+        big = rem * (q + 1)
+        decile = np.where(r < big, r // (q + 1) + 1,
+                          (r - big) // max(q, 1) + rem + 1)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "quality_score":
+                                 g["quality_score"].to_numpy(),
+                             "decile": decile.astype(np.int64)})
+
+    return (scored.groupby("bucket")
+            .map_groups(rank_group, batch_format="pandas"))
+
+
+CURRICULUM_DECILES_SQL = """
+WITH f AS (
+    SELECT doc_id,
+           coalesce(CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '[a-z]+'),
+                        t -> t IN ('the','and','of','to','a','in','is',
+                                   'that','for','it','on','with','as',
+                                   'at','by'))) AS DOUBLE)
+               / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0),
+               0.0) AS stopword_ratio,
+           length(regexp_replace(text, '\\s', '', 'g'))
+               * 1.0 / len(regexp_extract_all(text, '\\S+'))
+               AS mean_token_len,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                      AS DOUBLE)
+               / len(string_split(text, chr(10))) AS frac_dup_lines
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-(-1.9 + stopword_ratio * 6.0
+                + mean_token_len * 0.35 + digit_ratio * -8.0
+                + frac_dup_lines * -4.0))) AS quality_score
+    FROM f
+)
+SELECT doc_id, quality_score,
+       CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT)
+           AS decile
+FROM s
+"""

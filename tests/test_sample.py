@@ -43,3 +43,51 @@ def test_reservoir_sample_reproducible_and_sized(ray_session):
     assert list(a["id"]) != list(c["id"])  # seed changes the sample
     # Rough uniformity: mean of sampled ids near population mean.
     assert abs(a["id"].mean() - 2500) < 450
+
+
+def test_curriculum_deciles_oracle(ray_session):
+    """Exact distributed ntile(10) vs DuckDB, including the uneven-tile
+    arithmetic (n % 10 != 0 via a 43-doc subset)."""
+    import duckdb
+
+    import pandas as pd
+    from ferenda_ray.ops.sample import (CURRICULUM_DECILES_SQL,
+                                        curriculum_deciles)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    mine = (curriculum_deciles(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want = (con.sql(CURRICULUM_DECILES_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (mine.decile.values == want.decile.values).all()
+    # exact balance at n % 10 == 0
+    assert sorted(mine.decile.value_counts().tolist()) == [50] * 10
+
+
+def test_curriculum_deciles_uneven(ray_session, tmp_path):
+    """n=23: ntile gives 3 tiles of 3 and 7 of 2 — exact match."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.sample import (CURRICULUM_DECILES_SQL,
+                                        curriculum_deciles)
+
+    texts = [f"the data for it is in file number{i} " * (i + 1)
+             for i in range(23)]
+    tab = pa.table({"doc_id": pa.array(range(23), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    mine = (curriculum_deciles(str(tmp_path)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want = (con.sql(CURRICULUM_DECILES_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (mine.decile.values == want.decile.values).all()
+    sizes = sorted(mine.decile.value_counts().tolist())
+    assert sizes == [2] * 7 + [3] * 3
