@@ -106,6 +106,39 @@ def _graph_stage_root() -> str:
     return stage_root("ferenda_graph")
 
 
+def _atomic_write_table(tab: pa.Table, path: str) -> None:
+    """Crash-atomic parquet write: tmp + os.replace. The BSP resume
+    logic infers round completeness from file EXISTENCE, so a SIGKILL
+    mid-write must never leave a torn file under the final name (it
+    would be counted as a complete round and then crash every resume)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tab, tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(obj, path: str) -> None:
+    """Crash-atomic JSON marker write (same rationale as
+    :func:`_atomic_write_table` — markers witness completion)."""
+    import json as _json
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _check_staged_params(meta: dict, want: dict) -> None:
+    """Raise if a durable resume_root was staged under different
+    algorithm parameters — resuming would silently mix rounds computed
+    under two configurations (same failure class the num_buckets check
+    prevents)."""
+    for k, v in want.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"resume_root was staged with {k}={meta.get(k)!r}, "
+                f"got {v!r}")
+
+
 def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
     """One-time partitioning: edges hive-written by hash(src) AND by
     hash(dst); per-bucket node tables (url, outdeg) reduced from
@@ -151,15 +184,16 @@ def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
 
         d = os.path.join(root, "nodes_raw", f"nb={b}")
         if not os.path.isdir(d):
-            pq.write_table(pa.table({"url": pa.array([], pa.string()),
-                                     "outdeg": pa.array([], pa.int64())}),
-                           os.path.join(root, f"nodes-{b:05d}.parquet"))
+            _atomic_write_table(
+                pa.table({"url": pa.array([], pa.string()),
+                          "outdeg": pa.array([], pa.int64())}),
+                os.path.join(root, f"nodes-{b:05d}.parquet"))
             return 0
         t = pads.dataset(d).to_table()
         g = (t.to_pandas().groupby("url", sort=True)["out"].sum()
              .rename("outdeg").reset_index())
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
-                       os.path.join(root, f"nodes-{b:05d}.parquet"))
+        _atomic_write_table(pa.Table.from_pandas(g, preserve_index=False),
+                            os.path.join(root, f"nodes-{b:05d}.parquet"))
         return len(g)
 
     counts = ray.get([build_nodes.remote(b) for b in range(num_buckets)])
@@ -230,10 +264,9 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
     try:
         if resume_root and os.path.exists(marker):
             meta = _json.load(open(marker))
-            if meta["num_buckets"] != num_buckets:
-                raise ValueError(
-                    f"resume_root was staged with num_buckets="
-                    f"{meta['num_buckets']}, got {num_buckets}")
+            _check_staged_params(meta, {"num_buckets": num_buckets,
+                                        "damping": damping,
+                                        "n_iter": n_iter})
             n = meta["n"]
         else:
             # no marker = staging never completed; a partial hive dir
@@ -243,8 +276,9 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
                 shutil.rmtree(root, ignore_errors=True)
             os.makedirs(root, exist_ok=True)
             n = _stage_graph(edges_ds, root, num_buckets)
-            with open(marker, "w") as f:
-                _json.dump({"n": n, "num_buckets": num_buckets}, f)
+            _atomic_write_json({"n": n, "num_buckets": num_buckets,
+                                "damping": damping, "n_iter": n_iter},
+                               marker)
         if n == 0:
             done = True
             return rd.from_arrow(pa.table(
@@ -257,8 +291,9 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
         def init_rank(b: int) -> None:
             nd = _nodes_df(root, b)
             nd["rank"] = 1.0 / n
-            pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
-                           os.path.join(root, f"rank0-{b:05d}.parquet"))
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"rank0-{b:05d}.parquet"))
 
         r_start = (_resume_round(root, num_buckets, n_iter)
                    if resume_root else 0)
@@ -289,8 +324,9 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             else:
                 c = np.zeros(len(nd))
             nd["rank"] = base + damping * c
-            pq.write_table(pa.Table.from_pandas(nd, preserve_index=False),
-                           os.path.join(root, f"rank{r + 1}-{b:05d}.parquet"))
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"rank{r + 1}-{b:05d}.parquet"))
 
         for r in range(r_start, n_iter):
             dangling = sum(ray.get(
@@ -343,18 +379,16 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
     try:
         if resume_root and os.path.exists(marker):
             meta = _json.load(open(marker))
-            if meta["num_buckets"] != num_buckets:
-                raise ValueError(
-                    f"resume_root was staged with num_buckets="
-                    f"{meta['num_buckets']}, got {num_buckets}")
+            _check_staged_params(meta, {"num_buckets": num_buckets,
+                                        "n_iter": n_iter})
             n = meta["n"]
         else:
             if resume_root and os.path.isdir(root):
                 shutil.rmtree(root, ignore_errors=True)
             os.makedirs(root, exist_ok=True)
             n = _stage_graph(edges_ds, root, num_buckets)
-            with open(marker, "w") as f:
-                _json.dump({"n": n, "num_buckets": num_buckets}, f)
+            _atomic_write_json({"n": n, "num_buckets": num_buckets,
+                                "n_iter": n_iter}, marker)
         if n == 0:
             done = True
             return rd.from_arrow(pa.table(
@@ -394,8 +428,9 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
                 return 0.0
             got = partials.groupby("url", sort=True)["c"].sum().reset_index()
             got = got.rename(columns={"c": "val"})
-            pq.write_table(pa.Table.from_pandas(got, preserve_index=False),
-                           os.path.join(root, f"{score_tag}-{b:05d}.parquet"))
+            _atomic_write_table(
+                pa.Table.from_pandas(got, preserve_index=False),
+                os.path.join(root, f"{score_tag}-{b:05d}.parquet"))
             return float((got["val"] ** 2).sum())
 
         hub_tag, auth_tag = "hub", "auth"
@@ -433,9 +468,9 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
             hub_norm = (sum(sq) ** 0.5) or 1.0
             hub_default = 0.0
             if resume_root:
-                with open(os.path.join(root, f"round-{i}.json"), "w") as f:
-                    _json.dump({"hub_norm": hub_norm,
-                                "auth_norm": auth_norm}, f)
+                _atomic_write_json({"hub_norm": hub_norm,
+                                    "auth_norm": auth_norm},
+                                   os.path.join(root, f"round-{i}.json"))
 
         @ray.remote
         def finalize(b: int, a_norm: float, h_norm: float) -> None:
@@ -459,8 +494,9 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
                           on="url", how="left"))
             out[["authority", "hub"]] = out[["authority", "hub"]].fillna(0.0)
             out = out.sort_values("url", kind="mergesort")
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                           os.path.join(root, f"final-{b:05d}.parquet"))
+            _atomic_write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                os.path.join(root, f"final-{b:05d}.parquet"))
 
         ray.get([finalize.remote(b, auth_norm, hub_norm)
                  for b in range(num_buckets)])
@@ -519,68 +555,184 @@ def degree_histogram(edges_ds):
 
 # -- triangle counting (wedge-close, bucketed) ------------------------------
 
-def triangle_count(edges_ds, num_buckets: int = 16):
-    """Global triangle count of the (undirected, canonicalized) graph —
-    the standard wedge-generate + wedge-close two-exchange algorithm:
+def _pl_bucket(tab: pa.Table, cols, mod: int) -> pa.Table:
+    """Vectorized bucket column over one or more key columns (polars
+    row hash — bucket ids only need within-run consistency; the output
+    of every caller is invariant to the bucketing)."""
+    import polars as pl
 
-    1. canonical distinct edges ``(a < b)``;
-    2. wedges grouped by their APEX (the lower endpoint ``a``): per
-       bucket, a vectorized pandas self-merge emits ``(b, c)`` per
-       neighbor pair ``b < c`` — canonical form means every neighbor
-       of the apex is greater than it, so each candidate triangle
-       ``a<b<c`` is generated exactly once;
-    3. wedge-close: wedges union edges, bucketed by the ``(b, c)``
-       pair hash; per bucket one vectorized merge counts wedges whose
-       closing edge exists; partial counts sum to one scalar row.
+    df = pl.from_arrow(tab.select(list(cols)))
+    h = (df.hash_rows(seed=0) % mod).cast(pl.Int32).rename("bucket")
+    return tab.append_column("bucket", h.to_arrow())
 
-    Apex grouping by node ID (not degree) keeps the oracle a pure
-    three-way SQL join; a high-ID hub's wedge set is its degree
-    squared — the documented skew ceiling (the degree-ordered variant
-    halves it but is no longer order-free; note kept with the code).
+
+def _canon_edges(edges_ds):
+    """Canonical distinct undirected edges ``(a < b)``, self-loops
+    dropped; vectorized (element-wise string min/max, no row loop)."""
+    import pyarrow.compute as pc
+
+    def canon(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("src"), b.column("dst")))
+        b = b.filter(keep)
+        return pa.table({
+            "a": pc.min_element_wise(b.column("src"), b.column("dst")),
+            "b": pc.max_element_wise(b.column("src"), b.column("dst")),
+        })
+
+    return (edges_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count())
+            .select_columns(["a", "b"]).materialize())
+
+
+def _edge_degrees(und, num_buckets: int):
+    """(a, b, deg_a, deg_b) over the canonical edge set: a bucketed
+    endpoint count (one groupby over ≤num_buckets coarse groups, exact
+    per-url count vectorized inside each bucket task) followed by two
+    bucketed indicator cogroups that attach the degree to each edge —
+    the degree table never concentrates anywhere."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        urls = pa.chunked_array(b.column("a").chunks
+                                + b.column("b").chunks)
+        return _pl_bucket(pa.table({"url": urls}), ["url"], num_buckets)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", sort=True).size().rename("deg")
+        return out.reset_index()
+
+    deg = (und.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("bucket").map_groups(count, batch_format="pandas"))
+
+    def attach(key_col: str, out_col: str):
+        """edges (with any columns) ∪ degree rows → bucketed cogroup on
+        ``key_col`` → edges gain ``out_col`` (degree of that endpoint)."""
+
+        def deg_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "k": b.column("url"), "a": pa.nulls(n, pa.string()),
+                "b": pa.nulls(n, pa.string()),
+                "deg_a": pa.nulls(n, pa.int64()),
+                "payload": b.column("deg").cast(pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+            })
+
+        def edge_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            dega = (b.column("deg_a") if "deg_a" in b.column_names
+                    else pa.nulls(n, pa.int64()))
+            return pa.table({
+                "k": b.column(key_col), "a": b.column("a"),
+                "b": b.column("b"), "deg_a": dega,
+                "payload": pa.nulls(n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+            })
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            lut = g[g["side"] == 0].set_index("k")["payload"]
+            e = g[g["side"] == 1]
+            # dtypes pinned so empty groups emit the same schema
+            out = pd.DataFrame({
+                "a": pd.Series(e["a"].values, dtype="object"),
+                "b": pd.Series(e["b"].values, dtype="object")})
+            if out_col != "deg_a":
+                out["deg_a"] = pd.Series(e["deg_a"].values).astype("int64")
+            out[out_col] = pd.Series(
+                lut.reindex(e["k"]).values).astype("int64")
+            return out
+
+        def run(ed):
+            both = (ed.map_batches(edge_side, batch_format="pyarrow")
+                    .union(deg.map_batches(deg_side,
+                                           batch_format="pyarrow"))
+                    .map_batches(lambda t: _pl_bucket(t, ["k"],
+                                                      num_buckets),
+                                 batch_format="pyarrow"))
+            return both.groupby("bucket").map_groups(
+                join, batch_format="pandas")
+
+        return run
+
+    return attach("b", "deg_b")(attach("a", "deg_a")(und))
+
+
+def _wedge_rows(und, num_buckets: int, orient: str = "degree"):
+    """Wedge rows (wa, wb, side=0) of the canonicalized graph.
+
+    ``orient="degree"``: edges oriented low→high in the total order
+    (degree, url); the apex of each wedge is the edge SOURCE. Every
+    triangle has exactly one vertex out-adjacent to the other two (the
+    order's minimum), so each is generated once, and per-apex wedge
+    count is C(outdeg, 2) with outdeg ≤ O(√m) amortized — total wedge
+    volume O(m^1.5) regardless of hub degree (a degree-d hub attracts
+    its edges' ORIENTATIONS, not their wedges: the hub's neighbors,
+    almost all lower-degree, are the apexes). This is the 100 TB path.
+
+    ``orient="id"``: apex = lexicographic min endpoint — emits O(d²)
+    wedges at a high-id hub; kept as the small-graph cross-check whose
+    semantics the SQL oracle's three-way join mirrors directly.
     """
     import numpy as np
 
-    from ferenda_ray.util import stable_uint
-
-    def canon(b: pa.Table) -> pa.Table:
-        src = b.column("src").to_pylist()
-        dst = b.column("dst").to_pylist()
-        a = [min(s, d) for s, d in zip(src, dst) if s != d]
-        c = [max(s, d) for s, d in zip(src, dst) if s != d]
-        return pa.table({"a": pa.array(a, pa.string()),
-                         "b": pa.array(c, pa.string())})
-
-    und = (edges_ds.map_batches(canon, batch_format="pyarrow")
-           .groupby(["a", "b"]).aggregate(Count())
-           .select_columns(["a", "b"]).materialize())
-
-    def bucket_by(col):
-        def f(b: pa.Table) -> pa.Table:
-            keys = [stable_uint(k, num_buckets)
-                    for k in b.column(col).to_pylist()]
-            return b.append_column("bucket", pa.array(keys, pa.int32()))
-        return f
-
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="a")
-        m = m[m["b_x"] < m["b_y"]]
-        return pd.DataFrame({"wa": m["b_x"].to_numpy(),
-                             "wb": m["b_y"].to_numpy(),
+        m = g.merge(g, on="x")
+        m = m[m["y_x"] < m["y_y"]]
+        return pd.DataFrame({"wa": m["y_x"].to_numpy(),
+                             "wb": m["y_y"].to_numpy(),
                              "side": np.zeros(len(m), dtype=np.int8)})
 
-    wedge_rows = (und.map_batches(bucket_by("a"), batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(wedges, batch_format="pandas"))
+    if orient == "id":
+        def orient_b(b: pa.Table) -> pa.Table:
+            return pa.table({"x": b.column("a"), "y": b.column("b")})
+
+        oriented = und.map_batches(orient_b, batch_format="pyarrow")
+    else:
+        def orient_b(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            swap = pc.or_(
+                pc.less(b.column("deg_b"), b.column("deg_a")),
+                pc.and_(pc.equal(b.column("deg_b"), b.column("deg_a")),
+                        pc.less(b.column("b"), b.column("a"))))
+            return pa.table({
+                "x": pc.if_else(swap, b.column("b"), b.column("a")),
+                "y": pc.if_else(swap, b.column("a"), b.column("b")),
+            })
+
+        oriented = _edge_degrees(und, num_buckets).map_batches(
+            orient_b, batch_format="pyarrow")
+
+    # wedge pairs (y1 < y2 lexicographically) are already in canonical
+    # id order, so they join directly against the canonical edge set
+    return (oriented
+            .map_batches(lambda t: _pl_bucket(t, ["x"], num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket").map_groups(wedges, batch_format="pandas"))
+
+
+def triangle_count(edges_ds, num_buckets: int = 16,
+                   orient: str = "degree"):
+    """Global triangle count — wedge-generate + wedge-close:
+
+    1. canonical distinct edges ``(a < b)`` (vectorized);
+    2. wedges per apex under the chosen orientation
+       (:func:`_wedge_rows`; degree-ordered by default, which bounds
+       total wedge volume by O(m^1.5) on power-law graphs);
+    3. wedge-close: wedges ∪ edges bucketed by the pair hash; one
+       vectorized merge per bucket counts wedges whose closing edge
+       exists; partial counts sum to one scalar row.
+
+    Both orientations count every triangle exactly once (equality
+    pytest on random + star graphs); the SQL oracle is the id-ordered
+    three-way join, which is orientation-independent on the count.
+    """
+    und = _canon_edges(edges_ds)
+    if und.count() == 0:  # Min/Max over an empty set has no row
+        return pd.DataFrame({"n_triangles": [0]})
 
     def edge_rows(b: pa.Table) -> pa.Table:
         return pa.table({"wa": b.column("a"), "wb": b.column("b"),
                          "side": pa.array([1] * b.num_rows, pa.int8())})
-
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        keys = [stable_uint(f"{x}|{y}", num_buckets)
-                for x, y in zip(b.column("wa").to_pylist(),
-                                b.column("wb").to_pylist())]
-        return b.append_column("bucket", pa.array(keys, pa.int32()))
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         e = g[g["side"] == 1][["wa", "wb"]].drop_duplicates()
@@ -590,10 +742,14 @@ def triangle_count(edges_ds, num_buckets: int = 16):
 
     from ray.data.aggregate import Sum
 
-    agg = (wedge_rows.union(und.map_batches(edge_rows,
-                                            batch_format="pyarrow"))
-           .map_batches(pair_bucket, batch_format="pyarrow")
+    agg = (_wedge_rows(und, num_buckets, orient)
+           .union(und.map_batches(edge_rows, batch_format="pyarrow"))
+           .map_batches(lambda t: _pl_bucket(t, ["wa", "wb"],
+                                             num_buckets),
+                        batch_format="pyarrow")
            .groupby("bucket")
            .map_groups(close, batch_format="pandas")
            .aggregate(Sum("n", alias_name="n_triangles")))
-    return pd.DataFrame({"n_triangles": [int(agg["n_triangles"])]})
+    val = agg["n_triangles"]
+    return pd.DataFrame({"n_triangles": [int(val) if val is not None
+                                         else 0]})

@@ -289,26 +289,14 @@ def fingerprints(sf_dir: str):
 
 _OVERLAP_MAX_DF = 20   # boilerplate cap: fps in more docs carry no signal
 _OVERLAP_MIN_SHARED = 2
+_N_FP_BUCKETS = 32     # coarse shuffle buckets (per-fp/per-pair grouping
+                       # happens vectorized INSIDE each bucket task —
+                       # groupby over millions of raw keys is the
+                       # documented sort-shuffle trap, BASELINE §4)
 
 
-def fingerprint_overlap_pairs(sf_dir: str,
-                              min_shared: int = _OVERLAP_MIN_SHARED,
-                              max_df: int = _OVERLAP_MAX_DF):
-    """Doc pairs sharing ≥ ``min_shared`` distinct winnowing
-    fingerprints — MOSS-style local overlap detection (shared spans,
-    not whole-doc similarity; complements MinHash which misses short
-    verbatim reuse inside otherwise-different docs).
-
-    Shape: explode fingerprints (one pass over text), per-batch
-    distinct partial, one ``groupby(fp)`` exchange of skinny
-    ``(doc_id, fp)`` rows, pair emit inside each fp group, then a
-    small pair-count groupby. Fingerprints appearing in more than
-    ``max_df`` docs are dropped before pairing — the LSH hot-bucket
-    cap: boilerplate grams would otherwise emit O(df²) pairs and carry
-    no overlap signal. Pair blowup is therefore bounded by
-    C(max_df, 2) per fingerprint.
-    """
-    ds = _docs(sf_dir, ["doc_id", "text"])
+def _fp_rows_ds(ds):
+    """(doc_id, fp) rows — per-doc DISTINCT winnowing fingerprints."""
 
     def fp_rows(b: pa.Table) -> pa.Table:
         d_o, f_o = [], []
@@ -320,25 +308,102 @@ def fingerprint_overlap_pairs(sf_dir: str,
         return pa.table({"doc_id": pa.array(d_o, pa.int64()),
                          "fp": pa.array(f_o, pa.int64())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))
-        if len(docs) < 2 or len(docs) > max_df:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(docs)
-                     for y in docs[i + 1:]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+    return ds.map_batches(fp_rows, batch_format="pyarrow")
 
+
+def _fp_pair_counts(rows, max_df: int,
+                    num_buckets: int = _N_FP_BUCKETS):
+    """(doc_a, doc_b, n_shared) from distinct (doc_id, fp) rows via two
+    coarse hash-bucket exchanges: fp-hash buckets (per-fp df filter +
+    pair emit as ONE vectorized self-merge per bucket), then pair-hash
+    buckets (vectorized partial-count sum). Fingerprints in more than
+    ``max_df`` docs are dropped before pairing — the LSH hot-bucket
+    cap — so pair blowup is bounded by C(max_df, 2) per fp."""
+    import numpy as np
+
+    from ferenda_ray.util import bucket_ints
+
+    def fp_bucket(b: pa.Table) -> pa.Table:
+        f = b.column("fp").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(bucket_ints(f, num_buckets)))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_df)]
+        if not len(g):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        m = g[["doc_id", "fp"]].merge(g[["doc_id", "fp"]], on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], sort=True).size()
+               .rename("n").reset_index()
+               .rename(columns={"doc_id_x": "doc_a",
+                                "doc_id_y": "doc_b"}))
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n": "int64"})
+
+    partials = (rows.map_batches(fp_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(emit,
+                                              batch_format="pandas"))
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        d = b.column("doc_b").to_numpy(zero_copy_only=False)
+        key = a * np.int64(1000003) + d  # wrapping mix is fine for a
+        return b.append_column(          # bucket id (bucket_ints remixes)
+            "bucket", pa.array(bucket_ints(key, num_buckets)))
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["doc_a", "doc_b"], sort=True)["n"].sum()
+               .rename("n_shared").reset_index())
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n_shared": "int64"})
+
+    return (partials.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(total, batch_format="pandas"))
+
+
+def _doc_fp_counts(rows, num_buckets: int = _N_FP_BUCKETS):
+    """(doc_id, n_fp) — total distinct-fp count per doc, bucketed count
+    (same coarse-bucket rationale as :func:`_fp_pair_counts`)."""
+    from ferenda_ray.util import bucket_ints
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(bucket_ints(d, num_buckets)))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=True).size().rename("n_fp")
+               .reset_index())
+        return out.astype({"doc_id": "int64", "n_fp": "int64"})
+
+    return (rows.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(count, batch_format="pandas"))
+
+
+def fingerprint_overlap_pairs(sf_dir: str,
+                              min_shared: int = _OVERLAP_MIN_SHARED,
+                              max_df: int = _OVERLAP_MAX_DF):
+    """Doc pairs sharing ≥ ``min_shared`` distinct winnowing
+    fingerprints — MOSS-style local overlap detection (shared spans,
+    not whole-doc similarity; complements MinHash which misses short
+    verbatim reuse inside otherwise-different docs).
+
+    Shape: explode fingerprints (one pass over text), then the two
+    coarse-bucketed exchanges of :func:`_fp_pair_counts` — per-fp
+    grouping and pair counting both happen vectorized inside ≤32
+    bucket tasks, never as a per-key Ray groupby."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     def keep(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("n_shared"), min_shared))
+        return b.filter(pc.greater_equal(b.column("n_shared"),
+                                         min_shared))
 
-    return (ds.map_batches(fp_rows, batch_format="pyarrow")
-            .groupby("fp").map_groups(pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_shared"))
+    rows = _fp_rows_ds(_docs(sf_dir, ["doc_id", "text"]))
+    return (_fp_pair_counts(rows, max_df)
             .map_batches(keep, batch_format="pyarrow"))
 
 
@@ -369,43 +434,18 @@ def fingerprint_containment_pairs(sf_dir: str,
     ``containment_pct = 100·n_shared // min(n_a, n_b)`` — pure integer
     arithmetic, so the SQL oracle is exact.
 
-    Shape: the overlap pair stream (one fp-grouped exchange, max_df
-    cap) plus per-doc TOTAL distinct-fp counts (uncapped — the
-    denominator must not lose boilerplate mass), attached to the pair
-    table via two bucketed cogroups (by doc_a, then doc_b); pairs and
-    counts are both skinny, no driver-side map."""
+    Shape: the overlap pair stream (coarse fp-hash-bucketed, max_df
+    cap — :func:`_fp_pair_counts`) plus per-doc TOTAL distinct-fp
+    counts (uncapped — the denominator must not lose boilerplate
+    mass), attached to the pair table via two bucketed cogroups (by
+    doc_a, then doc_b); pairs and counts are both skinny, no
+    driver-side map."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Sum
 
     num_buckets = 16
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def fp_rows(b: pa.Table) -> pa.Table:
-        d_o, f_o = [], []
-        for d, t in zip(b.column("doc_id").to_pylist(),
-                        b.column("text").to_pylist()):
-            for f in set(winnow_fingerprint(t)):
-                d_o.append(d)
-                f_o.append(f % (1 << 62))
-        return pa.table({"doc_id": pa.array(d_o, pa.int64()),
-                         "fp": pa.array(f_o, pa.int64())})
-
-    rows = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
-    counts = rows.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))
-        if len(docs) < 2 or len(docs) > max_df:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(docs)
-                     for y in docs[i + 1:]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
-
-    pair_counts = (rows.groupby("fp")
-                   .map_groups(pairs, batch_format="pandas")
-                   .groupby(["doc_a", "doc_b"])
-                   .aggregate(Count(alias_name="n_shared")))
+    rows = _fp_rows_ds(_docs(sf_dir, ["doc_id", "text"])).materialize()
+    counts = _doc_fp_counts(rows)
+    pair_counts = _fp_pair_counts(rows, max_df)
 
     def attach(pairs_ds, counts_ds, pair_cols: list[str], key: str,
                out: str):
@@ -865,6 +905,13 @@ def pack_from_counts(counts, max_len: int = 512, num_buckets: int = 32):
     counts = counts.materialize()
     bounds = counts.aggregate(Min("doc_id"), Max("doc_id"))
     lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    if lo is None or hi is None:  # empty upstream (e.g. gate kept 0
+        # docs): Min/Max have no row — emit the typed empty result
+        # instead of crashing on int arithmetic over None
+        return rd.from_arrow(pa.table({
+            "seq_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64())}))
     span = max(1, (hi - lo + num_buckets) // num_buckets)
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -1161,8 +1208,12 @@ ORDER BY m.doc_id
 
 # -- TextReader surface (reference textreader.py:11-352) --------------------
 
-_HYPHEN_WRAP = re.compile(r"(\w)-\n(\w)")
-_SOFT_WRAP = re.compile(r"(?<=\S)\n(?=\S)")
+# re.ASCII pins \w/\s to the ASCII classes so the operator is
+# bit-identical to the DuckDB RE2 oracle (RE2's \w/\s are ASCII-only;
+# Python's default Unicode classes would join "café-\nlatte" where the
+# SQL recompute does not).
+_HYPHEN_WRAP = re.compile(r"(\w)-\n(\w)", re.ASCII)
+_SOFT_WRAP = re.compile(r"(?<=\S)\n(?=\S)", re.ASCII)
 
 
 def dehyphenate(text: str) -> str:
@@ -1211,15 +1262,19 @@ def doc_pages(sf_dir: str):
 
 # doc_pages recomputed in SQL: form-feed split with ordinality,
 # trailing-blank pages dropped (keep page_no ≤ last non-blank page),
-# then dewrap = dehyphenate + soft-unwrap. RE2 has no lookaround, so
-# the python lookaround patterns become capture-group replaces applied
-# TWICE: a chain "a\nb\nc\nd" needs two passes because each global
-# replace consumes the boundary characters (pass 1 leaves alternate
-# newlines, pass 2 clears them — any chain length resolves in two).
+# then dewrap = dehyphenate + soft-unwrap. The hyphen replace runs
+# ONCE — Python dehyphenate() is a single consuming pass, so a chained
+# wrap "x-\ny-\nz" must stay "xy-\nz" (a second pass would yield "xyz"
+# and diverge). The soft-unwrap runs TWICE: the Python pattern is
+# lookaround-based (non-consuming) and RE2 has no lookaround, so the
+# capture-group emulation consumes the boundary chars — pass 1 leaves
+# alternate newlines of a chain "a\nb\nc\nd", pass 2 clears them (any
+# chain length resolves in two). Python classes are re.ASCII-pinned to
+# RE2's ASCII \w/\s (see _HYPHEN_WRAP above).
 _DEWRAP_SQL = (
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "{x}, '(\\w)-\\n(\\w)', '\\1\\2', 'g'), '(\\w)-\\n(\\w)', "
-    "'\\1\\2', 'g'), '(\\S)\\n(\\S)', '\\1 \\2', 'g'), "
+    "regexp_replace(regexp_replace(regexp_replace("
+    "{x}, '(\\w)-\\n(\\w)', '\\1\\2', 'g'), "
+    "'(\\S)\\n(\\S)', '\\1 \\2', 'g'), "
     "'(\\S)\\n(\\S)', '\\1 \\2', 'g')")
 
 DOC_PAGES_SQL = f"""
@@ -1385,9 +1440,13 @@ def lm_cross_entropy(sf_dir: str):
             "n": g["n"].to_numpy(),
         })
         # per-doc partial inside the bucket: the doc-level exchange
-        # carries ≤ one row per (doc, bucket), not one per (doc, term)
-        return (part.groupby("doc_id", as_index=False)
-                .agg(s=("s", "sum"), n=("n", "sum")))
+        # carries ≤ one row per (doc, bucket), not one per (doc, term).
+        # dtypes pinned so an empty group emits the same schema (Ray's
+        # executor warns on RefBundle schema flips otherwise)
+        out = (part.groupby("doc_id", as_index=False)
+               .agg(s=("s", "sum"), n=("n", "sum")))
+        return out.astype({"doc_id": "int64", "s": "float64",
+                           "n": "int64"})
 
     def doc_bucket(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1398,9 +1457,12 @@ def lm_cross_entropy(sf_dir: str):
         # vectorized per-bucket doc sums: Ray's sort-based aggregate
         # pays a multi-second toll at thousands of groups (measured
         # 20s on 86k rows / 5k docs); one skinny bucket exchange +
-        # pandas groupby does the same in ~2s
-        return (g.groupby("doc_id", as_index=False)
-                .agg(s=("s", "sum"), n=("n", "sum")))
+        # pandas groupby does the same in ~2s. dtypes pinned so an
+        # empty group can never flip the executor-visible schema.
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(s=("s", "sum"), n=("n", "sum")))
+        return out.astype({"doc_id": "int64", "s": "float64",
+                           "n": "int64"})
 
     per_doc = (grouped.groupby("bucket")
                .map_groups(score_bucket, batch_format="pandas")

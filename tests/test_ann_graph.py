@@ -256,3 +256,53 @@ def test_triangle_count_vs_bruteforce(ray_session):
         if (a, b) in und and (b, c) in und and (a, c) in und)
     got = triangle_count(rd.from_pandas(df), num_buckets=5)
     assert int(got.n_triangles[0]) == brute
+
+
+def test_triangle_orientations_agree(ray_session):
+    """Degree-ordered and id-ordered wedge generation count identical
+    triangles on a random-ish graph with a hub."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import triangle_count
+
+    edges = [(f"n{(i * 7) % 23}", f"n{(i * 13 + 5) % 23}")
+             for i in range(80)]
+    edges += [("hub", f"n{i}") for i in range(23)]  # attach a hub
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    a = triangle_count(rd.from_pandas(df), num_buckets=5, orient="degree")
+    b = triangle_count(rd.from_pandas(df), num_buckets=5, orient="id")
+    assert int(a.n_triangles[0]) == int(b.n_triangles[0]) > 0
+
+
+def test_triangle_star_wedge_bound(ray_session):
+    """On a star graph (1 hub, d leaves) degree orientation points
+    every edge INTO the hub, so apexes are the degree-1 leaves and the
+    wedge volume is ZERO — while id-ordering (hub sorts first) would
+    emit C(d,2) wedge rows inside one bucket task. This is the O(m^1.5)
+    vs O(d^2) hub-blowup guarantee from the round-3 brief."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import _canon_edges, _wedge_rows
+
+    d = 40
+    df = pd.DataFrame({"src": ["aaa_hub"] * d,
+                       "dst": [f"leaf{i:03d}" for i in range(d)]})
+    und = _canon_edges(rd.from_pandas(df))
+    assert _wedge_rows(und, 4, "degree").count() == 0
+    assert _wedge_rows(und, 4, "id").count() == d * (d - 1) // 2
+
+
+def test_triangle_count_empty_edges(ray_session):
+    """Empty edge set (e.g. a corpus with no references) returns 0
+    instead of crashing on int(None) — ADVICE r3 regression."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import triangle_count
+
+    df = pd.DataFrame({"src": pd.Series([], dtype="object"),
+                       "dst": pd.Series([], dtype="object")})
+    got = triangle_count(rd.from_pandas(df))
+    assert int(got.n_triangles[0]) == 0

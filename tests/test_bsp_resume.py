@@ -162,3 +162,31 @@ def test_hits_chaos_resume(tmp_path):
     pd.testing.assert_frame_equal(pd.read_csv(ref_csv),
                                   pd.read_csv(got_csv))
     assert not os.path.isdir(root)
+
+
+def test_pagerank_resume_param_mismatch(ray_session, tmp_path):
+    """Resuming a staged root under a different damping (or n_iter)
+    must raise, not silently mix rounds computed under two
+    configurations — ADVICE r3."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.graph import edges_from_triples, pagerank
+    from ferenda_ray.pipelines.kg import build_triples_ds
+    from ferenda_ray.sources.pages import corpus_table
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(60), pages)
+    edges = edges_from_triples(build_triples_ds(pages))
+    root = str(tmp_path / "stage")
+    os.makedirs(root)
+    json.dump({"n": 60, "num_buckets": 8, "damping": 0.85, "n_iter": 3},
+              open(f"{root}/_staged.json", "w"))
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, n_iter=3, damping=0.5, num_buckets=8,
+                 resume_root=root)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=4, damping=0.85, num_buckets=8,
+                 resume_root=root)

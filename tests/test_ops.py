@@ -369,3 +369,56 @@ def test_fingerprint_containment_asymmetry(ray_session, tmp_path):
     assert (row.doc_a, row.doc_b) == (0, 1)
     assert row.n_a < row.n_b  # genuinely asymmetric sizes
     assert row.containment_pct >= 50
+
+
+def test_doc_pages_oracle(ray_session, con):
+    from ferenda_ray.ops.text import DOC_PAGES_SQL, doc_pages
+
+    _cmp(doc_pages(SF), con, DOC_PAGES_SQL)
+
+
+def test_doc_pages_dewrap_edge_cases(ray_session, tmp_path):
+    """Python dewrap and the SQL oracle agree on the adversarial wrap
+    shapes: chained hyphen wraps (ONE consuming pass — 'x-\\ny-\\nz'
+    stays 'xy- z', never 'xyz'), soft-wrap chains of any length
+    (two-pass RE2 emulation of the lookaround), non-ASCII boundary
+    chars (re.ASCII pins Python to RE2's ASCII \\w/\\s), and trailing
+    blank pages."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import DOC_PAGES_SQL, dewrap, doc_pages
+
+    texts = [
+        "x-\ny-\nz",                      # chained hyphen wrap
+        "a\nb\nc\nd\ne",                  # soft-wrap chain (odd length)
+        "café-\nlatte and naïve\nwrap",  # non-ASCII boundaries
+        "exam-\nple of a hyphen-\nated paragraph\nwrapped hard",
+        "page one\ftrailing\f \f\f",        # trailing blank pages
+        "first\n\nsecond para\nstill second\fpg2-\nwrap",
+    ]
+    assert dewrap("x-\ny-\nz") == "xy- z"  # the ADVICE divergence case
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    _cmp(doc_pages(str(tmp_path)), c, DOC_PAGES_SQL)
+
+
+def test_pack_from_counts_empty(ray_session):
+    """An upstream that filters every document (e.g. a strict quality
+    gate) yields a typed empty packing result, not a TypeError on the
+    None Min/Max aggregate — ADVICE r3 regression."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ferenda_ray.ops.text import pack_from_counts
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "n": pa.array([], pa.int64())}))
+    got = pack_from_counts(empty)
+    assert got.count() == 0
+    assert sorted(got.schema().names) == ["n_docs", "n_tokens", "seq_id"]
