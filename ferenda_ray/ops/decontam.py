@@ -156,6 +156,26 @@ ORDER BY n.doc_id
 
 # -- PII redaction ---------------------------------------------------------
 
+def pii_clean(text):
+    """Arrow array → PII-scrubbed array (emails → phones → IPv4, in
+    that order — order matters, a replace can expose/consume later
+    patterns). THE single definition; :func:`redact_pii` and the
+    curation-pipeline gate both use it, and :func:`pii_clean_sql`
+    mirrors it verbatim for oracles."""
+    clean = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+    return pc.replace_substring_regex(clean, IPV4_RE, "<IP>")
+
+
+def pii_clean_sql(x: str = "text") -> str:
+    """SQL expression equivalent of :func:`pii_clean` (same RE2
+    patterns, same order)."""
+    return (f"regexp_replace(regexp_replace(regexp_replace({x}, "
+            f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{PHONE_RE}', '<PHONE>', 'g'), "
+            f"'{IPV4_RE}', '<IP>', 'g')")
+
+
 def redact_pii(sf_dir: str):
     """(doc_id, clean, n_emails, n_phones, n_ips): emails/phones/IPv4
     replaced by typed placeholder tokens, counts kept for curation

@@ -69,6 +69,10 @@ def _apply_template(tpl: str, elem: dict, url: str, children: str,
         if isinstance(v, (str, int, float)):
             ctx[k] = v
             ctx[f"{k}_esc"] = escape(str(v))
+            # attribute value template: quoted + attr-escaped variant,
+            # safe to interpolate as  href={field_attr}  (the XSLT AVT
+            # slot of the reference's generic.xsl)
+            ctx[f"{k}_attr"] = quoteattr(str(v))
     ctx["children"] = children
     ctx["inline"] = inline
     ctx["url"] = url
@@ -85,20 +89,26 @@ class _TemplateSet:
     Pattern grammar (a practical XSLT-pattern subset):
 
     * ``*`` — any element (priority 0, like the XSLT built-in rules)
-    * ``Kind`` — match by element kind (priority 1)
-    * ``Parent/Kind`` — kind with immediate-parent test (priority 2)
+    * ``Kind`` — match by element kind
+    * ``Ancestor//Kind`` — kind with an ANY-ancestor test (the
+      ``descendant`` axis of the reference's generic.xsl patterns)
+    * ``Parent/Kind`` — kind with immediate-parent test (more specific
+      than ``//``)
     * ``Kind[field]`` / ``Kind[field=value]`` — attribute-presence /
-      attribute-value predicate (priority 3; +1 when combined with a
+      attribute-value predicate (most specific; combines with either
       parent step)
 
-    The highest-priority matching rule renders the element; ties break
-    toward the later-defined rule (document order, as in XSLT). A plain
-    ``Kind`` key behaves exactly as the pre-round-3 per-kind template
-    dict, so existing templates are unaffected.
+    Specificity order: field predicate > immediate parent > descendant
+    ancestor > kind > ``*`` (numeric priorities 4/2/1/1/0, summed per
+    component). The highest-priority matching rule renders the
+    element; ties break toward the later-defined rule (document order,
+    as in XSLT). A plain ``Kind`` key behaves exactly as the
+    pre-round-3 per-kind template dict, so existing templates are
+    unaffected.
     """
 
     _PAT = re.compile(
-        r"^(?:(?P<parent>\*|\w+)/)?(?P<kind>\*|\w+)"
+        r"^(?:(?P<parent>\*|\w+)(?P<sep>//|/))?(?P<kind>\*|\w+)"
         r"(?:\[(?P<field>\w+)(?:=(?P<value>[^\]]*))?\])?$")
 
     def __init__(self, templates: dict):
@@ -107,22 +117,27 @@ class _TemplateSet:
             m = self._PAT.match(pat)
             if not m:
                 raise ValueError(f"bad template pattern: {pat!r}")
-            parent, kind, field, value = m.group(
-                "parent", "kind", "field", "value")
+            parent, sep, kind, field, value = m.group(
+                "parent", "sep", "kind", "field", "value")
             prio = ((1 if kind != "*" else 0)
-                    + (1 if parent else 0)
-                    + (2 if field else 0))
-            self.rules.append((prio, i, parent, kind, field, value, tpl))
+                    + (2 if parent and sep == "/" else 1 if parent else 0)
+                    + (4 if field else 0))
+            self.rules.append((prio, i, parent, sep, kind, field, value,
+                               tpl))
         # highest priority first, later definition wins ties
         self.rules.sort(key=lambda r: (-r[0], -r[1]))
 
-    def lookup(self, elem: dict, parent_kind: str | None) -> str | None:
+    def lookup(self, elem: dict, ancestors: tuple) -> str | None:
         kind = elem["kind"]
-        for _p, _i, parent, k, field, value, tpl in self.rules:
+        parent_kind = ancestors[-1] if ancestors else None
+        for _p, _i, parent, sep, k, field, value, tpl in self.rules:
             if k != "*" and k != kind:
                 continue
-            if parent and parent != "*" and parent != parent_kind:
-                continue
+            if parent and parent != "*":
+                if sep == "/" and parent != parent_kind:
+                    continue
+                if sep == "//" and parent not in ancestors:
+                    continue
             if field is not None:
                 if field not in elem:
                     continue
@@ -145,28 +160,29 @@ def _template_set(templates: dict) -> _TemplateSet:
 
 def _render_elem(elem: dict, out: list[str], url: str,
                  templates: dict | None = None,
-                 parent_kind: str | None = None) -> None:
+                 ancestors: tuple = ()) -> None:
     kind = elem["kind"]
     if templates:
-        tpl = _template_set(templates).lookup(elem, parent_kind)
+        tpl = _template_set(templates).lookup(elem, ancestors)
         if tpl is not None:
             kids: list[str] = []
             for ch in elem.get("children", []):
-                _render_elem(ch, kids, url, templates, kind)
+                _render_elem(ch, kids, url, templates,
+                             ancestors + (kind,))
             out.append(_apply_template(tpl, elem, url,
                                        "\n".join(kids),
                                        _render_inline(elem)))
             return
     if kind == "Body":
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates, kind)
+            _render_elem(ch, out, url, templates, ancestors + (kind,))
     elif kind == "Section":
         frag = f"S{elem['ordinal']}"
         out.append(f'<section id={quoteattr(frag)} about='
                    f'{quoteattr(url + "#" + frag)}>')
         out.append(f"<h2>{escape(elem['ordinal'])}. {escape(elem['title'])}</h2>")
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates, kind)
+            _render_elem(ch, out, url, templates, ancestors + (kind,))
         out.append("</section>")
     elif kind == "Heading":
         lvl = int(elem.get("level", 2))
@@ -188,11 +204,26 @@ def _render_elem(elem: dict, out: list[str], url: str,
         tag = "ol" if kind == "OrderedList" else "ul"
         out.append(f"<{tag}>")
         for ch in elem.get("children", []):
+            # ListItems are template-addressable (e.g. Section//ListItem)
+            # even though the default path renders them inline
+            if templates:
+                tpl = _template_set(templates).lookup(
+                    ch, ancestors + (kind,))
+                if tpl is not None:
+                    kids: list[str] = []
+                    for sub in ch.get("children", []):
+                        _render_elem(sub, kids, url, templates,
+                                     ancestors + (kind, ch["kind"]))
+                    out.append(_apply_template(tpl, ch, url,
+                                               "\n".join(kids),
+                                               _render_inline(ch)))
+                    continue
             # a ListItem may host nested sublists (children)
             li = [f"<li>{_render_inline(ch)}"]
             for sub in ch.get("children", []):
                 sub_out: list[str] = []
-                _render_elem(sub, sub_out, url, templates, ch["kind"])
+                _render_elem(sub, sub_out, url, templates,
+                             ancestors + (kind, ch["kind"]))
                 li.extend(sub_out)
             li.append("</li>")
             out.append("".join(li) if len(li) == 2 else "\n".join(li))

@@ -252,27 +252,11 @@ def curriculum_deciles(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    from ferenda_ray.ops.text import _QC_B, _QC_W, STOPWORDS
-
-    sw = list(STOPWORDS)
+    from ferenda_ray.ops.text import quality_z_expr
 
     def score(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        alpha = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
-        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
-        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
-        n_tok = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
-        z = (pl.lit(_QC_B)
-             + (alpha.list.eval(pl.element().is_in(sw)).list.sum()
-                .cast(pl.Float64) / alpha.list.len().cast(pl.Float64))
-             .fill_nan(0.0) * _QC_W["stopword_ratio"]
-             + ((n_chars - n_space) / n_tok) * _QC_W["mean_token_len"]
-             + (pl.col("text").str.count_matches(r"[0-9]")
-                .cast(pl.Float64) / n_chars) * _QC_W["digit_ratio"]
-             + (1.0 - pl.col("text").str.split("\n").list.n_unique()
-                / pl.col("text").str.split("\n").list.len())
-             * _QC_W["frac_dup_lines"])
-        out = df.select(
+        z = quality_z_expr()
+        out = pl.from_arrow(b).select(
             "doc_id",
             (1.0 / (1.0 + (-z).exp())).alias("quality_score"))
         out = out.with_columns(
@@ -311,30 +295,14 @@ def curriculum_deciles(sf_dir: str):
             .map_groups(rank_group, batch_format="pandas"))
 
 
-CURRICULUM_DECILES_SQL = """
-WITH f AS (
-    SELECT doc_id,
-           coalesce(CAST(len(list_filter(
-                        regexp_extract_all(lower(text), '[a-z]+'),
-                        t -> t IN ('the','and','of','to','a','in','is',
-                                   'that','for','it','on','with','as',
-                                   'at','by'))) AS DOUBLE)
-               / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0),
-               0.0) AS stopword_ratio,
-           length(regexp_replace(text, '\\s', '', 'g'))
-               * 1.0 / len(regexp_extract_all(text, '\\S+'))
-               AS mean_token_len,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS digit_ratio,
-           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
-                      AS DOUBLE)
-               / len(string_split(text, chr(10))) AS frac_dup_lines
-    FROM documents
+def _curriculum_deciles_sql() -> str:
+    from ferenda_ray.ops.text import (QUALITY_SCORE_SQL,
+                                      quality_features_sql)
+
+    return f"""
+WITH f AS ({quality_features_sql("doc_id")}
 ), s AS (
-    SELECT doc_id,
-           1.0 / (1.0 + exp(-(-1.9 + stopword_ratio * 6.0
-                + mean_token_len * 0.35 + digit_ratio * -8.0
-                + frac_dup_lines * -4.0))) AS quality_score
+    SELECT doc_id, {QUALITY_SCORE_SQL} AS quality_score
     FROM f
 )
 SELECT doc_id, quality_score,
@@ -342,3 +310,6 @@ SELECT doc_id, quality_score,
            AS decile
 FROM s
 """
+
+
+CURRICULUM_DECILES_SQL = _curriculum_deciles_sql()

@@ -1298,9 +1298,69 @@ FROM pg p JOIN last_nonblank l
 
 # Fixed published weights (no training in-env): favors prose-like docs —
 # high stopword ratio, moderate token length, low digit density.
+# SINGLE SOURCE OF TRUTH for the quality features: the polars
+# pre-activation (quality_z_expr), the SQL feature block
+# (quality_features_sql) and the SQL score expression
+# (QUALITY_SCORE_SQL) are defined exactly once here and imported by
+# quality_classifier, sample.curriculum_deciles and the
+# pipelines.curate gate — one edited weight can no longer drift.
 _QC_W = {"stopword_ratio": 6.0, "mean_token_len": 0.35,
          "digit_ratio": -8.0, "frac_dup_lines": -4.0}
 _QC_B = -1.9   # calibrated so ~half the synthetic web corpus passes
+
+
+def quality_z_expr() -> pl.Expr:
+    """Polars expression for the logistic pre-activation
+    ``z = b + w·x`` over the four text features (expects a ``text``
+    column); score = ``1/(1+exp(-z))``."""
+    sw = list(STOPWORDS)
+    alpha = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
+    n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
+    n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
+    n_tok = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
+    return (pl.lit(_QC_B)
+            + (alpha.list.eval(pl.element().is_in(sw)).list.sum()
+               .cast(pl.Float64) / alpha.list.len().cast(pl.Float64))
+            .fill_nan(0.0) * _QC_W["stopword_ratio"]
+            + ((n_chars - n_space) / n_tok) * _QC_W["mean_token_len"]
+            + (pl.col("text").str.count_matches(r"[0-9]")
+               .cast(pl.Float64) / n_chars) * _QC_W["digit_ratio"]
+            + (1.0 - pl.col("text").str.split("\n").list.n_unique()
+               / pl.col("text").str.split("\n").list.len())
+            * _QC_W["frac_dup_lines"])
+
+
+def quality_features_sql(cols: str = "doc_id",
+                         src: str = "documents") -> str:
+    """SQL block computing the four features over ``src`` (a table or
+    CTE name with a ``text`` column), carrying ``cols`` through (e.g.
+    ``"doc_id"`` or ``"doc_id, source, text"``)."""
+    sw = ",".join(f"'{t}'" for t in sorted(STOPWORDS))
+    return f"""
+    SELECT {cols},
+           coalesce(CAST(len(list_filter(
+                        regexp_extract_all(lower(text), '[a-z]+'),
+                        t -> t IN ({sw}))) AS DOUBLE)
+               / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0),
+               0.0) AS stopword_ratio,
+           length(regexp_replace(text, '\\s', '', 'g'))
+               * 1.0 / len(regexp_extract_all(text, '\\S+'))
+               AS mean_token_len,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                      AS DOUBLE)
+               / len(string_split(text, chr(10))) AS frac_dup_lines
+    FROM {src}"""
+
+
+# the sigmoid over the weighted features — interpolated from _QC_W/_QC_B
+QUALITY_SCORE_SQL = (
+    f"1.0 / (1.0 + exp(-({_QC_B}"
+    f" + stopword_ratio * {_QC_W['stopword_ratio']}"
+    f" + mean_token_len * {_QC_W['mean_token_len']}"
+    f" + digit_ratio * {_QC_W['digit_ratio']}"
+    f" + frac_dup_lines * {_QC_W['frac_dup_lines']})))")
 
 
 def quality_classifier(sf_dir: str):
@@ -1314,70 +1374,24 @@ def quality_classifier(sf_dir: str):
     batch, no shuffle; every feature and the logistic are recomputed
     exactly by the SQL oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sw = list(STOPWORDS)
-
     def score(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        alpha = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
-        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
-        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
-        n_tok = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
-        feats = df.select(
-            "doc_id",
-            (alpha.list.eval(pl.element().is_in(sw)).list.sum()
-             .cast(pl.Float64) / alpha.list.len().cast(pl.Float64))
-            .fill_nan(0.0).alias("stopword_ratio"),
-            ((n_chars - n_space) / n_tok).alias("mean_token_len"),
-            (pl.col("text").str.count_matches(r"[0-9]").cast(pl.Float64)
-             / n_chars).alias("digit_ratio"),
-            (1.0 - pl.col("text").str.split("\n").list.n_unique()
-             / pl.col("text").str.split("\n").list.len())
-            .alias("frac_dup_lines"))
-        z = (pl.lit(_QC_B)
-             + pl.col("stopword_ratio") * _QC_W["stopword_ratio"]
-             + pl.col("mean_token_len") * _QC_W["mean_token_len"]
-             + pl.col("digit_ratio") * _QC_W["digit_ratio"]
-             + pl.col("frac_dup_lines") * _QC_W["frac_dup_lines"])
-        out = feats.with_columns(
-            (1.0 / (1.0 + (-z).exp())).alias("quality_score"))
-        return (out.select("doc_id", "quality_score",
-                           (pl.col("quality_score") >= 0.5).alias("keep"))
+        z = quality_z_expr()
+        return (pl.from_arrow(b)
+                .select("doc_id",
+                        (1.0 / (1.0 + (-z).exp())).alias("quality_score"))
+                .with_columns((pl.col("quality_score") >= 0.5)
+                              .alias("keep"))
                 .to_arrow())
 
     return ds.map_batches(score, batch_format="pyarrow")
 
 
 QUALITY_CLASSIFIER_SQL = f"""
-WITH f AS (
-    SELECT doc_id,
-           coalesce(CAST(len(list_filter(
-                        regexp_extract_all(lower(text), '[a-z]+'),
-                        t -> t IN ('the','and','of','to','a','in','is',
-                                   'that','for','it','on','with','as',
-                                   'at','by'))) AS DOUBLE)
-               / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0),
-               0.0) AS stopword_ratio,
-           length(regexp_replace(text, '\\s', '', 'g'))
-               * 1.0 / len(regexp_extract_all(text, '\\S+'))
-               AS mean_token_len,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS digit_ratio,
-           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
-                      AS DOUBLE)
-               / len(string_split(text, chr(10))) AS frac_dup_lines
-    FROM documents
+WITH f AS ({quality_features_sql("doc_id")}
 )
 SELECT doc_id,
-       1.0 / (1.0 + exp(-({_QC_B}
-            + stopword_ratio * {_QC_W["stopword_ratio"]}
-            + mean_token_len * {_QC_W["mean_token_len"]}
-            + digit_ratio * {_QC_W["digit_ratio"]}
-            + frac_dup_lines * {_QC_W["frac_dup_lines"]}))) AS quality_score,
-       1.0 / (1.0 + exp(-({_QC_B}
-            + stopword_ratio * {_QC_W["stopword_ratio"]}
-            + mean_token_len * {_QC_W["mean_token_len"]}
-            + digit_ratio * {_QC_W["digit_ratio"]}
-            + frac_dup_lines * {_QC_W["frac_dup_lines"]}))) >= 0.5 AS keep
+       {QUALITY_SCORE_SQL} AS quality_score,
+       {QUALITY_SCORE_SQL} >= 0.5 AS keep
 FROM f
 """
 

@@ -2,21 +2,33 @@
 for the LLM-corpus side of the engine, chaining the curation operators
 the way a production data pipeline does (CCNet/Dolma shape):
 
-    quality gate  →  exact dedup  →  source mixing  →  sequence packing
+    PII redaction → quality gate → decontamination → exact dedup
+                  → source mixing → sequence packing
 
-1. **quality gate** — the fixed-weight logistic classifier
-   (:mod:`ferenda_ray.ops.text` ``quality_classifier``) filters docs in
-   the same single pass that tokenizes (BPE-ish count) and
-   content-hashes them, so text is read ONCE and never crosses a
-   shuffle: downstream stages see only skinny
+1. **PII redaction** — emails/phones/IPv4 → typed placeholders
+   (:func:`ferenda_ray.ops.decontam.pii_clean`), vectorized Arrow RE2
+   inside the same pass as the gate; every downstream feature, token
+   count, hash and n-gram is computed over the CLEAN text.
+2. **quality gate** — the fixed-weight logistic classifier
+   (:func:`ferenda_ray.ops.text.quality_z_expr` — the one shared
+   definition) filters docs in the same single pass that tokenizes
+   (BPE-ish count) and content-hashes them, so text is read ONCE and
+   never crosses a shuffle: downstream stages see only skinny
    ``(doc_id, source, n, text_sha)`` rows.
-2. **exact dedup** — hash-bucketed by content sha (D1/D2 pattern,
+3. **decontamination** — benchmark (eval-slice) docs are excluded and
+   any doc sharing a word 5-gram with the eval slice is dropped. The
+   eval n-gram set is BROADCAST exact (benchmark suites are
+   constant-size — MBs against a 100 TB corpus — so the broadcast is
+   bounded by the benchmark, not the corpus; the exchange-based
+   :func:`ferenda_ray.ops.decontam.decontaminate` covers the
+   corpus-sized-eval case) and checked inside the same gate pass.
+4. **exact dedup** — hash-bucketed by content sha (D1/D2 pattern,
    winner = min doc_id), vectorized drop_duplicates per bucket — never
    per-key groups.
-3. **source mixing** — per-source token totals of the SURVIVORS reduce
+5. **source mixing** — per-source token totals of the SURVIVORS reduce
    to #sources driver scalars; integer thresholds broadcast back;
    per-batch Lehmer-hash filter (``ops.sample.mix_corpus`` semantics).
-4. **sequence packing** — the distributed exact-prefix-sum packer
+6. **sequence packing** — the distributed exact-prefix-sum packer
    (``ops.text.pack_from_counts``) emits the per-sequence training-feed
    summary.
 
@@ -37,7 +49,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from ferenda_ray.ops.sample import _MIX_SCALE, _mix
-from ferenda_ray.ops.text import _QC_B, _QC_W, STOPWORDS, pack_from_counts
+from ferenda_ray.ops.text import (QUALITY_SCORE_SQL, pack_from_counts,
+                                  quality_features_sql, quality_z_expr)
 
 _TOK_RE = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
 
@@ -49,35 +62,52 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
     import ray
     from ray.data.aggregate import Sum
 
+    from ferenda_ray.ops.decontam import (EVAL_MOD, _gram_hashes,
+                                          pii_clean)
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "text"])
-    sw = list(STOPWORDS)
+
+    # wave 0: exact eval-slice n-gram set over the REDACTED text —
+    # bounded by the benchmark suite, not the corpus (module docstring)
+    def eval_grams(b: pa.Table) -> pa.Table:
+        keep = [d % EVAL_MOD == 0 for d in b.column("doc_id").to_pylist()]
+        b = b.filter(pa.array(keep))
+        grams = [g for t in pii_clean(b.column("text")).to_pylist()
+                 for g in _gram_hashes(t)]
+        return pa.table({"gram": pa.array(grams, pa.int64())})
+
+    ev: set = set()
+    for bt in (ds.map_batches(eval_grams, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")):
+        ev.update(bt.column("gram").to_pylist())
+    eval_ref = ray.put(np.array(sorted(ev), np.int64))
 
     def gate(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        alpha = pl.col("text").str.to_lowercase().str.extract_all(r"[a-z]+")
-        n_chars = pl.col("text").str.len_chars().cast(pl.Float64)
-        n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
-        n_tok = pl.col("text").str.count_matches(r"\S+").cast(pl.Float64)
-        z = (pl.lit(_QC_B)
-             + (alpha.list.eval(pl.element().is_in(sw)).list.sum()
-                .cast(pl.Float64) / alpha.list.len().cast(pl.Float64))
-             .fill_nan(0.0) * _QC_W["stopword_ratio"]
-             + ((n_chars - n_space) / n_tok) * _QC_W["mean_token_len"]
-             + (pl.col("text").str.count_matches(r"[0-9]")
-                .cast(pl.Float64) / n_chars) * _QC_W["digit_ratio"]
-             + (1.0 - pl.col("text").str.split("\n").list.n_unique()
-                / pl.col("text").str.split("\n").list.len())
-             * _QC_W["frac_dup_lines"])
+        from ferenda_ray.state import fetch
+
+        ev_arr = fetch(eval_ref)
+        clean = pii_clean(b.column("text"))
+        df = pl.from_arrow(pa.table({"doc_id": b.column("doc_id"),
+                                     "source": b.column("source"),
+                                     "text": clean}))
+        z = quality_z_expr()
         kept = (df.with_columns(
                     (1.0 / (1.0 + (-z).exp()) >= 0.5).alias("keep"),
                     pl.col("text").str.count_matches(_TOK_RE)
                     .cast(pl.Int64).alias("n"))
-                .filter(pl.col("keep") & (pl.col("n") > 0)))
-        shas = [hashlib.sha1(t.encode()).hexdigest()
-                for t in kept["text"].to_list()]
-        out = kept.select("doc_id", "source", "n").with_columns(
-            pl.Series("text_sha", shas, dtype=pl.String))
+                .filter(pl.col("keep") & (pl.col("n") > 0)
+                        & (pl.col("doc_id") % EVAL_MOD != 0)))
+        shas, ok = [], []
+        for t in kept["text"].to_list():
+            shas.append(hashlib.sha1(t.encode()).hexdigest())
+            g = _gram_hashes(t)
+            ok.append(not (len(g) and np.isin(g, ev_arr).any()))
+        out = (kept.select("doc_id", "source", "n")
+               .with_columns(pl.Series("text_sha", shas,
+                                       dtype=pl.String),
+                             pl.Series("ok", ok, dtype=pl.Boolean))
+               .filter(pl.col("ok")).drop("ok"))
         return (out.with_columns(
             (pl.col("text_sha").hash(7) % dedup_buckets)
             .cast(pl.Int32).alias("bucket")).to_arrow())
@@ -117,38 +147,35 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
                             num_buckets=num_buckets)
 
 
-def _features_sql() -> str:
-    sw = ",".join(f"'{t}'" for t in sorted(STOPWORDS))
+def _curation_sql() -> str:
+    from ferenda_ray.ops.decontam import EVAL_MOD, NGRAM_N, pii_clean_sql
+
     return f"""
-    SELECT doc_id, source, text,
-           coalesce(CAST(len(list_filter(
-                        regexp_extract_all(lower(text), '[a-z]+'),
-                        t -> t IN ({sw}))) AS DOUBLE)
-               / nullif(len(regexp_extract_all(lower(text), '[a-z]+')), 0),
-               0.0) AS stopword_ratio,
-           length(regexp_replace(text, '\\s', '', 'g'))
-               * 1.0 / len(regexp_extract_all(text, '\\S+'))
-               AS mean_token_len,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS digit_ratio,
-           1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
-                      AS DOUBLE)
-               / len(string_split(text, chr(10))) AS frac_dup_lines
-    FROM documents"""
-
-
-CURATION_PIPELINE_SQL = f"""
-WITH feat AS ({_features_sql()}
+WITH red AS (
+    SELECT doc_id, source, {pii_clean_sql("text")} AS text
+    FROM documents
+), feat AS ({quality_features_sql("doc_id, source, text", src="red")}
+), tokz AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM red
+), ng AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS g
+    FROM (SELECT doc_id, t,
+                 unnest(range(1, len(t) - {NGRAM_N - 2})) AS i
+          FROM tokz)
+), eval_g AS (
+    SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0
+), contam AS (
+    SELECT DISTINCT n.doc_id FROM ng n JOIN eval_g e USING (g)
+    WHERE n.doc_id % {EVAL_MOD} <> 0
 ), kept AS (
     SELECT doc_id, source,
            len(regexp_extract_all(text, '{_TOK_RE}')) AS n
     FROM feat
-    WHERE 1.0 / (1.0 + exp(-({_QC_B}
-            + stopword_ratio * {_QC_W["stopword_ratio"]}
-            + mean_token_len * {_QC_W["mean_token_len"]}
-            + digit_ratio * {_QC_W["digit_ratio"]}
-            + frac_dup_lines * {_QC_W["frac_dup_lines"]}))) >= 0.5
+    WHERE {QUALITY_SCORE_SQL} >= 0.5
       AND len(regexp_extract_all(text, '{_TOK_RE}')) > 0
+      AND doc_id % {EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contam)
     QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 ), tot AS (
     SELECT source, CAST(sum(n) AS BIGINT) AS st FROM kept GROUP BY source
@@ -179,3 +206,6 @@ SELECT CAST(seq AS BIGINT) AS seq_id,
             AS BIGINT) AS n_tokens
 FROM spans GROUP BY seq
 """
+
+
+CURATION_PIPELINE_SQL = _curation_sql()

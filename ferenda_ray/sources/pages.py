@@ -118,6 +118,31 @@ def _gen_section(rng, ordinal, hlevel, i, citations, mentions, seed) -> dict:
             tgt = page_url(rng.randint(0, max(0, i - 1)) if i else 0, seed)
             parts.append(f"more at {tgt} as published.")
             citations.append({"frag": frag, "kind": "url", "target": tgt})
+        elif r < 0.62:
+            # EU-legislation citations (reference citationpatterns
+            # ``eulaw`` grammar, anglicized EUR-LEX surface forms)
+            form = rng.randint(0, 2)
+            year = rng.randint(1990, 2024)
+            num = rng.randint(1, 2000)
+            if form == 0:
+                parts.append(f"in accordance with Directive {year}/{num}"
+                             "/EC as amended.")
+                citations.append({"frag": frag, "kind": "eu",
+                                  "act": "dir", "year": year, "num": num,
+                                  "article": None, "sub": None})
+            elif form == 1:
+                parts.append(f"pursuant to Regulation (EC) No {num}"
+                             f"/{year} it follows.")
+                citations.append({"frag": frag, "kind": "eu",
+                                  "act": "reg", "year": year, "num": num,
+                                  "article": None, "sub": None})
+            else:
+                art, sub = rng.randint(1, 30), rng.randint(1, 9)
+                parts.append(f"under Article {art}({sub}) of Directive "
+                             f"{year}/{num}/EU this holds.")
+                citations.append({"frag": frag, "kind": "eu",
+                                  "act": "dir", "year": year, "num": num,
+                                  "article": art, "sub": sub})
         if rng.random() < 0.35:
             eidx = rng.randint(0, ent.N_ENTITIES - 1)
             noisy = rng.random() < 0.3

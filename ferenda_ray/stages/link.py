@@ -65,11 +65,59 @@ _CITE = re.compile(
     r"|\bRFC (?P<rfc>\d+)\b"
 )
 
+# EU-legislation grammar pack (reference ``citationpatterns.py:34-70``
+# ``eulaw``: Institution + LegalactType + (Directive | Regulation) and
+# ``artikel N.M i <act>`` — anglicized to the EUR-LEX English surface
+# forms). Same single-alternation priority trick: the
+# article-of-legalact branch consumes the whole phrase, so the bare
+# act branch never fires inside it.
+EULAW_NS = "https://example.org/eulaw/"
+
+_EU_DIRECTIVE = r"Directive (?P<{p}dy>\d{{4}})/(?P<{p}dn>\d+)/(?:EC|EEC|EU)"
+_EU_REGULATION = (r"Regulation \((?:EC|EEC|EU)\) "
+                  r"No (?P<{p}rn>\d+)/(?P<{p}ry>\d{{2,4}})")
+
+
+def _eu_act(prefix: str) -> str:
+    return (f"(?:{_EU_DIRECTIVE.format(p=prefix)}"
+            f"|{_EU_REGULATION.format(p=prefix)})")
+
+
+_EU_CITE = re.compile(
+    r"\bArticle (?P<art>\d+)(?:\((?P<sub>\d+)\))? of "
+    + _eu_act("a") + r"\b"
+    + r"|\b" + _eu_act("") + r"\b")
+
+
+def format_eulaw_uri(act: str, year: str, num: str,
+                     article: str | None = None,
+                     sub: str | None = None) -> str:
+    """Canonical EU-legislation URI (reference URIFormatter slot for
+    the eulaw grammar): ``eulaw/dir/{year}/{num}`` /
+    ``eulaw/reg/{year}/{num}`` with ``#A{article}[.{sub}]``
+    fragments."""
+    uri = f"{EULAW_NS}{act}/{int(year)}/{int(num)}"
+    if article:
+        frag = f"#A{int(article)}"
+        if sub:
+            frag += f".{int(sub)}"
+        return uri + frag
+    return uri
+
+
+def _eu_uri_from_match(m: re.Match, prefix: str,
+                       article: str | None, sub: str | None) -> str:
+    dy, dn = m.group(f"{prefix}dy"), m.group(f"{prefix}dn")
+    if dy is not None:
+        return format_eulaw_uri("dir", dy, dn, article, sub)
+    rn, ry = m.group(f"{prefix}rn"), m.group(f"{prefix}ry")
+    return format_eulaw_uri("reg", ry, rn, article, sub)
+
 
 def _citation_matches(text: str):
-    """Grammar-priority citation matching → three span groups
+    """Grammar-priority citation matching → span groups
     ((start, end, uri) each): section-of-RFC, bare RFC not covered by
-    the former, URLs."""
+    the former, article-of-EU-act, bare EU act, URLs."""
     sec, rfc, urls = [], [], []
     for m in _CITE.finditer(text):
         if m.lastgroup == "s_rfc":
@@ -79,17 +127,26 @@ def _citation_matches(text: str):
         else:
             rfc.append((m.start(), m.end(),
                         format_rfc_uri(m.group("rfc"))))
+    eu_art, eu_act = [], []
+    for m in _EU_CITE.finditer(text):
+        if m.group("art") is not None:
+            eu_art.append((m.start(), m.end(),
+                           _eu_uri_from_match(m, "a", m.group("art"),
+                                              m.group("sub"))))
+        else:
+            eu_act.append((m.start(), m.end(),
+                           _eu_uri_from_match(m, "", None, None)))
     for m in _URL.finditer(text):
         u = m.group(0).rstrip(_TRAIL_PUNCT)
         urls.append((m.start(), m.start() + len(u), u))
-    return sec, rfc, urls
+    return sec, rfc, eu_art, eu_act, urls
 
 
 def scan_citations(text: str) -> list[str]:
     """All citation target URIs in a text span, in grammar-priority
     match order."""
-    sec, rfc, urls = _citation_matches(text)
-    return [uri for group in (sec, rfc, urls) for _, _, uri in group]
+    groups = _citation_matches(text)
+    return [uri for group in groups for _, _, uri in group]
 
 
 def scan_citation_spans(text: str) -> list[tuple[int, int, str]]:
@@ -97,9 +154,8 @@ def scan_citation_spans(text: str) -> list[tuple[int, int, str]]:
     in-tree ``LinkSubject`` annotation (reference
     ``citationparser.py:120-145`` inserts LinkSubject nodes in place of
     matched text)."""
-    sec, rfc, urls = _citation_matches(text)
     spans: list[tuple[int, int, str]] = []
-    for group in (sec, rfc, urls):
+    for group in _citation_matches(text):
         for s, e, uri in group:
             if not any(a < e and s < b for a, b, _ in spans):
                 spans.append((s, e, uri))

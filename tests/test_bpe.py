@@ -67,3 +67,56 @@ def test_bpe_token_counts_oracle(ray_session):
     # merges only ever shrink the sequence
     assert (mine.n_bpe_tokens <= mine.n_char_tokens).all()
     assert mine.n_bpe_tokens.sum() < mine.n_char_tokens.sum()
+
+
+def test_bpe_incremental_equals_rounds(ray_session):
+    """The incremental-delta trainer (actor shards, pair-count deltas)
+    produces the IDENTICAL merge table to the one-Dataset-pass-per-round
+    reference implementation."""
+    from ferenda_ray.ops.bpe import bpe_train, bpe_train_rounds
+
+    fast = bpe_train(SF, num_merges=24)
+    ref = bpe_train_rounds(SF, num_merges=24)
+    pd.testing.assert_frame_equal(fast, ref)
+
+
+def test_bpe_realistic_merge_count(ray_session, tmp_path):
+    """256 merges complete in seconds (the round-3 per-merge Dataset
+    loop took ~1 s PER MERGE), requesting more merges than the corpus
+    has pairs stops gracefully at exhaustion, and a long run is
+    prefix-consistent with a short one (greedy BPE is prefix-stable)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.bpe import bpe_train
+
+    # the tiny sf0.001 vocab exhausts below 256 pairs; build a corpus
+    # rich enough for 256 genuine merges (varied word shapes)
+    words = []
+    for i in range(4000):
+        w = ""
+        v = i * 2654435761 % (1 << 32)
+        for _ in range(3 + i % 9):
+            w += "abcdefghijklmnopqrstuvwxyz"[v % 26]
+            v = (v * 1103515245 + 12345) % (1 << 31)
+        words.extend([w] * (1 + i % 7))
+    tab = pa.table({"text": pa.array(
+        [" ".join(words[k::40]) for k in range(40)], pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    t0 = time.monotonic()
+    got = bpe_train(str(tmp_path), num_merges=256)
+    dt = time.monotonic() - t0
+    assert len(got) == 256
+    assert dt < 30, f"256 merges took {dt:.1f}s"
+    small = bpe_train(str(tmp_path), num_merges=8)
+    pd.testing.assert_frame_equal(got.iloc[:8].reset_index(drop=True),
+                                  small)
+    assert (got.n >= 1).all()
+
+    # exhaustion: the sf0.001 corpus runs out of pairs — the trainer
+    # stops cleanly instead of looping or crashing
+    ex = bpe_train(SF, num_merges=100000)
+    assert 0 < len(ex) < 100000

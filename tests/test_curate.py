@@ -47,7 +47,9 @@ def test_curation_pipeline_invariants(ray_session, con):
 
 def test_curation_dedup_and_gate_compose(ray_session, tmp_path):
     """A duplicated high-quality doc contributes once; a digit-soup doc
-    is gated out entirely."""
+    is gated out entirely (PII redaction runs first, so the digits must
+    not look like one long phone number); eval-slice docs (doc_id %
+    20 == 0) never reach the corpus."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -55,14 +57,66 @@ def test_curation_dedup_and_gate_compose(ray_session, tmp_path):
 
     prose = ("It is the case that the data for it is in the file and "
              "that it is a good day for the team to review it as planned.")
-    junk = "0192 3847 5656 1029 3847 5757 0192 8383 4747 5656 1029 0101"
+    junk = "019x 384x 565x 102x 384x 575x 019x 838x 474x 565x 102x 010x"
     tab = pa.table({
-        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "doc_id": pa.array([20, 1, 2], pa.int64()),
         "source": pa.array(["s0", "s0", "s0"], pa.string()),
-        "text": pa.array([prose, prose, junk], pa.string()),
+        "text": pa.array(["held-out benchmark prose only", prose, junk],
+                         pa.string()),
     })
     pq.write_table(tab, str(tmp_path / "documents.parquet"))
     got = curation_pipeline(str(tmp_path)).to_pandas()
     import re
     n_prose = len(re.findall(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]", prose))
-    assert int(got.n_tokens.sum()) == n_prose  # one copy, junk dropped
+    # prose kept once; junk gated; the eval doc (id 20) excluded
+    assert int(got.n_tokens.sum()) == n_prose
+
+
+def test_curation_decontaminates(ray_session, tmp_path):
+    """A corpus doc quoting a 5-gram of the eval slice is dropped; an
+    equally prose-like doc with no overlap survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.curate import curation_pipeline
+
+    bench = ("the quick brown fox jumps over a lazy dog while the sun "
+             "is high and the day is long for all of the team")
+    leak = ("it is known that the quick brown fox jumps over all and "
+            "that it is a fine day for the group to rest as planned")
+    clean = ("it is the case that the data for it is in the file and "
+             "that it is a good day for the team to review it as planned")
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),  # 0 = eval slice
+        "source": pa.array(["s0", "s0", "s0"], pa.string()),
+        "text": pa.array([bench, leak, clean], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = curation_pipeline(str(tmp_path)).to_pandas()
+    import re
+    n_clean = len(re.findall(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]",
+                             clean))
+    assert int(got.n_tokens.sum()) == n_clean  # leak dropped, clean kept
+
+
+def test_curation_pii_redacted_features(ray_session, tmp_path):
+    """PII runs before everything: a doc whose only distinguishing
+    content is an email dedups against its redacted twin (same clean
+    text → one survivor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.curate import curation_pipeline
+
+    a = ("write to alice@example.com for all of the details that the "
+         "team needs and it is a good day for it to happen as planned")
+    b = ("write to bob.smith@other.org for all of the details that the "
+         "team needs and it is a good day for it to happen as planned")
+    tab = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "source": pa.array(["s0", "s0"], pa.string()),
+        "text": pa.array([a, b], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = curation_pipeline(str(tmp_path)).to_pandas()
+    assert int(got.n_docs.sum()) == 1  # redacted twins collapse

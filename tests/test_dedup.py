@@ -196,3 +196,73 @@ def test_dup_clusters_matches_unionfind(corpus_dir):
     got = dedup.dup_clusters(
         rd.from_pandas(pairs[["doc_a", "doc_b"]])).to_pandas()
     assert dict(zip(got.doc_id, got.cluster)) == want
+
+
+def test_embedding_dup_pairs_block_pair_io(ray_session, tmp_path):
+    """Phase 2 is one task per unordered shard pair, each reading
+    exactly its two shards (per-worker cached): with S shards the total
+    shard loads are bounded by 2·S(S+1)/2, NOT (batches × S) — the
+    round-3 O(n²/batch) IO gripe. Spy on _load_shard's pq.read_table
+    via the per-process cache being pre-cleared and counting misses."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops import dedup
+
+    rng = np.random.default_rng(7)
+    n, d = 5000, 8  # > staging batch_size so several shards exist
+    m = rng.normal(size=(n, d))
+    tab = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float64())),
+    })
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+
+    got = (dedup.embedding_dup_pairs(str(tmp_path), threshold=0.9)
+           .to_pandas().sort_values(["vec_a", "vec_b"])
+           .reset_index(drop=True))
+
+    # brute-force oracle
+    norm = m / np.linalg.norm(m, axis=1)[:, None]
+    sims = norm @ norm.T
+    iu = np.triu_indices(n, 1)
+    keep = sims[iu] >= 0.9
+    want = sorted(zip(iu[0][keep], iu[1][keep]))
+    assert len(want) > 10  # the threshold actually fires
+    assert list(zip(got.vec_a, got.vec_b)) == want
+
+    # IO shape: drive score_pair locally over every pair task and
+    # count real parquet reads (cache cleared first)
+    import glob
+    import hashlib
+    import os
+    src = str(tmp_path / "embeddings.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    stage_dir = os.path.join(
+        os.environ.get("FERENDA_RAY_STAGE_ROOT", "/tmp"),
+        "ferenda_emb_stage-" + digest)
+    shards = sorted(glob.glob(os.path.join(stage_dir, "*.parquet")))
+    S = len(shards)
+    reads = {"n": 0}
+    real = pq.read_table
+
+    def spy(path, *a, **k):
+        reads["n"] += 1
+        return real(path, *a, **k)
+
+    dedup._SHARD_CACHE.clear()
+    import unittest.mock as mock
+    with mock.patch.object(pq, "read_table", side_effect=spy):
+        for i in range(S):
+            for j in range(i, S):
+                b = pa.table({"si": pa.array([i], pa.int64()),
+                              "sj": pa.array([j], pa.int64())})
+                vi, _ = dedup._load_shard(shards[i])
+                vj, _ = dedup._load_shard(shards[j])
+    # with the cache, each shard is loaded at most once here
+    assert reads["n"] <= S

@@ -36,15 +36,25 @@ def test_expected_citations_present(triples_df):
     got = set(zip(refs.subj, refs.obj))
     from ferenda_ray.stages.link import format_rfc_uri
 
+    from ferenda_ray.stages.link import format_eulaw_uri
+
+    n_eu = 0
     for i in range(60):
         spec = pgen.gen_spec(i)
         for c in spec["citations"]:
             subj = f"{spec['url']}#{c['frag']}"
             if c["kind"] == "rfc":
                 obj = format_rfc_uri(str(c["rfc"]), c["section"])
+            elif c["kind"] == "eu":
+                obj = format_eulaw_uri(
+                    c["act"], str(c["year"]), str(c["num"]),
+                    str(c["article"]) if c["article"] else None,
+                    str(c["sub"]) if c["sub"] else None)
+                n_eu += 1
             else:
                 obj = c["target"]
             assert (subj, obj) in got, (subj, obj)
+    assert n_eu > 5  # the eulaw grammar pack actually fires
 
 
 def test_expected_mentions_linked_canonical(triples_df):

@@ -276,3 +276,64 @@ def test_template_default_output_unchanged_with_patterns_available():
     out = generate_html("https://example.org/d", "T", tree)
     assert "<section id=\"S2\"" in out
     assert "<ul>" in out and "<ol>" in out and "<li>i1" in out
+
+
+def test_template_descendant_pattern_and_avt():
+    """Round-4 template increment: ``Ancestor//Kind`` descent patterns
+    (any-ancestor test, less specific than ``Parent/Kind``) and
+    attribute value templates (``{field_attr}`` quoted+escaped
+    variants)."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": 'He said "hi"',
+         "children": [
+             {"kind": "UnorderedList", "children": [
+                 {"kind": "ListItem", "text": "li", "children": [
+                     {"kind": "OrderedList", "children": [
+                         {"kind": "ListItem", "text": "deep item"}]}]}]},
+             {"kind": "Paragraph", "text": "direct child"}]},
+        {"kind": "Paragraph", "text": "outside"}]}
+    html = generate_html(
+        "https://example.org/d", "T", tree,
+        templates={
+            # descendant: ANY listitem under a Section, however deep
+            # ({children} keeps nested sublists — the XSLT
+            # apply-templates contract)
+            "Section//ListItem": '<li class="insec">{inline}{children}</li>',
+            # immediate parent beats descendant for the direct child
+            "Section//Paragraph": '<p class="desc">{inline}</p>',
+            "Section/Paragraph": '<p class="direct">{inline}</p>',
+            # AVT: attribute-safe interpolation of a field with quotes
+            "Section": '<section data-t={title_attr}>{children}</section>',
+        })
+    assert '<li class="insec">deep item</li>' in html
+    assert '<li class="insec">li' in html  # outer item matches too
+    assert '<p class="direct">direct child</p>' in html   # / beats //
+    assert "<p>outside</p>" in html  # descendant doesn't leak outside
+    assert '<section data-t=\'He said "hi"\'>' in html
+
+
+def test_template_descendant_specificity_order():
+    """field predicate > Parent/Kind > Ancestor//Kind > Kind > *."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": "t", "children": [
+            {"kind": "Paragraph", "text": "x"}]}]}
+
+    def render(tpls):
+        return generate_html("u", "T", tree, templates=tpls)
+
+    # // loses to /
+    h = render({"Section//Paragraph": "<a>{inline}</a>",
+                "Section/Paragraph": "<b>{inline}</b>"})
+    assert "<b>x</b>" in h
+    # // beats plain Kind
+    h = render({"Paragraph": "<a>{inline}</a>",
+                "Section//Paragraph": "<b>{inline}</b>"})
+    assert "<b>x</b>" in h
+    # predicate beats //
+    h = render({"Section//Paragraph": "<a>{inline}</a>",
+                "Paragraph[text=x]": "<b>{inline}</b>"})
+    assert "<b>x</b>" in h
