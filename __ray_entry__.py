@@ -522,7 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_frames": media_frames,
         "ann_ivf_topk": ann.ivf_topk,
-        "knn_classify": ann.knn_classify,
+        # r4 rotation: embedding_dup_pairs re-entered the window (its
+        # phase 2 became block-pair tasks this round); knn_classify
+        # (r3-green, ann.py untouched in r4) rotated out past the edge
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "kmeans_clusters": ann.kmeans,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
@@ -562,7 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
-        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "knn_classify": ann.knn_classify,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,

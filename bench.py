@@ -42,6 +42,11 @@ if os.path.isdir("/dev/shm"):
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Best-of-N per query/headline (VERDICT r3 #1: separate host noise from
+# regressions). 2 keeps one bench invocation within the driver's budget
+# while still discarding one-off stalls; the scaling mode forces 1 so a
+# pair stays one-run-vs-one-run.
+REPS = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
 
 N_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 200000}
 METRIC = ("triples/sec end-to-end (extract→link→canonicalize→materialize) "
@@ -65,6 +70,23 @@ def corpus_path(n_pages: int) -> str:
     return path
 
 
+def probe_pages_per_sec() -> float:
+    """Single-process fused-stage probe (BASELINE §6): the host-speed
+    anchor recorded ALONGSIDE every bench so cross-session drift is
+    separable from code regressions — the shared VM swings ±30%
+    between sessions and ±2-4x per query within one (BASELINE §8).
+    Threads are pinned by the env set at module import, so this is one
+    core's throughput."""
+    from ferenda_ray.pipelines.kg import pages_to_triples_batch
+    from ferenda_ray.sources.pages import corpus_table
+
+    tab = corpus_table(2000)
+    pages_to_triples_batch(tab.slice(0, 64))  # warm per-process state
+    t0 = time.perf_counter()
+    pages_to_triples_batch(tab)
+    return round(2000 / (time.perf_counter() - t0), 1)
+
+
 def run_kg(n_pages: int) -> dict:
     from ferenda_ray.pipelines.kg import build_triples_ds, run_kg_pipeline
 
@@ -82,19 +104,22 @@ def run_kg(n_pages: int) -> dict:
     out_root = ("/dev/shm/ferenda_ray_bench" if os.path.isdir("/dev/shm")
                 else "/tmp/ferenda_ray_bench")
     out_dir = f"{out_root}/out_{n_pages}_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    manifest = run_kg_pipeline(
-        pages, out_dir,
-        num_buckets=64,
-        batch_size=128,
-        resume=False,
-    )
-    wall = time.perf_counter() - t0
-    triples = int(manifest.n_triples.sum())
+    best, triples = None, 0
+    for _ in range(REPS):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = run_kg_pipeline(
+            pages, out_dir,
+            num_buckets=64,
+            batch_size=128,
+            resume=False,
+        )
+        wall = time.perf_counter() - t0
+        triples = int(manifest.n_triples.sum())
+        best = wall if best is None else min(best, wall)
     shutil.rmtree(out_dir, ignore_errors=True)  # don't fill tmpfs
-    return {"sec": round(wall, 3), "triples": triples,
-            "triples_per_sec": round(triples / wall, 1), "pages": n_pages}
+    return {"sec": round(best, 3), "triples": triples,
+            "triples_per_sec": round(triples / best, 1), "pages": n_pages}
 
 
 def run_queries() -> dict[str, float]:
@@ -121,16 +146,20 @@ def run_queries() -> dict[str, float]:
         ("lm_cross_entropy", text.lm_cross_entropy),
         ("hopping_window_stats", win.hopping_window_stats),
     ]:
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume (count) to force full execution without materializing
-        import pandas as pd
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume (count) to force execution without materializing
+            import pandas as pd
 
-        if isinstance(res, pd.DataFrame):
-            _ = len(res)
-        else:
-            _ = res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+            if isinstance(res, pd.DataFrame):
+                _ = len(res)
+            else:
+                _ = res.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -144,6 +173,7 @@ def bench_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     try:
+        probe = probe_pages_per_sec()
         n_pages = N_PAGES.get(sf_name(), 20000)
         kg = run_kg(n_pages)
         queries = run_queries()
@@ -158,6 +188,8 @@ def bench_once() -> dict:
             "pages": kg["pages"],
             "triples_out": kg["triples"],
             "triples_per_sec": kg["triples_per_sec"],
+            "reps": REPS,
+            "probe_pages_per_sec": probe,
         }
     finally:
         import ray
@@ -177,7 +209,8 @@ def bench_scaling() -> dict:
                   os.environ.get("GRAFT_SCALING_PAIR", "2,8").split(","))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=SF_DIR, GRAFT_BENCH_REPS="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
@@ -196,6 +229,10 @@ def bench_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": sf_name(),
         "pages": lo["pages"],
+        # host-speed anchors of the two legs (drift within the pair
+        # shows up as a probe delta, not a phantom efficiency change)
+        f"probe_{n_lo}": lo.get("probe_pages_per_sec"),
+        f"probe_{n_hi}": hi.get("probe_pages_per_sec"),
     }
 
 

@@ -68,6 +68,36 @@ def title_sortkey(s: str) -> str:
     return s.replace(" ", "")
 
 
+def collate_sortkey(s: str, locale_name: str = "sv_SE") -> bytes:
+    """TRUE locale-collated sort key (reference
+    ``documentrepository.py:2843-2851`` ``locale.strxfrm``): ICU when
+    available, else ``locale.strxfrm`` under the requested locale, else
+    the :func:`title_sortkey` approximation encoded as bytes. This
+    container ships neither PyICU nor non-C locales, so the fallback is
+    what runs here; on a cluster image with PyICU the key column
+    becomes exactly the reference's collation. The byte key is what a
+    distributed sort needs — collation happens once per row at key
+    EXTRACTION, never inside the comparator."""
+    try:  # PyICU — the reference-exact path
+        import icu
+
+        return icu.Collator.createInstance(
+            icu.Locale(locale_name)).getSortKey(s)
+    except Exception:
+        pass
+    try:  # POSIX locale collation
+        import locale as _loc
+
+        old = _loc.setlocale(_loc.LC_COLLATE)
+        try:
+            _loc.setlocale(_loc.LC_COLLATE, f"{locale_name}.UTF-8")
+            return _loc.strxfrm(s).encode("utf-8", "surrogatepass")
+        finally:
+            _loc.setlocale(_loc.LC_COLLATE, old)
+    except Exception:
+        return title_sortkey(s).encode("utf-8", "surrogatepass")
+
+
 _ROMAN_VALUES = [
     (1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
     (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),

@@ -55,3 +55,31 @@ def test_hash64_stable():
     assert util.hash64("abc") == util.hash64("abc")
     assert util.hash64("abc") != util.hash64("abd")
     assert 0 <= util.stable_uint("xyz", 64) < 64
+
+
+def test_collate_sortkey_fallback_chain():
+    """ICU and sv_SE locale are absent in this container, so the key
+    falls back to the title_sortkey bytes — and stays a usable, stable
+    sort key either way."""
+    from ferenda_ray.util import collate_sortkey, title_sortkey
+
+    ks = [collate_sortkey(s) for s in ["The Zebra", "apple", "Äpple"]]
+    assert all(isinstance(k, bytes) for k in ks)
+    assert collate_sortkey("apple") == collate_sortkey("apple")
+    # fallback equals the approximation's bytes in this environment
+    try:
+        import icu  # noqa: F401
+        has_icu = True
+    except ImportError:
+        has_icu = False
+    if not has_icu:
+        import locale as _loc
+        try:
+            _loc.setlocale(_loc.LC_COLLATE, "sv_SE.UTF-8")
+            has_locale = True
+            _loc.setlocale(_loc.LC_COLLATE, "C")
+        except Exception:
+            has_locale = False
+        if not has_locale:
+            assert collate_sortkey("The Zebra") == \
+                title_sortkey("The Zebra").encode()
