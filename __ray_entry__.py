@@ -261,6 +261,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (_kg_triples_cached(_n_pages(sf_dir))
                 .map_batches(doc_level, batch_format="pyarrow"))
 
+    def kg_eulaw_refs(sf_dir: str):
+        """Per-target citation counts of the EU-legislation grammar
+        pack (round-4 ``stages/link.py`` eulaw analog), checked against
+        a DuckDB recompute DIRECTLY from the raw pages parquet
+        (``kg_oracles._eulaw_refs_sql`` — extraction semantics, not
+        self-consistency)."""
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count
+
+        from ferenda_ray.stages.link import EULAW_NS
+
+        def eu_only(b):
+            return b.filter(pc.starts_with(b.column("obj"), EULAW_NS))
+
+        return (_kg_triples_cached(_n_pages(sf_dir))
+                .map_batches(eu_only, batch_format="pyarrow")
+                .groupby("obj").aggregate(Count(alias_name="n_refs")))
+
     def kg_facets(sf_dir: str):
         from ferenda_ray.ops.facets import faceted_data
 
@@ -518,15 +536,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_page_near_dups": kg_page_near_dups,
         "kg_composite_stats": kg_composite_stats,
         "kg_meta_triples": kg_meta_triples,
+        "kg_eulaw_refs": kg_eulaw_refs,  # new in r4 (EU grammar pack)
         # ---- multimodal + similarity-search scale paths ----
+        # (media_frames/ann_ivf_topk/kmeans_clusters rotated out in r4
+        # — all r3-green with their files untouched — making window
+        # room for the new kg_eulaw_refs / dsir_scores /
+        # dedup_keep_best entries)
         "media_features": media_features,
-        "media_frames": media_frames,
-        "ann_ivf_topk": ann.ivf_topk,
         # r4 rotation: embedding_dup_pairs re-entered the window (its
         # phase 2 became block-pair tasks this round); knn_classify
         # (r3-green, ann.py untouched in r4) rotated out past the edge
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "kmeans_clusters": ann.kmeans,
+        # ---- new r4 operators (must record fresh driver evidence) ----
+        "dsir_scores": text.dsir_scores,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
         # in rounds 1-2), ahead of the stable r1/r2-green families ----
@@ -566,6 +589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": lambda sf: dedup.dup_clusters(
             dedup.minhash_dedup_pairs(sf)),
         "knn_classify": ann.knn_classify,
+        "media_frames": media_frames,
+        "ann_ivf_topk": ann.ivf_topk,
+        "kmeans_clusters": ann.kmeans,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -744,6 +770,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": decontam.REDACT_PII_SQL,
         "minhash_dedup_pairs": dedup.MINHASH_PAIRS_SQL,
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
+        "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
+        "dsir_scores": text.DSIR_SCORES_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "lang_id": text.LANG_ID_SQL,

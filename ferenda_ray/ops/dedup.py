@@ -962,3 +962,113 @@ FROM pair p JOIN size sa ON sa.doc_id = p.doc_a
             JOIN size sb ON sb.doc_id = p.doc_b
 WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {threshold}
 """
+
+
+def dedup_keep_best(sf_dir: str, num_buckets: int = 16):
+    """Near-dup cluster resolution with QUALITY-based representative
+    selection — the production dedup policy (keep the best-scoring
+    member of each duplicate cluster, not an arbitrary first): MinHash
+    pairs → connected components (:func:`dup_clusters`) → per-cluster
+    argmax of the shared quality classifier score (ties → min doc_id;
+    exact duplicates have identical text hence identical scores, so
+    the tie-break is what decides them, deterministically).
+
+    Shape: two coarse bucketed exchanges — a doc_id-bucket cogroup
+    attaches each cluster member's score, a cluster-bucket pass takes
+    the vectorized per-cluster argmax + member count. Returns
+    (cluster, kept_doc_id, n_members)."""
+    from ferenda_ray.ops.text import quality_classifier
+    from ferenda_ray.util import bucket_ints
+
+    clusters = dup_clusters(minhash_dedup_pairs(sf_dir),
+                            num_buckets=num_buckets)
+    scores = quality_classifier(sf_dir)
+
+    def clu_side(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "cluster": b.column("cluster"),
+            "q": pa.nulls(b.num_rows, pa.float64()),
+            "bucket": pa.array(bucket_ints(d, num_buckets)),
+        })
+
+    def sc_side(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "cluster": pa.nulls(b.num_rows, pa.int64()),
+            "q": b.column("quality_score"),
+            "bucket": pa.array(bucket_ints(d, num_buckets)),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["cluster"].isna()].set_index("doc_id")["q"]
+        cl = g[g["cluster"].notna()]
+        out = pd.DataFrame({
+            "doc_id": cl["doc_id"].to_numpy(),
+            "cluster": pd.Series(cl["cluster"].values).astype("int64"),
+            "q": pd.Series(lut.reindex(cl["doc_id"]).values)
+            .astype("float64"),
+        })
+        return out.astype({"doc_id": "int64"})
+
+    withq = (clusters.map_batches(clu_side, batch_format="pyarrow")
+             .union(scores.map_batches(sc_side, batch_format="pyarrow"))
+             .groupby("bucket").map_groups(attach,
+                                           batch_format="pandas"))
+
+    def clu_bucket(b: pa.Table) -> pa.Table:
+        c = b.column("cluster").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cb", pa.array(bucket_ints(c, num_buckets)))
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "q", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        sizes = g.groupby("cluster", sort=True).size()
+        win = g.drop_duplicates("cluster", keep="first")
+        out = pd.DataFrame({
+            "cluster": win["cluster"].to_numpy(),
+            "kept_doc_id": win["doc_id"].to_numpy(),
+            "n_members": sizes.reindex(win["cluster"]).to_numpy(),
+        })
+        return out.astype({"cluster": "int64", "kept_doc_id": "int64",
+                           "n_members": "int64"})
+
+    return (withq.map_batches(clu_bucket, batch_format="pyarrow")
+            .groupby("cb").map_groups(best, batch_format="pandas"))
+
+
+def _dedup_keep_best_sql() -> str:
+    from ferenda_ray.ops.text import (QUALITY_SCORE_SQL,
+                                      quality_features_sql)
+
+    return f"""
+WITH RECURSIVE base AS ({MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM base
+    UNION SELECT doc_b, doc_a FROM base
+),
+reach(node, peer) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+),
+cl AS (SELECT node AS doc_id, min(peer) AS cluster
+       FROM reach GROUP BY node),
+f AS ({quality_features_sql("doc_id")}),
+s AS (SELECT doc_id, {QUALITY_SCORE_SQL} AS q FROM f)
+SELECT cluster, doc_id AS kept_doc_id,
+       CAST(cnt AS BIGINT) AS n_members
+FROM (SELECT cl.cluster, cl.doc_id,
+             count(*) OVER (PARTITION BY cl.cluster) AS cnt,
+             row_number() OVER (PARTITION BY cl.cluster
+                                ORDER BY s.q DESC, cl.doc_id) AS rn
+      FROM cl JOIN s USING (doc_id))
+WHERE rn = 1
+"""
+
+
+DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()

@@ -1516,3 +1516,152 @@ WITH tok AS (
 SELECT doc_id, ln((SELECT N FROM tot)) - s / n AS cross_entropy
 FROM per
 """
+
+
+# -- DSIR importance scoring (data selection for language models) ----------
+
+DSIR_TARGET = "src0"  # the target-domain source slice
+
+
+def dsir_scores(sf_dir: str, target_source: str = DSIR_TARGET):
+    """Per-doc DSIR importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): for every
+    NON-target doc, ``w(doc) = Σ_t n_t · (ln p̂_target(t) − ln
+    p̂_raw(t))`` under add-one-smoothed unigram LMs of the target slice
+    (``source == target_source``) vs the rest of the corpus. Positive
+    weight = more target-like than raw-like; a trainer resamples
+    top-weighted docs (the sampling step is ``ops/sample.py``'s job —
+    this operator is the distributed scorer).
+
+    Distributed shape = the :func:`lm_cross_entropy` token-bucket
+    cogroup: per-batch (doc, t, n, is_target) partials, ONE
+    hash(t)-bucket exchange where each bucket task sees every token's
+    global target and raw counts and immediately folds them into
+    per-doc partial sums, a bucketed doc-sum, then a scalar finish
+    (the smoothing denominators ln(N+V) are per-doc multiples of
+    n_doc, so V — the global distinct-token count — and the two N's
+    stay driver scalars; no vocabulary ever concentrates)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    num_buckets = 32
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        g = (df.select("doc_id",
+                       (pl.col("source") == target_source)
+                       .alias("is_target"),
+                       pl.col("text").str.to_lowercase()
+                       .str.extract_all(r"[a-z]+").alias("t"))
+             .explode("t").drop_nulls("t")
+             .group_by("doc_id", "is_target", "t").len()
+             .rename({"len": "n"})
+             .with_columns(pl.col("n").cast(pl.Int64)))
+        g = g.with_columns(
+            (pl.col("t").hash(42) % num_buckets)
+            .cast(pl.Int32).alias("bucket"))
+        return g.to_arrow()
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def tot(is_t: bool) -> int:
+        import pyarrow.compute as pc
+
+        flt = grouped.map_batches(
+            lambda b, v=is_t: b.filter(pc.equal(b.column("is_target"),
+                                                v)),
+            batch_format="pyarrow")
+        got = flt.aggregate(Sum("n"))["sum(n)"]
+        return int(got or 0)
+
+    n_tgt, n_raw = tot(True), tot(False)
+
+    def vocab_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": pd.Series([g["t"].nunique()],
+                                            dtype="int64")})
+
+    v_total = int(grouped.groupby("bucket")
+                  .map_groups(vocab_bucket, batch_format="pandas")
+                  .aggregate(Sum("v"))["sum(v)"] or 0)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c_tgt = (g["n"].where(g["is_target"], 0)
+                 .groupby(g["t"]).transform("sum").to_numpy())
+        c_raw = (g["n"].where(~g["is_target"], 0)
+                 .groupby(g["t"]).transform("sum").to_numpy())
+        raw = ~g["is_target"].to_numpy()
+        n = g["n"].to_numpy()[raw]
+        part = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[raw],
+            "s": n * (np.log(c_tgt[raw] + 1.0)
+                      - np.log(c_raw[raw] + 1.0)),
+            "n": n,
+        })
+        out = (part.groupby("doc_id", as_index=False)
+               .agg(s=("s", "sum"), n=("n", "sum")))
+        return out.astype({"doc_id": "int64", "s": "float64",
+                           "n": "int64"})
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "db", pa.array(d % num_buckets, pa.int32()))
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(s=("s", "sum"), n=("n", "sum")))
+        return out.astype({"doc_id": "int64", "s": "float64",
+                           "n": "int64"})
+
+    per_doc = (grouped.groupby("bucket")
+               .map_groups(score_bucket, batch_format="pandas")
+               .map_batches(doc_bucket, batch_format="pyarrow")
+               .groupby("db")
+               .map_groups(doc_sum, batch_format="pandas"))
+
+    # constant smoothing term: n_doc · (ln(N_raw + V) − ln(N_tgt + V))
+    const = float(np.log(n_raw + v_total) - np.log(n_tgt + v_total))
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.add(b.column("s"),
+                   pc.multiply(pc.cast(b.column("n"), pa.float64()),
+                               pa.scalar(const)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "dsir_weight": w})
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
+DSIR_SCORES_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source = '{DSIR_TARGET}' AS is_target,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+    FROM documents
+), grouped AS (
+    SELECT doc_id, is_target, t, count(*) AS n
+    FROM tok GROUP BY doc_id, is_target, t
+), cnt AS (
+    SELECT t,
+           CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT)
+               AS c_tgt,
+           CAST(sum(CASE WHEN is_target THEN 0 ELSE n END) AS BIGINT)
+               AS c_raw
+    FROM grouped GROUP BY t
+), scal AS (
+    SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+           CAST(sum(c_raw) AS BIGINT) AS n_raw,
+           CAST(count(*) AS BIGINT) AS v
+    FROM cnt
+)
+SELECT g.doc_id,
+       sum(g.n * (ln(cnt.c_tgt + 1.0) - ln(cnt.c_raw + 1.0)))
+       + CAST(sum(g.n) AS BIGINT)
+         * (ln((SELECT n_raw + v FROM scal))
+            - ln((SELECT n_tgt + v FROM scal))) AS dsir_weight
+FROM grouped g JOIN cnt USING (t)
+WHERE NOT g.is_target
+GROUP BY g.doc_id
+"""

@@ -247,6 +247,70 @@ FROM docs"""
 META_PREDICATES = (S.RDF_TYPE, S.DCT_IDENTIFIER, S.PROV_WASGENERATEDBY,
                    S.DCT_TITLE, S.DCT_LANGUAGE, S.DCT_ISSUED)
 
+# EU-citation surface forms (stages/link.py _EU_CITE, RE2-safe)
+_EU_ART_PAT = (r"Article \d+(?:\(\d+\))? of "
+               r"(?:Directive \d{4}/\d+/(?:EC|EEC|EU)"
+               r"|Regulation \((?:EC|EEC|EU)\) No \d+/\d{2,4})")
+_EU_DIR_PAT = r"Directive \d{4}/\d+/(?:EC|EEC|EU)"
+_EU_REG_PAT = r"Regulation \((?:EC|EEC|EU)\) No \d+/\d{2,4}"
+
+
+def _eulaw_refs_sql(pages: str) -> str:
+    """Per-target citation counts of the EU-legislation grammar pack
+    recomputed in SQL DIRECTLY from the raw pages parquet (the
+    ``_meta_triples_sql`` pattern: semantics, not self-consistency) —
+    latest snapshot per url, grammar priority emulated by extracting
+    article-of-act matches first and DELETING their spans before the
+    bare-act scan (the single-alternation consume rule of
+    ``stages/link.py``), URIs rebuilt with the same int normalization
+    as ``format_eulaw_uri``."""
+    from ferenda_ray.stages.link import EULAW_NS as _EULAW_NS
+
+    dir_uri = (f"'{_EULAW_NS}dir/' || "
+               "CAST(regexp_extract(m, 'Directive (\\d{4})/', 1) "
+               "AS BIGINT) || '/' || "
+               "CAST(regexp_extract(m, 'Directive \\d{4}/(\\d+)/', 1) "
+               "AS BIGINT)")
+    reg_uri = (f"'{_EULAW_NS}reg/' || "
+               "CAST(regexp_extract(m, 'No \\d+/(\\d+)', 1) "
+               "AS BIGINT) || '/' || "
+               "CAST(regexp_extract(m, 'No (\\d+)/', 1) AS BIGINT)")
+    return f"""
+WITH latest AS (
+    SELECT url, max(warc_ts) AS ts
+    FROM read_parquet('{pages}') GROUP BY url
+), txt AS MATERIALIZED (
+    SELECT decode(p.html) AS h
+    FROM read_parquet('{pages}') p
+    JOIN latest l ON p.url = l.url AND p.warc_ts = l.ts
+), m_all AS (
+    SELECT unnest(regexp_extract_all(h, '{_EU_ART_PAT}')) AS m FROM txt
+    UNION ALL
+    SELECT unnest(regexp_extract_all(
+        regexp_replace(h, '{_EU_ART_PAT}', '', 'g'), '{_EU_DIR_PAT}'))
+    FROM txt
+    UNION ALL
+    SELECT unnest(regexp_extract_all(
+        regexp_replace(h, '{_EU_ART_PAT}', '', 'g'), '{_EU_REG_PAT}'))
+    FROM txt
+), uris AS (
+    SELECT (CASE WHEN m LIKE '%Directive%' THEN {dir_uri}
+                 ELSE {reg_uri} END)
+           || (CASE WHEN regexp_extract(m, 'Article (\\d+)', 1) <> ''
+                THEN '#A' || CAST(regexp_extract(m, 'Article (\\d+)', 1)
+                                  AS BIGINT)
+                     || (CASE WHEN regexp_extract(
+                                 m, 'Article \\d+\\((\\d+)\\)', 1) <> ''
+                          THEN '.' || CAST(regexp_extract(
+                                  m, 'Article \\d+\\((\\d+)\\)', 1)
+                                  AS BIGINT)
+                          ELSE '' END)
+                ELSE '' END) AS obj
+    FROM m_all
+)
+SELECT obj, CAST(count(*) AS BIGINT) AS n_refs
+FROM uris GROUP BY obj"""
+
 
 def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
     """``src_rev``: the entry module's source-content digest — cache
@@ -264,6 +328,8 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"SELECT subj, pred, obj, obj_is_uri, lang, datatype, url "
             f"FROM {tri}"),
         "kg_meta_triples": _meta_triples_sql(
+            f"/tmp/ferenda_ray_corpus/pages_{n_pages}{rev}.parquet"),
+        "kg_eulaw_refs": _eulaw_refs_sql(
             f"/tmp/ferenda_ray_corpus/pages_{n_pages}{rev}.parquet"),
         "kg_pagerank": _pagerank_sql(tri),
         "kg_hits": _hits_sql(tri),

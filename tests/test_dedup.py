@@ -266,3 +266,49 @@ def test_embedding_dup_pairs_block_pair_io(ray_session, tmp_path):
                 vj, _ = dedup._load_shard(shards[j])
     # with the cache, each shard is loaded at most once here
     assert reads["n"] <= S
+
+
+def test_dedup_keep_best_oracle(ray_session, con=None):
+    """Cluster-resolution policy equals the recursive-CTE + window-rank
+    SQL recompute at sf0.001."""
+    import duckdb
+
+    from ferenda_ray.ops.dedup import DEDUP_KEEP_BEST_SQL, dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * "
+              f"FROM read_parquet('{sf}/documents.parquet')")
+    mine = (dedup_keep_best(sf).to_pandas()
+            .sort_values("cluster").reset_index(drop=True))
+    want = (c.sql(DEDUP_KEEP_BEST_SQL).df()
+            .sort_values("cluster").reset_index(drop=True))
+    cols = ["cluster", "kept_doc_id", "n_members"]
+    pd.testing.assert_frame_equal(mine[cols].astype("int64"),
+                                  want[cols].astype("int64"))
+    assert (mine.n_members >= 2).all()  # clusters are real dup groups
+
+
+def test_dedup_keep_best_picks_quality(ray_session, tmp_path):
+    """Within a near-dup cluster the higher-quality member wins, and
+    exact twins resolve by min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.dedup import dedup_keep_best
+
+    base = ("it is the case that the data for the team is in the file "
+            "and it is a good day for all of us to review it as planned "
+            "with the notes that the group wrote for it last week")
+    degraded = base + " 111 222 333"  # stays above the LSH threshold
+    tab = pa.table({
+        "doc_id": pa.array([5, 6, 7], pa.int64()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "text": pa.array([degraded, base, base], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = dedup_keep_best(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    # base (docs 6, 7) beats the digit-degraded 5; twin tie -> min id
+    assert row.kept_doc_id == 6 and row.n_members == 3

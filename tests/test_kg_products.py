@@ -89,3 +89,29 @@ def test_materialize_table_generic_resume(small_pages, tmp_path):
     m2 = materialize_table(kg.build_sections_ds(small_pages), out,
                            key_cols=["about"], num_buckets=4)
     assert len(m2) == 0
+
+
+def test_eulaw_refs_sql_oracle(small_pages):
+    """EU-citation per-target counts: Ray triples filter+groupby equals
+    a DuckDB regex recompute DIRECTLY from the raw pages parquet
+    (grammar-priority emulated by span deletion)."""
+    import duckdb
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ferenda_ray.pipelines.kg import build_triples_ds
+    from ferenda_ray.pipelines.kg_oracles import _eulaw_refs_sql
+    from ferenda_ray.stages.link import EULAW_NS
+
+    def eu_only(b):
+        return b.filter(pc.starts_with(b.column("obj"), EULAW_NS))
+
+    mine = (build_triples_ds(small_pages)
+            .map_batches(eu_only, batch_format="pyarrow")
+            .groupby("obj").aggregate(Count(alias_name="n_refs"))
+            .to_pandas().sort_values("obj").reset_index(drop=True))
+    want = (duckdb.sql(_eulaw_refs_sql(small_pages)).df()
+            .sort_values("obj").reset_index(drop=True))
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(mine.astype({"n_refs": "int64"}),
+                                  want.astype({"n_refs": "int64"}))

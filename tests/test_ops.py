@@ -422,3 +422,33 @@ def test_pack_from_counts_empty(ray_session):
     got = pack_from_counts(empty)
     assert got.count() == 0
     assert sorted(got.schema().names) == ["n_docs", "n_tokens", "seq_id"]
+
+
+def test_dsir_scores_oracle(ray_session, con):
+    from ferenda_ray.ops.text import DSIR_SCORES_SQL, dsir_scores
+
+    _cmp(dsir_scores(SF), con, DSIR_SCORES_SQL)
+
+
+def test_dsir_scores_directionality(ray_session, tmp_path):
+    """A doc written in the target slice's vocabulary scores higher
+    than one written in the raw slice's vocabulary."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import dsir_scores
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "one two three four five six seven eight nine ten"
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["src0", "src1", "src1", "src1"], pa.string()),
+        "text": pa.array([tgt_text, raw_text, tgt_text, raw_text],
+                         pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (dsir_scores(str(tmp_path)).to_pandas()
+           .set_index("doc_id").dsir_weight)
+    assert set(got.index) == {1, 2, 3}  # target docs are not scored
+    assert got[2] > got[1] and got[2] > got[3]  # target-like wins
