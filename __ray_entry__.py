@@ -550,12 +550,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- new r4 operators (must record fresh driver evidence) ----
         "dsir_scores": text.dsir_scores,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "paragraph_dup_stats": dedup.paragraph_dup_stats,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
         # in rounds 1-2), ahead of the stable r1/r2-green families ----
         "fingerprint_rows": text.fingerprint_rows,
         "doc_pages": text.doc_pages,
-        "pdf_textboxes": pdf_textboxes,
+        # (pdf_textboxes rotated out in r4 — r3-green, stages/pdf.py
+        # untouched — making room for paragraph_dup_stats)
         "docx_blocks": docx_blocks,
         # ---- operators whose code changed this round stay inside the
         # 50-entry recording window for fresh driver evidence ----
@@ -592,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "ann_ivf_topk": ann.ivf_topk,
         "kmeans_clusters": ann.kmeans,
+        "pdf_textboxes": pdf_textboxes,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -772,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dsir_scores": text.DSIR_SCORES_SQL,
+        "paragraph_dup_stats": dedup.PARAGRAPH_DUP_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "lang_id": text.LANG_ID_SQL,

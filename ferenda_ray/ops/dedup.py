@@ -1072,3 +1072,83 @@ WHERE rn = 1
 
 
 DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
+
+
+def paragraph_dup_stats(sf_dir: str, num_buckets: int = 32):
+    """Paragraph-level duplication stats (the Dolma/RefinedWeb
+    paragraph-dedup signal): per doc, how many of its blank-line
+    paragraphs occur ≥2 times ANYWHERE in the corpus (including within
+    the doc itself). Feeds a trim-or-drop curation policy without
+    moving any text: paragraphs hash to (doc_id, sha) rows, ONE
+    sha-hash-bucket exchange counts each paragraph's corpus frequency
+    and immediately folds per-doc partials (a paragraph's rows all
+    land in its bucket), then the lm_cross_entropy-style doc-bucket
+    sum. Returns (doc_id, n_paragraphs, n_dup_paragraphs)."""
+    from ferenda_ray.util import bucket_ints
+
+    ds = _docs(sf_dir)
+
+    def par_rows(b: pa.Table) -> pa.Table:
+        ids, shas = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            for p in t.split("\n\n"):
+                p = p.strip()
+                if p:
+                    ids.append(d)
+                    shas.append(int.from_bytes(
+                        hashlib.sha1(p.encode()).digest()[:8], "little",
+                        signed=True))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "psha": pa.array(shas, pa.int64())})
+        k = t.column("psha").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(bucket_ints(k, num_buckets)))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("psha")["psha"].transform("size").to_numpy()
+        part = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_par": np.ones(len(g), np.int64),
+            "n_dup": (c >= 2).astype(np.int64),
+        })
+        out = (part.groupby("doc_id", as_index=False)
+               .agg(n_par=("n_par", "sum"), n_dup=("n_dup", "sum")))
+        return out.astype({"doc_id": "int64", "n_par": "int64",
+                           "n_dup": "int64"})
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "db", pa.array(bucket_ints(d, num_buckets)))
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_paragraphs=("n_par", "sum"),
+                    n_dup_paragraphs=("n_dup", "sum")))
+        return out.astype({"doc_id": "int64", "n_paragraphs": "int64",
+                           "n_dup_paragraphs": "int64"})
+
+    return (ds.map_batches(par_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(count_bucket,
+                                          batch_format="pandas")
+            .map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("db").map_groups(doc_sum, batch_format="pandas"))
+
+
+PARAGRAPH_DUP_SQL = """
+WITH par AS (
+    SELECT doc_id, trim(p) AS p
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, chr(10) || chr(10))) AS p
+          FROM documents)
+    WHERE trim(p) <> ''
+), cnt AS (
+    SELECT p, count(*) AS c FROM par GROUP BY p
+)
+SELECT doc_id, count(*) AS n_paragraphs,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_paragraphs
+FROM par JOIN cnt USING (p)
+GROUP BY doc_id
+"""

@@ -312,3 +312,43 @@ def test_dedup_keep_best_picks_quality(ray_session, tmp_path):
     row = got.iloc[0]
     # base (docs 6, 7) beats the digit-degraded 5; twin tie -> min id
     assert row.kept_doc_id == 6 and row.n_members == 3
+
+
+def test_paragraph_dup_stats_oracle(ray_session):
+    import duckdb
+
+    from ferenda_ray.ops.dedup import PARAGRAPH_DUP_SQL, paragraph_dup_stats
+
+    sf = "/root/testdata/sf0.001"
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * "
+              f"FROM read_parquet('{sf}/documents.parquet')")
+    mine = (paragraph_dup_stats(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want = (c.sql(PARAGRAPH_DUP_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_paragraph_dup_stats_planted(ray_session, tmp_path):
+    """A boilerplate paragraph shared by two docs (and repeated inside
+    one of them) is flagged in every occurrence; unique paragraphs are
+    not; whitespace-only paragraphs are ignored."""
+    from ferenda_ray.ops.dedup import paragraph_dup_stats
+
+    boiler = "subscribe to our newsletter for updates"
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"unique intro one\n\n{boiler}\n\nunique tail one",
+            f"{boiler}\n\n \n\n{boiler}\n\nother text",
+            "totally unique document\n\nwith two paragraphs",
+        ], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = (paragraph_dup_stats(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[1].tolist() == [3, 1]
+    assert got.loc[2].tolist() == [3, 2]   # blank ignored, boiler x2
+    assert got.loc[3].tolist() == [2, 0]
