@@ -126,6 +126,7 @@ def run_queries() -> dict[str, float]:
     """A representative operator slice over the sf tables."""
     from ferenda_ray.ops import (ann, dedup, relational as rel, sketch,
                                  text, windows as win)
+    from ferenda_ray.pipelines import curate
 
     out: dict[str, float] = {}
     for name, fn in [
@@ -145,6 +146,10 @@ def run_queries() -> dict[str, float]:
         ("quality_classifier", text.quality_classifier),
         ("lm_cross_entropy", text.lm_cross_entropy),
         ("hopping_window_stats", win.hopping_window_stats),
+        # round-4 additions to the recorded slice
+        ("dsir_scores", text.dsir_scores),
+        ("paragraph_dup_stats", dedup.paragraph_dup_stats),
+        ("curation_pipeline", curate.curation_pipeline),
     ]:
         best = None
         for _ in range(REPS):
