@@ -551,14 +551,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": text.dsir_scores,
         "dedup_keep_best": dedup.dedup_keep_best,
         "paragraph_dup_stats": dedup.paragraph_dup_stats,
+        "windowed_topk_users": win.windowed_topk_users,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
         # in rounds 1-2), ahead of the stable r1/r2-green families ----
         "fingerprint_rows": text.fingerprint_rows,
         "doc_pages": text.doc_pages,
-        # (pdf_textboxes rotated out in r4 — r3-green, stages/pdf.py
-        # untouched — making room for paragraph_dup_stats)
-        "docx_blocks": docx_blocks,
+        # (pdf_textboxes / docx_blocks rotated out in r4 — r3-green,
+        # stages/{pdf,word}.py untouched — making room for
+        # paragraph_dup_stats / windowed_topk_users)
         # ---- operators whose code changed this round stay inside the
         # 50-entry recording window for fresh driver evidence ----
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -595,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ivf_topk,
         "kmeans_clusters": ann.kmeans,
         "pdf_textboxes": pdf_textboxes,
+        "docx_blocks": docx_blocks,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
@@ -776,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dsir_scores": text.DSIR_SCORES_SQL,
         "paragraph_dup_stats": dedup.PARAGRAPH_DUP_SQL,
+        "windowed_topk_users": win.WINDOWED_TOPK_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_TOP_SQL,
         "lang_id": text.LANG_ID_SQL,

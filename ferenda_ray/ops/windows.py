@@ -455,3 +455,89 @@ SELECT event_type,
        CAST(sum(c) AS BIGINT) / 100.0 AS sum_value
 FROM w GROUP BY event_type, wb
 """
+
+
+# -- tumbling-window top-k (trending leaderboard) ---------------------------
+
+TOPK_WINDOW_H = 6
+TOPK_K = 3
+
+
+def windowed_topk_users(sf_dir: str, window_h: int = TOPK_WINDOW_H,
+                        k: int = TOPK_K):
+    """Per tumbling ``window_h``-hour window, the top-``k`` users by
+    event count (ties → lower user_id) — the trending/leaderboard
+    streaming primitive on top of the windowing tier (hopping/
+    tumbling aggregates above).
+
+    Scale shape: per-batch PARTIAL (window, user) counts collapse
+    before the one coarse window-hash-bucket exchange; the exact
+    per-window ranking happens vectorized inside each bucket task
+    (every row of a window lands in its bucket). The shuffle carries
+    (wb, user_id, n) partials bounded by #windows × #users-per-batch,
+    never raw events."""
+    import numpy as np
+    import polars as pl
+
+    from ferenda_ray.util import bucket_ints
+
+    win_s = window_h * 3600
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        secs = (b.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[s]").astype(np.int64))
+        t = pa.table({"user_id": b.column("user_id"),
+                      "wb": pa.array(secs // win_s, pa.int64())})
+        g = (pl.from_arrow(t).group_by("wb", "user_id")
+             .agg(pl.len().cast(pl.Int64).alias("n")).to_arrow())
+        w = g.column("wb").to_numpy(zero_copy_only=False)
+        return g.append_column("bucket", pa.array(bucket_ints(w, 32)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["wb", "user_id"], as_index=False)["n"].sum()
+             .sort_values(["wb", "n", "user_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort"))
+        s["rank"] = s.groupby("wb").cumcount() + 1
+        s = s[s["rank"] <= k]
+        return s.astype({"wb": "int64", "user_id": "int64",
+                         "n": "int64", "rank": "int64"})
+
+    ranked = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket").map_groups(topk, batch_format="pandas"))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ws = (b.column("wb").to_numpy(zero_copy_only=False)
+              * win_s).astype("datetime64[s]").astype("datetime64[us]")
+        return pa.table({
+            "window_start": pa.array(ws, pa.timestamp("us")),
+            "rank": b.column("rank"),
+            "user_id": b.column("user_id"),
+            "n_events": b.column("n"),
+        })
+
+    return ranked.map_batches(stamp, batch_format="pyarrow")
+
+
+WINDOWED_TOPK_SQL = f"""
+WITH e AS (
+    SELECT user_id,
+           epoch(date_trunc('second', ts))::BIGINT
+               // {TOPK_WINDOW_H * 3600} AS wb
+    FROM events
+), c AS (
+    SELECT wb, user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY wb, user_id
+)
+SELECT make_timestamp(wb * {TOPK_WINDOW_H * 3600} * 1000000)
+           AS window_start,
+       CAST(row_number() OVER (PARTITION BY wb
+                               ORDER BY n_events DESC, user_id)
+            AS BIGINT) AS rank,
+       user_id, n_events
+FROM c
+QUALIFY rank <= {TOPK_K}
+"""

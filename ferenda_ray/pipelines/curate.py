@@ -62,7 +62,7 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
     import ray
     from ray.data.aggregate import Sum
 
-    from ferenda_ray.ops.decontam import (EVAL_MOD, _gram_hashes,
+    from ferenda_ray.ops.decontam import (EVAL_MOD, gram_hash_rows,
                                           pii_clean)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -71,11 +71,11 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
     # wave 0: exact eval-slice n-gram set over the REDACTED text —
     # bounded by the benchmark suite, not the corpus (module docstring)
     def eval_grams(b: pa.Table) -> pa.Table:
-        keep = [d % EVAL_MOD == 0 for d in b.column("doc_id").to_pylist()]
-        b = b.filter(pa.array(keep))
-        grams = [g for t in pii_clean(b.column("text")).to_pylist()
-                 for g in _gram_hashes(t)]
-        return pa.table({"gram": pa.array(grams, pa.int64())})
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(d % EVAL_MOD == 0))
+        return gram_hash_rows(pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pii_clean(b.column("text"))})).select(["gram"])
 
     ev: set = set()
     for bt in (ds.map_batches(eval_grams, batch_format="pyarrow")
@@ -98,16 +98,20 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
                     .cast(pl.Int64).alias("n"))
                 .filter(pl.col("keep") & (pl.col("n") > 0)
                         & (pl.col("doc_id") % EVAL_MOD != 0)))
-        shas, ok = [], []
-        for t in kept["text"].to_list():
-            shas.append(hashlib.sha1(t.encode()).hexdigest())
-            g = _gram_hashes(t)
-            ok.append(not (len(g) and np.isin(g, ev_arr).any()))
+        # contamination: the batch's distinct grams against the
+        # broadcast eval set, one vectorized pass (no per-doc loop)
+        grams = gram_hash_rows(
+            kept.select("doc_id", "text").to_arrow())
+        hit = np.isin(grams.column("gram").to_numpy(
+            zero_copy_only=False), ev_arr)
+        bad = np.unique(grams.column("doc_id").to_numpy(
+            zero_copy_only=False)[hit])
+        shas = [hashlib.sha1(t.encode()).hexdigest()
+                for t in kept["text"].to_list()]
         out = (kept.select("doc_id", "source", "n")
                .with_columns(pl.Series("text_sha", shas,
-                                       dtype=pl.String),
-                             pl.Series("ok", ok, dtype=pl.Boolean))
-               .filter(pl.col("ok")).drop("ok"))
+                                       dtype=pl.String))
+               .filter(~pl.col("doc_id").is_in(bad.tolist())))
         return (out.with_columns(
             (pl.col("text_sha").hash(7) % dedup_buckets)
             .cast(pl.Int32).alias("bucket")).to_arrow())

@@ -135,3 +135,38 @@ def test_hopping_window_covers_tumbling(ray_session):
     assert (hop.n_events.values == tumb.n_events.values).all()
     assert (hop.sum_value.values == tumb.sum_value.values).all()
     assert (hop.window_start.values == tumb.hour.values).all()
+
+
+def test_windowed_topk_users_oracle(ray_session, con):
+    from ferenda_ray.ops.windows import (WINDOWED_TOPK_SQL,
+                                         windowed_topk_users)
+
+    _check(windowed_topk_users(SF), WINDOWED_TOPK_SQL, con)
+
+
+def test_windowed_topk_deterministic_ties(ray_session, tmp_path):
+    """Equal counts rank by user_id; ranks restart per window."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.windows import windowed_topk_users
+
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # window 0: u1 x3, u2 x3 (tie), u3 x1 ; window 1: u9 x2
+    for u, n, off_h in ((1, 3, 0), (2, 3, 0), (3, 1, 0), (9, 2, 7)):
+        for i in range(n):
+            rows.append({"event_id": len(rows), "user_id": u,
+                         "ts": ts0 + pd.Timedelta(hours=off_h,
+                                                  minutes=i),
+                         "event_type": "x", "value": 1.0,
+                         "props": "{}"})
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (windowed_topk_users(str(tmp_path), window_h=6, k=2)
+           .to_pandas().sort_values(["window_start", "rank"])
+           .reset_index(drop=True))
+    assert got.user_id.tolist() == [1, 2, 9]   # tie: u1 before u2; u3 cut
+    assert got["rank"].tolist() == [1, 2, 1]
