@@ -200,23 +200,44 @@ def bpe_train(sf_dir: str, num_merges: int = NUM_MERGES,
             if os.path.isdir(d):
                 shards.append(Shard.remote(d))
 
+        import heapq
+
         counts: dict = collections.Counter()
         for part in ray.get([s.pair_counts.remote() for s in shards]):
             counts.update(part)
 
+        # lazy-deletion heap: (-count, pair) entries are pushed on
+        # every count change and never repaired — a popped entry whose
+        # count disagrees with the live table is stale and dropped.
+        # Per round the driver pays O(changed·log H), not an O(P) scan
+        # over the whole pair table (at 30k merges × ~10⁶ pairs the
+        # scan was the remaining driver bottleneck). Tuple order
+        # (-c, (lhs, rhs)) = count desc then lexicographic — identical
+        # argmax to the scan (equality pytest vs bpe_train_rounds).
+        heap = [(-c, p) for p, c in counts.items() if c > 0]
+        heapq.heapify(heap)
+
         merges: list[tuple[int, str, str, int]] = []
         for rank in range(num_merges):
-            counts = +counts  # drop zero/negative remnants
-            if not counts:
+            lhs = rhs = None
+            while heap:
+                negc, p = heapq.heappop(heap)
+                if counts.get(p, 0) == -negc:
+                    (lhs, rhs), c = p, -negc
+                    break
+            if lhs is None:
                 break
-            # argmax: count desc, then lexicographic (lhs, rhs)
-            (lhs, rhs), c = min(counts.items(),
-                                key=lambda kv: (-kv[1], kv[0]))
             merges.append((rank, lhs, rhs, int(c)))
             deltas = ray.get([s.apply_merge.remote(lhs, rhs)
                               for s in shards])
+            changed: set = set()
             for d in deltas:
                 counts.update(d)
+                changed.update(d)
+            for p in changed:
+                cur = counts.get(p, 0)
+                if cur > 0:
+                    heapq.heappush(heap, (-cur, p))
 
         return pd.DataFrame(merges, columns=["rank", "lhs", "rhs", "n"])
     finally:
