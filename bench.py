@@ -57,9 +57,25 @@ def sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
 
 
+def _corpus_rev() -> str:
+    """Digest of the corpus-generator sources: a generator change must
+    regenerate the cached bench corpus, not silently measure a stale
+    one (found in round 4 — the EU-grammar corpus change didn't reach
+    the cached 200k/500k bench inputs)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for f in ("ferenda_ray/sources/pages.py",
+              "ferenda_ray/sources/entities.py"):
+        with open(os.path.join(REPO, f), "rb") as fp:
+            h.update(fp.read())
+    return h.hexdigest()[:8]
+
+
 def corpus_path(n_pages: int) -> str:
-    """Materialize the deterministic corpus once per size (untimed)."""
-    path = f"/tmp/ferenda_ray_bench/pages_{n_pages}"
+    """Materialize the deterministic corpus once per (size, generator
+    revision) — untimed."""
+    path = f"/tmp/ferenda_ray_bench/pages_{n_pages}_{_corpus_rev()}"
     done = os.path.join(path, "_done")
     if not os.path.exists(done):
         from ferenda_ray.sources.pages import generate_corpus_ds

@@ -91,3 +91,34 @@ def test_redact_pii_duckdb_parity(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(mine[want.columns], want)
+
+
+def test_gram_hash_rows_matches_per_doc_reference(ray_session):
+    """The batched vectorized gram hasher equals a pure-python
+    per-doc reference on gram COUNTS (distinct n-tuples) and never
+    leaks windows across doc boundaries."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(0, 14)))
+             for _ in range(60)]
+    tab = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = decontam.gram_hash_rows(tab).to_pandas()
+    per_doc = got.groupby("doc_id").size().to_dict()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        want = len({tuple(toks[j:j + decontam.NGRAM_N])
+                    for j in range(len(toks) - decontam.NGRAM_N + 1)})
+        assert per_doc.get(i, 0) == want, (i, t)
+    # same gram in two docs -> same hash (the whole point)
+    tab2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["a b c d e", "x a b c d e y"],
+                                      pa.string())})
+    g2 = decontam.gram_hash_rows(tab2).to_pandas()
+    shared = set(g2[g2.doc_id == 1].gram) & set(g2[g2.doc_id == 2].gram)
+    assert len(shared) == 1
