@@ -452,3 +452,68 @@ def test_dsir_scores_directionality(ray_session, tmp_path):
            .set_index("doc_id").dsir_weight)
     assert set(got.index) == {1, 2, 3}  # target docs are not scored
     assert got[2] > got[1] and got[2] > got[3]  # target-like wins
+
+
+def test_doc_pages_dewrap_differential_fuzz(ray_session, tmp_path):
+    """Random wrap-shaped texts: the Python operator and the DuckDB
+    oracle agree byte-for-byte (pins the round-4 single-pass hyphen
+    fix against the whole input space, not just the known cases)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import DOC_PAGES_SQL, doc_pages
+
+    rng = random.Random(99)
+    pieces = ["a", "bb", "ccc", "-", "-\n", "\n", "\n\n", " ", "\f",
+              "x-\ny", "p-\nq-\nr", "é", "ü-\nö", "1-\n2", ".-\n."]
+    texts = ["".join(rng.choice(pieces)
+                     for _ in range(rng.randint(0, 25)))
+             for _ in range(300)]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    _cmp(doc_pages(str(tmp_path)), c, DOC_PAGES_SQL)
+
+
+def test_fp_pair_counts_vs_bruteforce(ray_session):
+    """The coarse-bucketed pair miner equals an in-memory brute force
+    (df window, max_df cap, exact shared-fp counts) on random
+    fingerprint sets."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ferenda_ray.ops.text import _fp_pair_counts
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for d in range(40):
+        for f in rng.choice(60, size=rng.integers(1, 15),
+                            replace=False):
+            rows.append((d, int(f)))
+    tab = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "fp": pa.array([r[1] for r in rows], pa.int64())})
+    max_df = 6
+    got = (_fp_pair_counts(rd.from_arrow(tab), max_df).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    by_fp: dict[int, list[int]] = {}
+    for d, f in rows:
+        by_fp.setdefault(f, []).append(d)
+    want: dict[tuple, int] = {}
+    for f, docs in by_fp.items():
+        docs = sorted(set(docs))
+        if 2 <= len(docs) <= max_df:
+            for a, b in itertools.combinations(docs, 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+    got_map = {(a, b): n for a, b, n in
+               zip(got.doc_a, got.doc_b, got.n_shared)}
+    assert got_map == want
