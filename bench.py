@@ -74,13 +74,19 @@ def _corpus_rev() -> str:
 
 def corpus_path(n_pages: int) -> str:
     """Materialize the deterministic corpus once per (size, generator
-    revision) — untimed."""
+    revision) — untimed. Stale-revision corpora of the same size are
+    pruned (a 200k-page parquet per generator edit would otherwise
+    accumulate in the shared /tmp)."""
+    import glob
+
     path = f"/tmp/ferenda_ray_bench/pages_{n_pages}_{_corpus_rev()}"
     done = os.path.join(path, "_done")
     if not os.path.exists(done):
         from ferenda_ray.sources.pages import generate_corpus_ds
 
-        shutil.rmtree(path, ignore_errors=True)
+        for stale in glob.glob(
+                f"/tmp/ferenda_ray_bench/pages_{n_pages}*"):
+            shutil.rmtree(stale, ignore_errors=True)
         generate_corpus_ds(n_pages).write_parquet(path)
         open(done, "w").write("ok")
     return path

@@ -1093,7 +1093,10 @@ def paragraph_dup_stats(sf_dir: str, num_buckets: int = 32):
         for d, t in zip(b.column("doc_id").to_pylist(),
                         b.column("text").to_pylist()):
             for p in t.split("\n\n"):
-                p = p.strip()
+                # ASCII whitespace strip, mirroring the SQL oracle's
+                # explicit trim charset (str.strip() would also strip
+                # Unicode whitespace and diverge)
+                p = p.strip(" \t\n\r\v\f")
                 if p:
                     ids.append(d)
                     shas.append(int.from_bytes(
@@ -1136,13 +1139,18 @@ def paragraph_dup_stats(sf_dir: str, num_buckets: int = 32):
             .groupby("db").map_groups(doc_sum, batch_format="pandas"))
 
 
-PARAGRAPH_DUP_SQL = """
+# trim charset = the six ASCII whitespace chars Python strips (plain
+# SQL trim() strips only spaces — 'x\n\n\ny' would keep a leading \n
+# and silently diverge from the operator)
+_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+PARAGRAPH_DUP_SQL = f"""
 WITH par AS (
-    SELECT doc_id, trim(p) AS p
+    SELECT doc_id, trim(p, {_WS}) AS p
     FROM (SELECT doc_id,
                  unnest(string_split(text, chr(10) || chr(10))) AS p
           FROM documents)
-    WHERE trim(p) <> ''
+    WHERE trim(p, {_WS}) <> ''
 ), cnt AS (
     SELECT p, count(*) AS c FROM par GROUP BY p
 )

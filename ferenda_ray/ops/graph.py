@@ -600,8 +600,11 @@ def _edge_degrees(und, num_buckets: int):
         out = g.groupby("url", sort=True).size().rename("deg")
         return out.reset_index()
 
+    # materialized: BOTH attach passes consume deg — without this the
+    # endpoint count + its bucket exchange would execute twice
     deg = (und.map_batches(endpoints, batch_format="pyarrow")
-           .groupby("bucket").map_groups(count, batch_format="pandas"))
+           .groupby("bucket").map_groups(count, batch_format="pandas")
+           .materialize())
 
     def attach(key_col: str, out_col: str):
         """edges (with any columns) ∪ degree rows → bucketed cogroup on

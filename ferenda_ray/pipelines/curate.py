@@ -15,13 +15,16 @@ the way a production data pipeline does (CCNet/Dolma shape):
    (BPE-ish count) and content-hashes them, so text is read ONCE and
    never crosses a shuffle: downstream stages see only skinny
    ``(doc_id, source, n, text_sha)`` rows.
-3. **decontamination** — benchmark (eval-slice) docs are excluded and
-   any doc sharing a word 5-gram with the eval slice is dropped. The
-   eval n-gram set is BROADCAST exact (benchmark suites are
-   constant-size — MBs against a 100 TB corpus — so the broadcast is
-   bounded by the benchmark, not the corpus; the exchange-based
-   :func:`ferenda_ray.ops.decontam.decontaminate` covers the
-   corpus-sized-eval case) and checked inside the same gate pass.
+3. **decontamination** — benchmark docs are excluded and any doc
+   sharing a word 5-gram with the benchmark is dropped. The benchmark
+   n-gram set is BROADCAST exact and checked inside the same gate
+   pass. In production the benchmark is a SEPARATE constant-size table
+   (pass ``benchmark_parquet=``; real suites are MBs against a 100 TB
+   corpus, so the broadcast is bounded by the benchmark). The default
+   ``doc_id % 20 == 0`` slice is the sandbox stand-in that keeps the
+   one-SQL-oracle property — it is corpus-PROPORTIONAL, so at scale
+   it is only honest with the explicit benchmark table (or the
+   exchange-based :func:`ferenda_ray.ops.decontam.decontaminate`).
 4. **exact dedup** — hash-bucketed by content sha (D1/D2 pattern,
    winner = min doc_id), vectorized drop_duplicates per bucket — never
    per-key groups.
@@ -56,9 +59,15 @@ _TOK_RE = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
 
 
 def curation_pipeline(sf_dir: str, max_len: int = 512,
-                      num_buckets: int = 32, dedup_buckets: int = 16):
+                      num_buckets: int = 32, dedup_buckets: int = 16,
+                      benchmark_parquet: str | None = None):
     """documents → packed-sequence summary (seq_id, n_docs, n_tokens)
-    for the curated corpus; see module docstring for the stage chain."""
+    for the curated corpus; see module docstring for the stage chain.
+
+    ``benchmark_parquet``: a separate constant-size benchmark table
+    (``text`` column) whose n-grams define contamination — the
+    production path. Default None = the sandbox ``doc_id % 20``
+    eval-slice convention (SQL-oracle-checked)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -68,17 +77,23 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "text"])
 
-    # wave 0: exact eval-slice n-gram set over the REDACTED text —
-    # bounded by the benchmark suite, not the corpus (module docstring)
+    # wave 0: exact benchmark n-gram set over the REDACTED text
+    # (constant-size when benchmark_parquet is given — module
+    # docstring; the modulo slice is the sandbox oracle convention)
     def eval_grams(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(d % EVAL_MOD == 0))
+        if benchmark_parquet is None:
+            d = b.column("doc_id").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(d % EVAL_MOD == 0))
+        did = (b.column("doc_id") if "doc_id" in b.column_names
+               else pa.array(np.zeros(b.num_rows, np.int64)))
         return gram_hash_rows(pa.table({
-            "doc_id": b.column("doc_id"),
+            "doc_id": did,
             "text": pii_clean(b.column("text"))})).select(["gram"])
 
+    ev_src = (rd.read_parquet(benchmark_parquet, columns=["text"])
+              if benchmark_parquet else ds)
     ev: set = set()
-    for bt in (ds.map_batches(eval_grams, batch_format="pyarrow")
+    for bt in (ev_src.map_batches(eval_grams, batch_format="pyarrow")
                .iter_batches(batch_format="pyarrow")):
         ev.update(bt.column("gram").to_pylist())
     eval_ref = ray.put(np.array(sorted(ev), np.int64))
@@ -92,12 +107,16 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
                                      "source": b.column("source"),
                                      "text": clean}))
         z = quality_z_expr()
-        kept = (df.with_columns(
-                    (1.0 / (1.0 + (-z).exp()) >= 0.5).alias("keep"),
-                    pl.col("text").str.count_matches(_TOK_RE)
-                    .cast(pl.Int64).alias("n"))
-                .filter(pl.col("keep") & (pl.col("n") > 0)
-                        & (pl.col("doc_id") % EVAL_MOD != 0)))
+        kept = df.with_columns(
+            (1.0 / (1.0 + (-z).exp()) >= 0.5).alias("keep"),
+            pl.col("text").str.count_matches(_TOK_RE)
+            .cast(pl.Int64).alias("n"))
+        flt = pl.col("keep") & (pl.col("n") > 0)
+        if benchmark_parquet is None:
+            # the modulo convention carves the benchmark out of the
+            # corpus itself, so those docs are excluded from training
+            flt = flt & (pl.col("doc_id") % EVAL_MOD != 0)
+        kept = kept.filter(flt)
         # contamination: the batch's distinct grams against the
         # broadcast eval set, one vectorized pass (no per-doc loop)
         grams = gram_hash_rows(

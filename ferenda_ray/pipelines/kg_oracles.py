@@ -247,12 +247,15 @@ FROM docs"""
 META_PREDICATES = (S.RDF_TYPE, S.DCT_IDENTIFIER, S.PROV_WASGENERATEDBY,
                    S.DCT_TITLE, S.DCT_LANGUAGE, S.DCT_ISSUED)
 
-# EU-citation surface forms (stages/link.py _EU_CITE, RE2-safe)
-_EU_ART_PAT = (r"Article \d+(?:\(\d+\))? of "
+# EU-citation surface forms (stages/link.py _EU_CITE, RE2-safe).
+# The \b word boundaries MIRROR the Python grammar — without them the
+# oracle would match acts embedded in words ('Directive 2000/31/ECx')
+# that the pipeline rejects.
+_EU_ART_PAT = (r"\bArticle \d+(?:\(\d+\))? of "
                r"(?:Directive \d{4}/\d+/(?:EC|EEC|EU)"
-               r"|Regulation \((?:EC|EEC|EU)\) No \d+/\d{2,4})")
-_EU_DIR_PAT = r"Directive \d{4}/\d+/(?:EC|EEC|EU)"
-_EU_REG_PAT = r"Regulation \((?:EC|EEC|EU)\) No \d+/\d{2,4}"
+               r"|Regulation \((?:EC|EEC|EU)\) No \d+/\d{2,4})\b")
+_EU_DIR_PAT = r"\bDirective \d{4}/\d+/(?:EC|EEC|EU)\b"
+_EU_REG_PAT = r"\bRegulation \((?:EC|EEC|EU)\) No \d+/\d{2,4}\b"
 
 
 def _eulaw_refs_sql(pages: str) -> str:

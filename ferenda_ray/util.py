@@ -68,34 +68,48 @@ def title_sortkey(s: str) -> str:
     return s.replace(" ", "")
 
 
-def collate_sortkey(s: str, locale_name: str = "sv_SE") -> bytes:
-    """TRUE locale-collated sort key (reference
-    ``documentrepository.py:2843-2851`` ``locale.strxfrm``): ICU when
-    available, else ``locale.strxfrm`` under the requested locale, else
-    the :func:`title_sortkey` approximation encoded as bytes. This
-    container ships neither PyICU nor non-C locales, so the fallback is
-    what runs here; on a cluster image with PyICU the key column
-    becomes exactly the reference's collation. The byte key is what a
-    distributed sort needs — collation happens once per row at key
-    EXTRACTION, never inside the comparator."""
+_COLLATORS: dict = {}
+
+
+def _make_collator(locale_name: str):
+    """Resolve the best available collation backend ONCE per process
+    per locale (the per-row path must never touch process-global
+    ``setlocale`` — it is not thread-safe)."""
     try:  # PyICU — the reference-exact path
         import icu
 
-        return icu.Collator.createInstance(
-            icu.Locale(locale_name)).getSortKey(s)
-    except Exception:
+        coll = icu.Collator.createInstance(icu.Locale(locale_name))
+        return coll.getSortKey
+    except ImportError:
         pass
-    try:  # POSIX locale collation
+    try:  # POSIX locale collation: set LC_COLLATE once, keep it
         import locale as _loc
 
-        old = _loc.setlocale(_loc.LC_COLLATE)
-        try:
-            _loc.setlocale(_loc.LC_COLLATE, f"{locale_name}.UTF-8")
-            return _loc.strxfrm(s).encode("utf-8", "surrogatepass")
-        finally:
-            _loc.setlocale(_loc.LC_COLLATE, old)
+        _loc.setlocale(_loc.LC_COLLATE, f"{locale_name}.UTF-8")
+        return lambda s: _loc.strxfrm(s).encode("utf-8",
+                                                "surrogatepass")
     except Exception:
-        return title_sortkey(s).encode("utf-8", "surrogatepass")
+        return lambda s: title_sortkey(s).encode("utf-8",
+                                                 "surrogatepass")
+
+
+def collate_sortkey(s: str, locale_name: str = "sv_SE") -> bytes:
+    """TRUE locale-collated sort key (reference
+    ``documentrepository.py:2843-2851`` ``locale.strxfrm``): ICU when
+    available, else ``locale.strxfrm`` with LC_COLLATE set once per
+    process, else the :func:`title_sortkey` approximation encoded as
+    bytes. This container ships neither PyICU nor non-C locales, so
+    the approximation is what runs here (and what the oracle-checked
+    ``customers_by_sortkey`` uses directly); on a cluster image with
+    PyICU the key column becomes exactly the reference's collation.
+    The backend is resolved once per (process, locale) — the per-row
+    path does no ``setlocale`` mutation — and the byte key is what a
+    distributed sort needs: collation happens at key EXTRACTION, never
+    inside the comparator."""
+    f = _COLLATORS.get(locale_name)
+    if f is None:
+        f = _COLLATORS[locale_name] = _make_collator(locale_name)
+    return f(s)
 
 
 _ROMAN_VALUES = [

@@ -120,3 +120,39 @@ def test_curation_pii_redacted_features(ray_session, tmp_path):
     pq.write_table(tab, str(tmp_path / "documents.parquet"))
     got = curation_pipeline(str(tmp_path)).to_pandas()
     assert int(got.n_docs.sum()) == 1  # redacted twins collapse
+
+
+def test_curation_explicit_benchmark_table(ray_session, tmp_path):
+    """The production path: contamination defined by a SEPARATE
+    constant-size benchmark table — corpus docs quoting it drop, the
+    modulo slice is NOT excluded, and nothing from the benchmark
+    itself enters the corpus stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.curate import curation_pipeline
+
+    bench = ("the quick brown fox jumps over a lazy dog while the sun "
+             "is high and the day is long for all of the team")
+    leak = ("it is known that the quick brown fox jumps over all and "
+            "that it is a fine day for the group to rest as planned")
+    clean = ("it is the case that the data for it is in the file and "
+             "that it is a good day for the team to review it as planned")
+    pq.write_table(pa.table({"text": pa.array([bench], pa.string())}),
+                   str(tmp_path / "benchmark.parquet"))
+    tab = pa.table({
+        # doc 20 would be the modulo eval slice; with an explicit
+        # benchmark it is ordinary corpus and must survive
+        "doc_id": pa.array([20, 1], pa.int64()),
+        "source": pa.array(["s0", "s0"], pa.string()),
+        "text": pa.array([clean, leak], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = curation_pipeline(
+        str(tmp_path),
+        benchmark_parquet=str(tmp_path / "benchmark.parquet")
+    ).to_pandas()
+    import re
+    n_clean = len(re.findall(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]",
+                             clean))
+    assert int(got.n_tokens.sum()) == n_clean  # leak dropped, 20 kept
