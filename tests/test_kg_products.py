@@ -115,3 +115,54 @@ def test_eulaw_refs_sql_oracle(small_pages):
     assert len(mine) > 0
     pd.testing.assert_frame_equal(mine.astype({"n_refs": "int64"}),
                                   want.astype({"n_refs": "int64"}))
+
+
+def test_eulaw_refs_sql_differential_fuzz(ray_session, tmp_path):
+    """Random pages stuffed with adversarial EU-citation shapes
+    (abutting word chars, article-of-regulation, 2-digit years, bare
+    acts inside article phrases): the SQL oracle's per-target counts
+    equal an aggregation of the Python grammar over the same latest
+    snapshots."""
+    import collections
+    import datetime
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.kg_oracles import _eulaw_refs_sql
+    from ferenda_ray.stages.link import EULAW_NS, scan_citations
+
+    rng = random.Random(17)
+    pieces = [
+        "Directive 2000/31/EC", "Directive 2007/42/EU",
+        "Regulation (EC) No 1049/2001", "Regulation (EU) No 45/01",
+        "Article 6(1) of Directive 2000/31/EC",
+        "Article 9 of Regulation (EC) No 1049/2001",
+        "Directive 2000/31/ECx", "subDirective 2000/31/EC",
+        "Article 7 of", "Directive 31/EC", "plain words here",
+        "Regulation (EC) No 1049", "xArticle 6(1) of Directive "
+        "2007/42/EU",
+    ]
+    texts = [" ".join(rng.choice(pieces)
+                      for _ in range(rng.randint(1, 8)))
+             for _ in range(50)]
+    html = [f"<html><body><p>{t}</p></body></html>".encode()
+            for t in texts]
+    ts = datetime.datetime(2024, 1, 1)
+    tab = pa.table({
+        "url": pa.array([f"https://e.org/p{i}" for i in range(50)]),
+        "warc_ts": pa.array([ts] * 50, pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+    })
+    pq.write_table(tab, str(tmp_path / "pages.parquet"))
+    want = (duckdb.sql(_eulaw_refs_sql(str(tmp_path / "pages.parquet")))
+            .df().set_index("obj").n_refs.to_dict())
+    got: collections.Counter = collections.Counter()
+    for t in texts:
+        for u in scan_citations(t):
+            if u.startswith(EULAW_NS):
+                got[u] += 1
+    assert dict(got) == {k: int(v) for k, v in want.items()}
+    assert len(got) > 3  # the fuzz actually generated citations
