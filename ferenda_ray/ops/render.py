@@ -97,18 +97,23 @@ class _TemplateSet:
     * ``Kind[field]`` / ``Kind[field=value]`` — attribute-presence /
       attribute-value predicate (most specific; combines with either
       parent step)
+    * ``Parent[field=value]/Kind`` / ``Anc[field=value]//Kind`` —
+      predicate on the ANCESTOR step (matched against that ancestor's
+      own fields)
 
-    Specificity order: field predicate > immediate parent > descendant
-    ancestor > kind > ``*`` (numeric priorities 4/2/1/1/0, summed per
-    component). The highest-priority matching rule renders the
-    element; ties break toward the later-defined rule (document order,
-    as in XSLT). A plain ``Kind`` key behaves exactly as the
-    pre-round-3 per-kind template dict, so existing templates are
-    unaffected.
+    Specificity order: field predicate > ancestor-step predicate >
+    immediate parent > descendant ancestor > kind > ``*`` (numeric
+    priorities 4/3/2/1/1/0, summed per component). The
+    highest-priority matching rule renders the element; ties break
+    toward the later-defined rule (document order, as in XSLT). A
+    plain ``Kind`` key behaves exactly as the pre-round-3 per-kind
+    template dict, so existing templates are unaffected.
     """
 
     _PAT = re.compile(
-        r"^(?:(?P<parent>\*|\w+)(?P<sep>//|/))?(?P<kind>\*|\w+)"
+        r"^(?:(?P<parent>\*|\w+)"
+        r"(?:\[(?P<pfield>\w+)(?:=(?P<pvalue>[^\]]*))?\])?"
+        r"(?P<sep>//|/))?(?P<kind>\*|\w+)"
         r"(?:\[(?P<field>\w+)(?:=(?P<value>[^\]]*))?\])?$")
 
     def __init__(self, templates: dict):
@@ -117,27 +122,46 @@ class _TemplateSet:
             m = self._PAT.match(pat)
             if not m:
                 raise ValueError(f"bad template pattern: {pat!r}")
-            parent, sep, kind, field, value = m.group(
-                "parent", "sep", "kind", "field", "value")
+            parent, pfield, pvalue, sep, kind, field, value = m.group(
+                "parent", "pfield", "pvalue", "sep", "kind", "field",
+                "value")
             prio = ((1 if kind != "*" else 0)
                     + (2 if parent and sep == "/" else 1 if parent else 0)
+                    + (3 if pfield else 0)
                     + (4 if field else 0))
-            self.rules.append((prio, i, parent, sep, kind, field, value,
-                               tpl))
+            self.rules.append((prio, i, parent, pfield, pvalue, sep,
+                               kind, field, value, tpl))
         # highest priority first, later definition wins ties
         self.rules.sort(key=lambda r: (-r[0], -r[1]))
 
+    @staticmethod
+    def _step_ok(anc: dict, name: str, pfield, pvalue) -> bool:
+        if name != "*" and anc.get("kind") != name:
+            return False
+        if pfield is not None:
+            if pfield not in anc:
+                return False
+            if pvalue is not None and str(anc[pfield]) != pvalue:
+                return False
+        return True
+
     def lookup(self, elem: dict, ancestors: tuple) -> str | None:
+        """``ancestors``: tuple of ancestor ELEMENT dicts, root first
+        (the immediate parent last)."""
         kind = elem["kind"]
-        parent_kind = ancestors[-1] if ancestors else None
-        for _p, _i, parent, sep, k, field, value, tpl in self.rules:
+        for (_p, _i, parent, pfield, pvalue, sep, k, field, value,
+             tpl) in self.rules:
             if k != "*" and k != kind:
                 continue
-            if parent and parent != "*":
-                if sep == "/" and parent != parent_kind:
-                    continue
-                if sep == "//" and parent not in ancestors:
-                    continue
+            if parent and not (parent == "*" and pfield is None):
+                if sep == "/":
+                    if not (ancestors and self._step_ok(
+                            ancestors[-1], parent, pfield, pvalue)):
+                        continue
+                else:  # "//": any ancestor
+                    if not any(self._step_ok(a, parent, pfield, pvalue)
+                               for a in ancestors):
+                        continue
             if field is not None:
                 if field not in elem:
                     continue
@@ -168,21 +192,21 @@ def _render_elem(elem: dict, out: list[str], url: str,
             kids: list[str] = []
             for ch in elem.get("children", []):
                 _render_elem(ch, kids, url, templates,
-                             ancestors + (kind,))
+                             ancestors + (elem,))
             out.append(_apply_template(tpl, elem, url,
                                        "\n".join(kids),
                                        _render_inline(elem)))
             return
     if kind == "Body":
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates, ancestors + (kind,))
+            _render_elem(ch, out, url, templates, ancestors + (elem,))
     elif kind == "Section":
         frag = f"S{elem['ordinal']}"
         out.append(f'<section id={quoteattr(frag)} about='
                    f'{quoteattr(url + "#" + frag)}>')
         out.append(f"<h2>{escape(elem['ordinal'])}. {escape(elem['title'])}</h2>")
         for ch in elem.get("children", []):
-            _render_elem(ch, out, url, templates, ancestors + (kind,))
+            _render_elem(ch, out, url, templates, ancestors + (elem,))
         out.append("</section>")
     elif kind == "Heading":
         lvl = int(elem.get("level", 2))
@@ -208,12 +232,12 @@ def _render_elem(elem: dict, out: list[str], url: str,
             # even though the default path renders them inline
             if templates:
                 tpl = _template_set(templates).lookup(
-                    ch, ancestors + (kind,))
+                    ch, ancestors + (elem,))
                 if tpl is not None:
                     kids: list[str] = []
                     for sub in ch.get("children", []):
                         _render_elem(sub, kids, url, templates,
-                                     ancestors + (kind, ch["kind"]))
+                                     ancestors + (elem, ch))
                     out.append(_apply_template(tpl, ch, url,
                                                "\n".join(kids),
                                                _render_inline(ch)))
@@ -223,7 +247,7 @@ def _render_elem(elem: dict, out: list[str], url: str,
             for sub in ch.get("children", []):
                 sub_out: list[str] = []
                 _render_elem(sub, sub_out, url, templates,
-                             ancestors + (kind, ch["kind"]))
+                             ancestors + (elem, ch))
                 li.extend(sub_out)
             li.append("</li>")
             out.append("".join(li) if len(li) == 2 else "\n".join(li))

@@ -337,3 +337,31 @@ def test_template_descendant_specificity_order():
     h = render({"Section//Paragraph": "<a>{inline}</a>",
                 "Paragraph[text=x]": "<b>{inline}</b>"})
     assert "<b>x</b>" in h
+
+
+def test_template_ancestor_step_predicate():
+    """Predicates on the ancestor step: Section[ordinal=1]/Paragraph
+    matches only paragraphs whose parent section has that ordinal, and
+    the descendant form Section[title=T]//ListItem reaches deep."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": "Intro",
+         "children": [{"kind": "Paragraph", "text": "p-one"}]},
+        {"kind": "Section", "ordinal": "2", "title": "Deep",
+         "children": [
+             {"kind": "Paragraph", "text": "p-two"},
+             {"kind": "UnorderedList", "children": [
+                 {"kind": "ListItem", "text": "li-deep"}]}]}]}
+    html = generate_html(
+        "u", "T", tree,
+        templates={
+            "Section[ordinal=1]/Paragraph": '<p class="s1">{inline}</p>',
+            "Section[title=Deep]//ListItem":
+                '<li class="deep">{inline}</li>',
+            # ancestor predicate beats the plain immediate-parent rule
+            "Section/Paragraph": '<p class="any">{inline}</p>',
+        })
+    assert '<p class="s1">p-one</p>' in html
+    assert '<p class="any">p-two</p>' in html
+    assert '<li class="deep">li-deep</li>' in html
