@@ -201,6 +201,46 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup_report(args) -> int:
+    """Duplication report over a documents table: per-doc paragraph
+    duplication stats plus, with ``--resolve``, the quality-argmax
+    cluster resolution (one kept representative per near-dup cluster)."""
+    import os
+
+    sf_dir = os.path.dirname(args.documents) or "."
+    if args.resolve:
+        from ferenda_ray.ops.dedup import dedup_keep_best
+
+        out = dedup_keep_best(sf_dir)
+    else:
+        from ferenda_ray.ops.dedup import paragraph_dup_stats
+
+        out = paragraph_dup_stats(sf_dir)
+    out.write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    """DSIR importance weights of every non-target doc vs the target
+    source slice (``--target``) — the data-selection scorer."""
+    import os
+
+    from ferenda_ray.ops.text import dsir_scores
+
+    sf_dir = os.path.dirname(args.documents) or "."
+    out = dsir_scores(sf_dir, target_source=args.target)
+    out.write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_setup(args) -> int:
     """Scaffold a pipeline project dir (reference ``ferenda-setup`` /
     ``manager.runsetup``): writes the default INI (editable with
@@ -274,6 +314,19 @@ def main(argv=None) -> int:
                     help="full gate→dedup→mix→pack chain")
     sp.add_argument("--max-len", type=int, default=512)
     sp.set_defaults(fn=cmd_curate)
+    sp = sub.add_parser("dedup-report")
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--resolve", action="store_true",
+                    help="emit per-cluster kept representative instead "
+                         "of paragraph stats")
+    sp.set_defaults(fn=cmd_dedup_report)
+    sp = sub.add_parser("dsir")
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target", default="src0",
+                    help="target-domain source value")
+    sp.set_defaults(fn=cmd_dsir)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
     sp.add_argument("--pages-count", type=int, required=True)

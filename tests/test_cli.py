@@ -59,3 +59,23 @@ def test_cli_setup_scaffold(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=60)
     assert out.returncode == 1
     json.loads(run_cli("setup", "--dir", d, "--force")[-1])
+
+
+@pytest.mark.cli
+def test_cli_dedup_report_and_dsir(tmp_path):
+    """The round-4 curation CLI surface: paragraph-dup report, cluster
+    resolution, and DSIR scoring all run end-to-end and write parquet."""
+    import shutil
+
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                tmp_path / "documents.parquet")
+    docs = str(tmp_path / "documents.parquet")
+    out = run_cli("dedup-report", "--documents", docs,
+                  "--out", str(tmp_path / "pdup"))
+    assert json.loads(out[-1])["rows"] == 500
+    out = run_cli("dedup-report", "--documents", docs, "--resolve",
+                  "--out", str(tmp_path / "keep"))
+    assert json.loads(out[-1])["rows"] > 0
+    out = run_cli("dsir", "--documents", docs, "--target", "src0",
+                  "--out", str(tmp_path / "dsir"))
+    assert json.loads(out[-1])["rows"] == 475  # non-target docs
