@@ -164,7 +164,9 @@ def decontaminate(sf_dir: str, num_buckets: int = 32):
 
 DECONTAMINATE_SQL = f"""
 WITH tok AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    -- \\S+ extraction, not trim+split: trim() strips only spaces, so
+    -- leading/trailing \\n/\\t would shift n-grams vs gram_hash_rows
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), ng AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS g

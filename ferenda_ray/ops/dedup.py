@@ -354,7 +354,7 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
 # collides within one document's shingle set (~1e-13 here).
 MINHASH_PAIRS_SQL = """
 WITH tok AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), sh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
@@ -538,7 +538,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 # table has ≥10 tokens per doc.
 SIMHASH_PAIRS_SQL = """
 WITH tok AS (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
     FROM documents
 ), bits AS (
     SELECT doc_id, i,
@@ -944,7 +944,7 @@ WITH pages AS MATERIALIZED (
            text
     FROM read_parquet('{corpus_parquet}')
 ), tok AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM pages
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM pages
 ), sh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
     FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok)

@@ -134,7 +134,7 @@ def _lang_id_sql() -> str:
     return f"""
 WITH tok AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')[1:200]) AS t
+           unnest(regexp_extract_all(lower(text), '\\S+')[1:200]) AS t
     FROM documents
 ), dtok AS (
     SELECT DISTINCT doc_id, t FROM tok
@@ -232,7 +232,7 @@ def _fingerprint_rows_sql(k: int = 5, w: int = 8) -> str:
                 f"md5_number_upper(t[i+{j}])::HUGEINT) % {_M}")
     return f"""
 WITH tok AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), g AS (
     SELECT doc_id, i, ({expr})::BIGINT AS h

@@ -84,8 +84,11 @@ def curation_pipeline(sf_dir: str, max_len: int = 512,
         if benchmark_parquet is None:
             d = b.column("doc_id").to_numpy(zero_copy_only=False)
             b = b.filter(pa.array(d % EVAL_MOD == 0))
+        # per-row unique ids: gram_hash_rows masks windows by doc
+        # boundary (did[start]==did[end]), so a shared id would emit
+        # phantom grams spanning adjacent benchmark docs
         did = (b.column("doc_id") if "doc_id" in b.column_names
-               else pa.array(np.zeros(b.num_rows, np.int64)))
+               else pa.array(np.arange(b.num_rows, dtype=np.int64)))
         return gram_hash_rows(pa.table({
             "doc_id": did,
             "text": pii_clean(b.column("text"))})).select(["gram"])
@@ -179,7 +182,10 @@ WITH red AS (
     FROM documents
 ), feat AS ({quality_features_sql("doc_id, source, text", src="red")}
 ), tokz AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM red
+    -- regexp_extract_all(\\S+): SQL trim() strips only spaces, so a
+    -- leading/trailing \\n or \\t would yield empty tokens and shifted
+    -- n-grams vs the operator's \\S+ extraction
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM red
 ), ng AS (
     SELECT DISTINCT doc_id,
            array_to_string(t[i:i+{NGRAM_N - 1}], ' ') AS g

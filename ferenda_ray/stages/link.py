@@ -62,7 +62,8 @@ def format_rfc_uri(num: str, section: str | None = None) -> str:
 # tests/test_citation_scan.py.
 _CITE = re.compile(
     r"(?i:section (?P<s_sec>\d+(?:\.\d+)*) of RFC (?P<s_rfc>\d+))"
-    r"|\bRFC (?P<rfc>\d+)\b"
+    r"|\bRFC (?P<rfc>\d+)\b",
+    re.ASCII,  # pin \b/\d to the RE2 semantics of the SQL oracles
 )
 
 # EU-legislation grammar pack (reference ``citationpatterns.py:34-70``
@@ -86,7 +87,9 @@ def _eu_act(prefix: str) -> str:
 _EU_CITE = re.compile(
     r"\bArticle (?P<art>\d+)(?:\((?P<sub>\d+)\))? of "
     + _eu_act("a") + r"\b"
-    + r"|\b" + _eu_act("") + r"\b")
+    + r"|\b" + _eu_act("") + r"\b",
+    re.ASCII)  # Unicode \b/\d diverge from the RE2 oracle on
+               # non-ASCII neighbours/digits ('…/ECé', '١٢')
 
 
 def format_eulaw_uri(act: str, year: str, num: str,

@@ -156,3 +156,35 @@ def test_curation_explicit_benchmark_table(ray_session, tmp_path):
     n_clean = len(re.findall(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]",
                              clean))
     assert int(got.n_tokens.sum()) == n_clean  # leak dropped, 20 kept
+
+
+def test_benchmark_rows_no_seam_grams(ray_session, tmp_path):
+    """Multi-row benchmark tables must NOT emit phantom n-grams
+    spanning adjacent benchmark docs (the all-zero doc_id bug): a
+    corpus doc whose only 5-gram overlap would be the seam between
+    two benchmark rows must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.pipelines.curate import curation_pipeline
+
+    # two 3-token benchmark docs; their seam would fabricate the
+    # 5-grams "alpha beta gamma delta epsilon" / "beta gamma delta
+    # epsilon zeta" if rows shared one doc id
+    pq.write_table(
+        pa.table({"text": pa.array(["alpha beta gamma",
+                                    "delta epsilon zeta"], pa.string())}),
+        str(tmp_path / "benchmark.parquet"))
+    seam = ("we note alpha beta gamma delta epsilon here and that it "
+            "is a good day for the team to review the data as planned")
+    tab = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "source": pa.array(["s0"], pa.string()),
+        "text": pa.array([seam], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = curation_pipeline(
+        str(tmp_path),
+        benchmark_parquet=str(tmp_path / "benchmark.parquet")
+    ).to_pandas()
+    assert int(got.n_docs.sum()) == 1  # seam gram is phantom: doc kept
