@@ -52,6 +52,17 @@ def read_partials(root: str, tag: str, bucket: int) -> pd.DataFrame | None:
 _PUBLISHED: list[str] = []
 
 
+def _register(path: str) -> None:
+    """Track a stage-tier result dir for removal at interpreter exit."""
+    import atexit
+    import shutil
+
+    if not _PUBLISHED:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _PUBLISHED])
+    _PUBLISHED.append(path)
+
+
 def publish_dataset(root: str, files: list[str], prefix: str,
                     columns: list[str] | None = None):
     """Publish the final per-bucket result files of a BSP run as a lazy
@@ -63,19 +74,31 @@ def publish_dataset(root: str, files: list[str], prefix: str,
     Result dirs are removed at interpreter exit; callers that need the
     output durably write_parquet it somewhere of their own.
     """
-    import atexit
-    import shutil
-
     import ray.data as rd
 
     out = stage_root(prefix)
     os.makedirs(out, exist_ok=True)
     for f in files:
         os.replace(f, os.path.join(out, os.path.basename(f)))
-    if not _PUBLISHED:
-        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
-                                 for p in _PUBLISHED])
-    _PUBLISHED.append(out)
+    _register(out)
+    return rd.read_parquet(out, columns=columns)
+
+
+def spill_dataset(ds, prefix: str, columns: list[str] | None = None):
+    """Disk-tier replacement for ``Dataset.materialize()`` on
+    corpus-scale DERIVED data consumed more than once (token/shingle
+    partials): stream the dataset to a stage-tier dir in ONE pass and
+    return a lazy ``read_parquet`` over it. Re-reads stream from the
+    managed disk tier (shared storage on a cluster) instead of pinning
+    the whole derived dataset in the object store, where at 100 TB it
+    would live in spill files anyway — but unmanaged and re-shipped per
+    consumer. Cleaned at interpreter exit (:func:`_register`)."""
+    import ray.data as rd
+
+    out = stage_root(prefix)
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    _register(out)
     return rd.read_parquet(out, columns=columns)
 
 

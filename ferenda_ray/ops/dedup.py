@@ -339,7 +339,11 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8):
     Jaccard ≥ threshold, all distributed (see :func:`_verified_pairs`).
     The shingle Dataset is materialized once and feeds both the banding
     and the verification join."""
-    sh = shingle_ds(sf_dir).materialize()  # consumed twice (bands + join)
+    from ferenda_ray.bsp import spill_dataset
+
+    # consumed twice (bands + verification join): disk tier, not a
+    # corpus-scale object-store pin
+    sh = spill_dataset(shingle_ds(sf_dir), "ferenda_sh")
     cand = _lsh_candidates(sh)
     return _verified_pairs(sh, cand, threshold)
 
@@ -919,7 +923,11 @@ def page_near_dups(pages_path: str, threshold: float = 0.6,
     texts = (pages.map_batches(extract_batch, batch_format="pyarrow",
                                batch_size=64)
              .map_batches(snapshot_ids, batch_format="pyarrow"))
-    sh = texts.map_batches(_shingles_batch, batch_format="pyarrow").materialize()
+    from ferenda_ray.bsp import spill_dataset
+
+    sh = spill_dataset(  # consumed twice (bands + verification join)
+        texts.map_batches(_shingles_batch, batch_format="pyarrow"),
+        "ferenda_pagesh")
     cand = _lsh_candidates(sh, num_buckets, n_bands=32)
     return _verified_pairs(sh, cand, threshold, num_buckets)
 

@@ -12,6 +12,7 @@ SQL); only the FSM-structured and tokenizer-id outputs stay rows-only.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -442,8 +443,13 @@ def fingerprint_containment_pairs(sf_dir: str,
     driver-side map."""
     import pyarrow.compute as pc
 
+    from ferenda_ray.bsp import spill_dataset
+
     num_buckets = 16
-    rows = _fp_rows_ds(_docs(sf_dir, ["doc_id", "text"])).materialize()
+    # consumed twice (totals + pairs): spill to the disk tier instead
+    # of pinning corpus-scale fp rows in the object store
+    rows = spill_dataset(_fp_rows_ds(_docs(sf_dir, ["doc_id", "text"])),
+                         "ferenda_fprows")
     counts = _doc_fp_counts(rows)
     pair_counts = _fp_pair_counts(rows, max_df)
 
@@ -1398,6 +1404,85 @@ FROM f
 
 # -- unigram-LM cross-entropy scoring (perplexity-filter slot) -------------
 
+def _bsp_doc_scores(partials, columns: list[str], score_bucket, finish,
+                    num_buckets: int, prefix: str):
+    """Token-bucket cogroup on the BSP disk tier (the
+    ``dedup._verified_pairs`` pattern) shared by :func:`lm_cross_entropy`
+    and :func:`dsir_scores` — token-level partials NEVER sit in the Ray
+    object store and the scalar aggregates ride along as sidecars
+    instead of re-traversing the partials:
+
+    1. hive-write the (pre-collapsed) token partials by ``bucket`` —
+       ONE streaming pass over text, straight to the stage tier;
+    2. one ray task per bucket: ``score_bucket(df) → (per-doc partial
+       frame (doc_id, s, n), scalar sidecar dict)``; the frame is
+       exchanged by ``doc_id % B`` via :func:`bsp.write_partials`, the
+       sidecars (bucket-local token/vocab totals) return to the driver
+       and sum — constant driver state, no second traversal;
+    3. one ray task per doc-bucket: fragments → per-doc (s, n) sums →
+       ``finish(df, scalars)`` applies the scalar closing formula;
+       results publish as a lazy Dataset (``bsp.publish_dataset``).
+
+    Both exchanges move only skinny pre-aggregated rows; per-(doc,t)
+    collapse in step 1 bounds any token's rows by #docs."""
+    import shutil
+
+    import ray
+    from ferenda_ray.bsp import (publish_dataset, read_hive_bucket,
+                                 read_partials, stage_root,
+                                 write_partials)
+
+    root = stage_root(prefix)
+    try:
+        partials.write_parquet(os.path.join(root, "tok"),
+                               partition_cols=["bucket"])
+
+        @ray.remote
+        def bucket_task(b: int) -> dict:
+            t = read_hive_bucket(root, "tok", "bucket", b, columns)
+            if t is None or not t.num_rows:
+                return {}
+            df, scal = score_bucket(t.to_pandas())
+            df["db"] = (df["doc_id"].to_numpy()
+                        % num_buckets).astype("int32")
+            write_partials(root, "doc", b, df, "db")
+            return scal
+
+        sides = ray.get([bucket_task.remote(b)
+                         for b in range(num_buckets)])
+        scalars: dict = {}
+        for s in sides:
+            for k, v in s.items():
+                scalars[k] = scalars.get(k, 0) + v
+
+        @ray.remote
+        def doc_task(db: int) -> str:
+            import pyarrow.parquet as pq
+
+            g = read_partials(root, "doc", db)
+            if g is None:
+                out = pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "s": pd.Series([], dtype="float64"),
+                     "n": pd.Series([], dtype="int64")})
+            else:
+                out = (g.groupby("doc_id", as_index=False)
+                       .agg(s=("s", "sum"), n=("n", "sum"))
+                       .astype({"doc_id": "int64", "s": "float64",
+                                "n": "int64"}))
+            path = os.path.join(root, f"scored-{db:05d}.parquet")
+            pq.write_table(pa.Table.from_pandas(finish(out, scalars),
+                                                preserve_index=False),
+                           path)
+            return path
+
+        files = ray.get([doc_task.remote(db)
+                         for db in range(num_buckets)])
+        return publish_dataset(root, files, prefix + "_out")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def lm_cross_entropy(sf_dir: str):
     """Per-doc cross-entropy under the corpus unigram LM — the
     CCNet/Dolma perplexity-filter slot (there a KenLM model; here the
@@ -1406,24 +1491,17 @@ def lm_cross_entropy(sf_dir: str):
     alpha tokens, where ``c_t`` is the corpus count of token ``t`` and
     ``N`` the corpus token total.
 
-    Distributed shape — NO vocabulary broadcast (the df-map trap):
-
-    1. per-batch partial: (doc_id, t, n) collapsed term counts;
-    2. ONE ``groupby(hash(t) % B)`` exchange — bucket-level, never
-       per-key — and inside each bucket task a vectorized
-       token-groupby yields every token's global ``c_t`` (a token's
-       rows all land in its bucket), immediately consumed as per-doc
-       contributions ``n·ln(c_t)``; the count table never exists as a
-       driver/broadcast object;
-    3. a small ``groupby(doc_id)`` sum + the scalar ln(N).
-
-    Hot tokens ("the") arrive pre-collapsed to one row per (doc, t),
-    so a token's rows are bounded by #docs and buckets stay balanced —
-    the same bound the incoming-refs bucketing relies on. Float note:
-    per-doc sums of ~10-magnitude ln terms keep accumulation error
-    ~1e-13, far inside the oracle gate's 1e-6 rounding."""
+    Distributed shape = :func:`_bsp_doc_scores` — NO vocabulary
+    broadcast (the df-map trap), token partials on the disk tier (never
+    object-store-pinned), and ``N`` folded into the bucket pass as a
+    scalar sidecar instead of a second traversal. Inside each bucket
+    task a vectorized token-groupby yields every token's global ``c_t``
+    (a token's rows all land in its bucket), immediately consumed as
+    per-doc contributions ``n·ln(c_t)``; the count table never exists
+    as a driver/broadcast object. Float note: per-doc sums of
+    ~10-magnitude ln terms keep accumulation error ~1e-13, far inside
+    the oracle gate's 1e-6 rounding."""
     import numpy as np
-    from ray.data.aggregate import Sum
 
     num_buckets = 32
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1443,59 +1521,29 @@ def lm_cross_entropy(sf_dir: str):
             .cast(pl.Int32).alias("bucket"))
         return g.to_arrow()
 
-    grouped = ds.map_batches(partial, batch_format="pyarrow").materialize()
-    n_total = grouped.aggregate(Sum("n"))["sum(n)"]
-
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(g: pd.DataFrame):
         c = g.groupby("t")["n"].transform("sum").to_numpy()
         part = pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy(),
             "s": g["n"].to_numpy() * np.log(c.astype(np.float64)),
             "n": g["n"].to_numpy(),
         })
-        # per-doc partial inside the bucket: the doc-level exchange
-        # carries ≤ one row per (doc, bucket), not one per (doc, term).
-        # dtypes pinned so an empty group emits the same schema (Ray's
-        # executor warns on RefBundle schema flips otherwise)
         out = (part.groupby("doc_id", as_index=False)
-               .agg(s=("s", "sum"), n=("n", "sum")))
-        return out.astype({"doc_id": "int64", "s": "float64",
-                           "n": "int64"})
+               .agg(s=("s", "sum"), n=("n", "sum"))
+               .astype({"doc_id": "int64", "s": "float64",
+                        "n": "int64"}))
+        return out, {"N": int(g["n"].sum())}
 
-    def doc_bucket(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "db", pa.array(d % num_buckets, pa.int32()))
+    def finish(df: pd.DataFrame, scal: dict) -> pd.DataFrame:
+        logN = float(np.log(max(scal.get("N", 0), 1)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "cross_entropy": logN - df["s"] / df["n"]})
 
-    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per-bucket doc sums: Ray's sort-based aggregate
-        # pays a multi-second toll at thousands of groups (measured
-        # 20s on 86k rows / 5k docs); one skinny bucket exchange +
-        # pandas groupby does the same in ~2s. dtypes pinned so an
-        # empty group can never flip the executor-visible schema.
-        out = (g.groupby("doc_id", as_index=False)
-               .agg(s=("s", "sum"), n=("n", "sum")))
-        return out.astype({"doc_id": "int64", "s": "float64",
-                           "n": "int64"})
-
-    per_doc = (grouped.groupby("bucket")
-               .map_groups(score_bucket, batch_format="pandas")
-               .map_batches(doc_bucket, batch_format="pyarrow")
-               .groupby("db")
-               .map_groups(doc_sum, batch_format="pandas"))
-
-    logN = float(np.log(n_total))
-
-    def fin(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        h = pc.subtract(pa.scalar(logN),
-                        pc.divide(b.column("s"),
-                                  pc.cast(b.column("n"), pa.float64())))
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "cross_entropy": h})
-
-    return per_doc.map_batches(fin, batch_format="pyarrow")
+    return _bsp_doc_scores(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id", "t", "n"], score_bucket, finish,
+        num_buckets, "ferenda_lmce")
 
 
 LM_CROSS_ENTROPY_SQL = """
@@ -1533,16 +1581,18 @@ def dsir_scores(sf_dir: str, target_source: str = DSIR_TARGET):
     top-weighted docs (the sampling step is ``ops/sample.py``'s job —
     this operator is the distributed scorer).
 
-    Distributed shape = the :func:`lm_cross_entropy` token-bucket
-    cogroup: per-batch (doc, t, n, is_target) partials, ONE
-    hash(t)-bucket exchange where each bucket task sees every token's
-    global target and raw counts and immediately folds them into
-    per-doc partial sums, a bucketed doc-sum, then a scalar finish
-    (the smoothing denominators ln(N+V) are per-doc multiples of
-    n_doc, so V — the global distinct-token count — and the two N's
-    stay driver scalars; no vocabulary ever concentrates)."""
+    Distributed shape = the :func:`_bsp_doc_scores` token-bucket
+    cogroup on the disk tier: per-batch (doc, t, n, is_target)
+    partials hive-written by hash(t) bucket (never object-store
+    pinned), one bucket task sees every token's global target and raw
+    counts and immediately folds them into per-doc partial sums, a
+    bucketed doc-sum, then a scalar finish. The smoothing denominators
+    ln(N+V) are per-doc multiples of n_doc, and V (global
+    distinct-token count, exact — each token lives in exactly one
+    bucket) plus the two N's ride back from the bucket pass as sidecar
+    scalars; no vocabulary ever concentrates and the partials are
+    never re-traversed."""
     import numpy as np
-    from ray.data.aggregate import Sum
 
     num_buckets = 32
     ds = _docs(sf_dir, ["doc_id", "source", "text"])
@@ -1563,29 +1613,7 @@ def dsir_scores(sf_dir: str, target_source: str = DSIR_TARGET):
             .cast(pl.Int32).alias("bucket"))
         return g.to_arrow()
 
-    grouped = ds.map_batches(partial, batch_format="pyarrow").materialize()
-
-    def tot(is_t: bool) -> int:
-        import pyarrow.compute as pc
-
-        flt = grouped.map_batches(
-            lambda b, v=is_t: b.filter(pc.equal(b.column("is_target"),
-                                                v)),
-            batch_format="pyarrow")
-        got = flt.aggregate(Sum("n"))["sum(n)"]
-        return int(got or 0)
-
-    n_tgt, n_raw = tot(True), tot(False)
-
-    def vocab_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"v": pd.Series([g["t"].nunique()],
-                                            dtype="int64")})
-
-    v_total = int(grouped.groupby("bucket")
-                  .map_groups(vocab_bucket, batch_format="pandas")
-                  .aggregate(Sum("v"))["sum(v)"] or 0)
-
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(g: pd.DataFrame):
         c_tgt = (g["n"].where(g["is_target"], 0)
                  .groupby(g["t"]).transform("sum").to_numpy())
         c_raw = (g["n"].where(~g["is_target"], 0)
@@ -1599,40 +1627,26 @@ def dsir_scores(sf_dir: str, target_source: str = DSIR_TARGET):
             "n": n,
         })
         out = (part.groupby("doc_id", as_index=False)
-               .agg(s=("s", "sum"), n=("n", "sum")))
-        return out.astype({"doc_id": "int64", "s": "float64",
-                           "n": "int64"})
+               .agg(s=("s", "sum"), n=("n", "sum"))
+               .astype({"doc_id": "int64", "s": "float64",
+                        "n": "int64"}))
+        return out, {"n_tgt": int(g["n"][g["is_target"]].sum()),
+                     "n_raw": int(g["n"][~g["is_target"]].sum()),
+                     "v": int(g["t"].nunique())}
 
-    def doc_bucket(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "db", pa.array(d % num_buckets, pa.int32()))
+    def finish(df: pd.DataFrame, scal: dict) -> pd.DataFrame:
+        # constant smoothing term: n_doc·(ln(N_raw+V) − ln(N_tgt+V))
+        v = scal.get("v", 0)
+        const = float(np.log(max(scal.get("n_raw", 0) + v, 1))
+                      - np.log(max(scal.get("n_tgt", 0) + v, 1)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "dsir_weight": df["s"] + df["n"] * const})
 
-    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby("doc_id", as_index=False)
-               .agg(s=("s", "sum"), n=("n", "sum")))
-        return out.astype({"doc_id": "int64", "s": "float64",
-                           "n": "int64"})
-
-    per_doc = (grouped.groupby("bucket")
-               .map_groups(score_bucket, batch_format="pandas")
-               .map_batches(doc_bucket, batch_format="pyarrow")
-               .groupby("db")
-               .map_groups(doc_sum, batch_format="pandas"))
-
-    # constant smoothing term: n_doc · (ln(N_raw + V) − ln(N_tgt + V))
-    const = float(np.log(n_raw + v_total) - np.log(n_tgt + v_total))
-
-    def fin(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        w = pc.add(b.column("s"),
-                   pc.multiply(pc.cast(b.column("n"), pa.float64()),
-                               pa.scalar(const)))
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "dsir_weight": w})
-
-    return per_doc.map_batches(fin, batch_format="pyarrow")
+    return _bsp_doc_scores(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id", "is_target", "t", "n"], score_bucket, finish,
+        num_buckets, "ferenda_dsir")
 
 
 DSIR_SCORES_SQL = f"""
