@@ -178,13 +178,12 @@ def bpe_train(sf_dir: str, num_merges: int = NUM_MERGES,
     import ray
 
     from ferenda_ray.bsp import stage_root
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     root = stage_root("ferenda_bpe")
     try:
         def add_bucket(b: pa.Table) -> pa.Table:
-            ks = [stable_uint(w, num_shards)
-                  for w in b.column("w").to_pylist()]
+            ks = bucket_keys(b.column("w"), num_shards)
             return b.append_column("sb", pa.array(ks, pa.int32()))
 
         (_word_vocab_ds(sf_dir)

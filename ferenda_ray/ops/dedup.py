@@ -147,6 +147,41 @@ MAX_BUCKET = 500  # guard against a degenerate mega-bucket going O(n²);
 N_SHUFFLE_BUCKETS = 64
 
 
+def _pair_indices(key: np.ndarray, max_bucket: int = MAX_BUCKET):
+    """All within-group (i<j) index pairs over a GROUP-SORTED key
+    array, one ``np.triu_indices`` call per group run (vector per
+    group, never per pair — replaces the nested python append loops
+    that paid ≤C(500,2) list appends per group). Groups outside
+    [2, max_bucket] are skipped (the mega-bucket guard)."""
+    n = len(key)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not n:
+        return empty
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    ia, jb = [], []
+    for s, l in zip(starts.tolist(), lens.tolist()):
+        if l < 2 or l > max_bucket:
+            continue
+        ii, jj = np.triu_indices(l, k=1)
+        ia.append(s + ii)
+        jb.append(s + jj)
+    if not ia:
+        return empty
+    return (np.concatenate(ia).astype(np.int64),
+            np.concatenate(jb).astype(np.int64))
+
+
+def _group_runs(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    """Consecutive-run group ids for a frame already sorted by
+    ``cols`` (vectorized shift-compare, no groupby objects)."""
+    chg = None
+    for c in cols:
+        ne = df[c].ne(df[c].shift())
+        chg = ne if chg is None else (chg | ne)
+    return chg.cumsum().to_numpy()
+
+
 def _lsh_candidates(sh_ds, num_buckets: int = N_SHUFFLE_BUCKETS,
                     n_bands: int = N_BANDS):
     """Shingle Dataset → LSH candidate pairs (doc_a < doc_b, n_bands).
@@ -161,29 +196,25 @@ def _lsh_candidates(sh_ds, num_buckets: int = N_SHUFFLE_BUCKETS,
     for a 0.5 threshold where the default 16×4 recall is only ~64%)."""
     import functools
 
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     ds = sh_ds.map_batches(
         functools.partial(_band_rows_batch, n_bands=n_bands),
         batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [stable_uint(h, num_buckets)
-                   for h in b.column("band_hash").to_pylist()]
+        buckets = bucket_keys(b.column("band_hash").to_pylist(),
+                              num_buckets)
         return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby(["band", "band_hash"], sort=True):
-            ids = sorted(grp["doc_id"].unique())
-            if len(ids) < 2 or len(ids) > MAX_BUCKET:
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        u = (g[["band", "band_hash", "doc_id"]].drop_duplicates()
+             .sort_values(["band", "band_hash", "doc_id"],
+                          kind="mergesort"))
+        ia, jb = _pair_indices(_group_runs(u, ["band", "band_hash"]))
+        ids = u["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_a": pd.Series(ids[ia], dtype="int64"),
+                             "doc_b": pd.Series(ids[jb], dtype="int64")})
 
     cand = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -433,6 +464,20 @@ def simhash64(text: str) -> int:
     return out
 
 
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over an int64 array via a byte LUT (numpy
+    1.x has no ``bitwise_count``). Callers XOR the 32-bit simhash
+    HALVES separately, so values stay < 2³² and int64 XOR is exact —
+    never combine halves into one int64 first (see
+    :func:`hamming64`'s overflow note)."""
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return _POP8[b].reshape(len(x), 8).sum(axis=1)
+
+
 def hamming64(lo_a: int, hi_a: int, lo_b: int, hi_b: int) -> int:
     """Hamming distance between two simhashes stored as (lo, hi) 32-bit
     halves. Python-int arithmetic throughout: combining halves with
@@ -469,58 +514,49 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by SimHash: block on each 16-bit quarter (pigeonhole:
     hamming ≤ 3 ⇒ at least one identical quarter), verify hamming
     distance, dedup pairs found via multiple blocks."""
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_ints
 
     hs = simhashes(sf_dir)
 
     def explode_blocks(b: pa.Table) -> pa.Table:
         """One narrow row per (doc, block): shuffle key = coarse bucket of
         (block index, 16-bit value) so each map_groups task handles many
-        exact blocks vectorized (same bucketing rationale as minhash)."""
-        ids = b.column("doc_id").to_pylist()
-        lo = b.column("simhash_lo").to_pylist()
-        hi = b.column("simhash_hi").to_pylist()
-        out = {"doc_id": [], "simhash_lo": [], "simhash_hi": [],
-               "blk": [], "blk_val": [], "bucket": []}
-        for i in range(len(ids)):
-            for blk in range(4):
-                val = b.column(f"block{blk}")[i].as_py()
-                out["doc_id"].append(ids[i])
-                out["simhash_lo"].append(lo[i])
-                out["simhash_hi"].append(hi[i])
-                out["blk"].append(blk)
-                out["blk_val"].append(val)
-                out["bucket"].append(stable_uint(f"{blk}:{val}", N_SHUFFLE_BUCKETS))
+        exact blocks vectorized (same bucketing rationale as minhash).
+        Fully vectorized repeat/tile — no per-row python."""
+        n = b.num_rows
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lo = b.column("simhash_lo").to_numpy(zero_copy_only=False)
+        hi = b.column("simhash_hi").to_numpy(zero_copy_only=False)
+        vals = np.stack([b.column(f"block{k}")
+                         .to_numpy(zero_copy_only=False)
+                         for k in range(4)], axis=1).ravel()
+        blk = np.tile(np.arange(4, dtype=np.int64), n)
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "simhash_lo": pa.array(out["simhash_lo"], pa.int64()),
-                "simhash_hi": pa.array(out["simhash_hi"], pa.int64()),
-                "blk": pa.array(out["blk"], pa.int32()),
-                "blk_val": pa.array(out["blk_val"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.int32()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash_lo": pa.array(np.repeat(lo, 4), pa.int64()),
+                "simhash_hi": pa.array(np.repeat(hi, 4), pa.int64()),
+                "blk": pa.array(blk.astype(np.int32), pa.int32()),
+                "blk_val": pa.array(vals.astype(np.int32), pa.int32()),
+                # (blk, val) co-location key: 16-bit quarter value
+                # shifted past the 2-bit block index
+                "bucket": pa.array(
+                    bucket_ints(vals.astype(np.int64) * 4 + blk,
+                                N_SHUFFLE_BUCKETS), pa.int32()),
             }
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a_o, b_o, d_o = [], [], []
-        for _, grp in g.groupby(["blk", "blk_val"], sort=True):
-            recs = sorted(zip(grp["doc_id"], grp["simhash_lo"],
-                              grp["simhash_hi"]))
-            if len(recs) < 2 or len(recs) > MAX_BUCKET:
-                continue
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    da, la, ha = recs[i]
-                    db, lb, hb = recs[j]
-                    d = hamming64(la, ha, lb, hb)
-                    if d <= max_hamming:
-                        a_o.append(da)
-                        b_o.append(db)
-                        d_o.append(d)
-        return pd.DataFrame({"doc_a": pd.Series(a_o, dtype="int64"),
-                             "doc_b": pd.Series(b_o, dtype="int64"),
-                             "hamming": pd.Series(d_o, dtype="int64")})
+        u = g.sort_values(["blk", "blk_val", "doc_id"], kind="mergesort")
+        ia, jb = _pair_indices(_group_runs(u, ["blk", "blk_val"]))
+        ids = u["doc_id"].to_numpy()
+        lo = u["simhash_lo"].to_numpy()
+        hi = u["simhash_hi"].to_numpy()
+        d = (_popcount64(lo[ia] ^ lo[jb]) + _popcount64(hi[ia] ^ hi[jb]))
+        m = d <= max_hamming
+        return pd.DataFrame({"doc_a": pd.Series(ids[ia][m], dtype="int64"),
+                             "doc_b": pd.Series(ids[jb][m], dtype="int64"),
+                             "hamming": pd.Series(d[m], dtype="int64")})
 
     all_pairs = (
         hs.map_batches(explode_blocks, batch_format="pyarrow")

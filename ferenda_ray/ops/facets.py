@@ -48,15 +48,15 @@ def faceted_data(triples_ds, facets: dict[str, str] | None = None):
     def prefilter(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ferenda_ray.util import stable_uint
+        from ferenda_ray.util import bucket_keys
 
         b = b.filter(
             pc.is_in(b.column("pred"),
                      value_set=pa.array(list(pred_to_name), pa.string()))
         ).select(["subj", "pred", "obj"])
-        buckets = [stable_uint(s, num_buckets)
-                   for s in b.column("subj").to_pylist()]
-        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+        return b.append_column(
+            "bucket", pa.array(bucket_keys(b.column("subj"), num_buckets),
+                               pa.int32()))
 
     def pivot(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized: thousands of subjects per bucket task, one pandas

@@ -80,11 +80,10 @@ def incoming_refs(edges_ds, num_buckets: int = 32):
     content, computed as a shuffle instead of cross-task file appends).
     Bucketed by hash(dst) so one task handles many targets vectorized
     (per-key map_groups pays python overhead per target)."""
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [stable_uint(d, num_buckets)
-                   for d in b.column("dst").to_pylist()]
+        buckets = bucket_keys(b.column("dst"), num_buckets)
         return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
@@ -99,6 +98,13 @@ def incoming_refs(edges_ds, num_buckets: int = 32):
 
 
 # -- BSP machinery for iterative node-score algorithms ----------------------
+
+# identifies the bucket-assignment hash baked into a staged resume
+# root; bumped when the hash changes so a durable root staged by older
+# code refuses to resume instead of silently splitting the keyspace
+# differently ("sha1" was the pre-r5 per-row python assignment)
+_BUCKET_FN = "xxh64-splitmix"
+
 
 def _graph_stage_root() -> str:
     from ferenda_ray.bsp import stage_root
@@ -143,17 +149,15 @@ def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
     """One-time partitioning: edges hive-written by hash(src) AND by
     hash(dst); per-bucket node tables (url, outdeg) reduced from
     endpoint indicator rows. Returns the global node count."""
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     def tag(b: pa.Table) -> pa.Table:
-        src = b.column("src").to_pylist()
-        dst = b.column("dst").to_pylist()
         return pa.table({
             "src": b.column("src"),
             "dst": b.column("dst"),
-            "sb": pa.array([stable_uint(s, num_buckets) for s in src],
+            "sb": pa.array(bucket_keys(b.column("src"), num_buckets),
                            pa.int32()),
-            "db": pa.array([stable_uint(d, num_buckets) for d in dst],
+            "db": pa.array(bucket_keys(b.column("dst"), num_buckets),
                            pa.int32()),
         })
 
@@ -164,15 +168,15 @@ def _stage_graph(edges_ds, root: str, num_buckets: int) -> int:
         os.path.join(root, "edges_by_dst"), partition_cols=["db"])
 
     def endpoints(b: pa.Table) -> pa.Table:
-        src = b.column("src").to_pylist()
-        dst = b.column("dst").to_pylist()
+        n = b.num_rows
+        url = pa.concat_arrays([
+            b.column("src").combine_chunks().cast(pa.string()),
+            b.column("dst").combine_chunks().cast(pa.string())])
         return pa.table({
-            "url": pa.concat_arrays([
-                b.column("src").combine_chunks().cast(pa.string()),
-                b.column("dst").combine_chunks().cast(pa.string())]),
-            "out": pa.array([1] * len(src) + [0] * len(dst), pa.int64()),
-            "nb": pa.array([stable_uint(u, num_buckets)
-                            for u in src + dst], pa.int32()),
+            "url": url,
+            "out": pa.array(np.r_[np.ones(n, np.int64),
+                                  np.zeros(n, np.int64)]),
+            "nb": pa.array(bucket_keys(url, num_buckets), pa.int32()),
         })
 
     (tagged.map_batches(endpoints, batch_format="pyarrow")
@@ -266,7 +270,8 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             meta = _json.load(open(marker))
             _check_staged_params(meta, {"num_buckets": num_buckets,
                                         "damping": damping,
-                                        "n_iter": n_iter})
+                                        "n_iter": n_iter,
+                                        "bucket_fn": _BUCKET_FN})
             n = meta["n"]
         else:
             # no marker = staging never completed; a partial hive dir
@@ -277,7 +282,8 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             os.makedirs(root, exist_ok=True)
             n = _stage_graph(edges_ds, root, num_buckets)
             _atomic_write_json({"n": n, "num_buckets": num_buckets,
-                                "damping": damping, "n_iter": n_iter},
+                                "damping": damping, "n_iter": n_iter,
+                                "bucket_fn": _BUCKET_FN},
                                marker)
         if n == 0:
             done = True
@@ -285,7 +291,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
                 {"url": pa.array([], pa.string()),
                  "rank": pa.array([], pa.float64())}))
 
-        from ferenda_ray.util import stable_uint
+        from ferenda_ray.util import bucket_keys
 
         @ray.remote
         def init_rank(b: int) -> None:
@@ -310,7 +316,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
                 j["c"] = j["rank"] / j["outdeg"]
                 part = (j.groupby("dst", sort=True)["c"].sum()
                         .reset_index().rename(columns={"dst": "url"}))
-                part["db"] = [stable_uint(u, num_buckets) for u in part.url]
+                part["db"] = bucket_keys(part.url.to_numpy(), num_buckets)
                 _write_partials(root, f"contrib{r}", b, part, "db")
             return float(rank.loc[rank.outdeg == 0, "rank"].sum())
 
@@ -380,7 +386,8 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
         if resume_root and os.path.exists(marker):
             meta = _json.load(open(marker))
             _check_staged_params(meta, {"num_buckets": num_buckets,
-                                        "n_iter": n_iter})
+                                        "n_iter": n_iter,
+                                        "bucket_fn": _BUCKET_FN})
             n = meta["n"]
         else:
             if resume_root and os.path.isdir(root):
@@ -388,7 +395,8 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
             os.makedirs(root, exist_ok=True)
             n = _stage_graph(edges_ds, root, num_buckets)
             _atomic_write_json({"n": n, "num_buckets": num_buckets,
-                                "n_iter": n_iter}, marker)
+                                "n_iter": n_iter,
+                                "bucket_fn": _BUCKET_FN}, marker)
         if n == 0:
             done = True
             return rd.from_arrow(pa.table(
@@ -396,7 +404,7 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
                  "authority": pa.array([], pa.float64()),
                  "hub": pa.array([], pa.float64())}))
 
-        from ferenda_ray.util import stable_uint
+        from ferenda_ray.util import bucket_keys
 
         @ray.remote
         def half_step(b: int, edges_kind: str, key: str, other: str,
@@ -418,7 +426,7 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
                 vals = np.full(len(edges), default / norm)
             part = pd.DataFrame({"url": edges[other].values, "c": vals})
             part = part.groupby("url", sort=True)["c"].sum().reset_index()
-            part["db"] = [stable_uint(u, num_buckets) for u in part.url]
+            part["db"] = bucket_keys(part.url.to_numpy(), num_buckets)
             _write_partials(root, out_tag, b, part, "db")
 
         @ray.remote

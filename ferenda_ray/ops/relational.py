@@ -29,7 +29,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ferenda_ray.util import stable_uint
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -618,9 +617,12 @@ def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
                                   "value"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [stable_uint(str(u), num_buckets)
-                   for u in b.column("user_id").to_pylist()]
-        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+        from ferenda_ray.util import bucket_keys
+
+        return b.append_column(
+            "bucket",
+            pa.array(bucket_keys(b.column("user_id"), num_buckets),
+                     pa.int32()))
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")

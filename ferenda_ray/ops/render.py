@@ -313,29 +313,29 @@ def generate_join(docs_ds, refs_ds, num_buckets: int = 32,
     import pandas as pd
 
     from ferenda_ray.state import fetch
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     def tag_docs(b: pa.Table) -> pa.Table:
-        urls = b.column("url").to_pylist()
+        n = b.num_rows
         return pa.table({
             "url": b.column("url"),
             "title": b.column("title"),
             "tree": b.column("tree"),
-            "citing": pa.array([""] * len(urls), pa.string()),
-            "side": pa.array([0] * len(urls), pa.int8()),
-            "bucket": pa.array([stable_uint(u, num_buckets) for u in urls],
+            "citing": pa.array([""] * n, pa.string()),
+            "side": pa.array([0] * n, pa.int8()),
+            "bucket": pa.array(bucket_keys(b.column("url"), num_buckets),
                                pa.int32()),
         })
 
     def tag_refs(b: pa.Table) -> pa.Table:
-        urls = b.column("dst").to_pylist()
+        n = b.num_rows
         return pa.table({
             "url": b.column("dst"),
-            "title": pa.array([""] * len(urls), pa.string()),
-            "tree": pa.array([""] * len(urls), pa.large_string()),
+            "title": pa.array([""] * n, pa.string()),
+            "tree": pa.array([""] * n, pa.large_string()),
             "citing": b.column("citing").cast(pa.string()),
-            "side": pa.array([1] * len(urls), pa.int8()),
-            "bucket": pa.array([stable_uint(u, num_buckets) for u in urls],
+            "side": pa.array([1] * n, pa.int8()),
+            "bucket": pa.array(bucket_keys(b.column("dst"), num_buckets),
                                pa.int32()),
         })
 

@@ -1082,35 +1082,33 @@ def _tfidf_scored_join(docs_ds, df_ds, n_docs: int, k: int,
     buckets, so the top-k needs its own doc-keyed exchange). Scores are
     arithmetically identical to the broadcast path
     (tests/test_ops.py)."""
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     def tf_side(b: pa.Table) -> pa.Table:
         t = _doc_terms(b).to_arrow().cast(pa.schema(
             [("doc_id", pa.int64()), ("term", pa.string()),
              ("tf", pa.int64())]))
-        terms = t.column("term").to_pylist()
-        n = len(terms)
+        n = t.num_rows
         return pa.table({
             "doc_id": t.column("doc_id"),
             "term": t.column("term"),
             "tf": t.column("tf"),
             "df": pa.array([0] * n, pa.int64()),
             "side": pa.array([0] * n, pa.int8()),
-            "bucket": pa.array([stable_uint(x, num_buckets)
-                                for x in terms], pa.int32()),
+            "bucket": pa.array(bucket_keys(t.column("term"), num_buckets),
+                               pa.int32()),
         })
 
     def df_side(b: pa.Table) -> pa.Table:
-        terms = b.column("term").to_pylist()
-        n = len(terms)
+        n = b.num_rows
         return pa.table({
             "doc_id": pa.array([-1] * n, pa.int64()),
             "term": b.column("term"),
             "tf": pa.array([0] * n, pa.int64()),
             "df": b.column("df").cast(pa.int64()),
             "side": pa.array([1] * n, pa.int8()),
-            "bucket": pa.array([stable_uint(x, num_buckets)
-                                for x in terms], pa.int32()),
+            "bucket": pa.array(bucket_keys(b.column("term"), num_buckets),
+                               pa.int32()),
         })
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:

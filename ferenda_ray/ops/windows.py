@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ferenda_ray.ops.relational import _t
-from ferenda_ray.util import stable_uint
+from ferenda_ray.util import bucket_keys
 
 SESSION_GAP_MIN = 30
 
@@ -36,7 +36,10 @@ def _bucket_col(df: pd.DataFrame, key: str, num_buckets: int) -> pd.DataFrame:
     # df may be a slice of the batch (rename/filter upstream) — assign on
     # a copy to avoid pandas SettingWithCopyWarning chained-write ambiguity
     df = df.copy()
-    df["bucket"] = [stable_uint(str(k), num_buckets) for k in df[key]]
+    # vectorized: int keys hash via splitmix, strings via ONE polars
+    # hash kernel — never per-row python+sha1 (bucket = co-location
+    # only; nothing persisted depends on the hash choice)
+    df["bucket"] = bucket_keys(df[key].to_numpy(), num_buckets)
     return df
 
 

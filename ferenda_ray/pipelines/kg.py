@@ -148,11 +148,10 @@ def latest_filter_join(ds, *, num_buckets: int = 64):
     among max-ts ties only those whose sha1(html) is the minimum."""
     import pandas as pd
 
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [stable_uint(u, num_buckets)
-                   for u in b.column("url").to_pylist()]
+        buckets = bucket_keys(b.column("url"), num_buckets)
         return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def keep_latest(g: pd.DataFrame) -> pd.DataFrame:

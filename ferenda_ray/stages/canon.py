@@ -120,59 +120,51 @@ def canon_rewrite_join(triples_ds, mapping_ds, col: str, *,
     (classic salted replicated join). Literal-obj rows pass through a
     reserved bucket untouched.
     """
+    import numpy as np
     import pandas as pd
 
     import ray.data as rd
 
-    from ferenda_ray.util import stable_uint
+    from ferenda_ray.util import bucket_keys
 
     n_sub = num_buckets * salt
     PASS = n_sub  # bucket for rows that can never match (literals)
 
     def tag_triples(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        vals = b.column(col).to_pylist()
-        rewritable = (b.column("obj_is_uri").to_pylist()
-                      if col == "obj" else [True] * len(vals))
-        buckets = []
-        for i, (v, ok) in enumerate(zip(vals, rewritable)):
-            if not ok:
-                buckets.append(PASS)
-            else:
-                buckets.append(stable_uint(v, num_buckets) * salt
-                               + (i % salt))
-        out = b.append_column("bucket", pa.array(buckets, pa.int32()))
-        return out.append_column("side", pa.array([0] * len(vals), pa.int8()))
+        n = b.num_rows
+        base = bucket_keys(b.column(col), num_buckets).astype(np.int64)
+        buckets = base * salt + np.arange(n, dtype=np.int64) % salt
+        if col == "obj":
+            ok = b.column("obj_is_uri").to_numpy(zero_copy_only=False)
+            buckets = np.where(ok, buckets, PASS)
+        out = b.append_column(
+            "bucket", pa.array(buckets.astype(np.int32), pa.int32()))
+        return out.append_column("side",
+                                 pa.array(np.zeros(n, np.int8()),
+                                          pa.int8()))
 
     def tag_mapping(b: pa.Table) -> pa.Table:
-        raws = b.column("raw").to_pylist()
-        canons = b.column("canonical").to_pylist()
-        cols = {name: [] for name in ("subj", "pred", "obj", "obj_is_uri",
-                                      "lang", "datatype", "url", "bucket",
-                                      "side")}
-        for r, c in zip(raws, canons):
-            base = stable_uint(r, num_buckets) * salt
-            for s in range(salt):  # replicate to every salt sub-bucket
-                cols["subj"].append(r)       # raw key
-                cols["pred"].append("")
-                cols["obj"].append(c)        # canonical value
-                cols["obj_is_uri"].append(True)
-                cols["lang"].append("")
-                cols["datatype"].append("")
-                cols["url"].append("")
-                cols["bucket"].append(base + s)
-                cols["side"].append(1)
+        # replicate each mapping row to every salt sub-bucket —
+        # vectorized arrow take + numpy repeat/tile, no per-row python
+        n = b.num_rows
+        base = bucket_keys(b.column("raw"),
+                           num_buckets).astype(np.int64) * salt
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+        m = n * salt
+        empty = pa.array([""] * m, pa.string())
         return pa.table({
-            "subj": pa.array(cols["subj"], pa.string()),
-            "pred": pa.array(cols["pred"], pa.string()),
-            "obj": pa.array(cols["obj"], pa.string()),
-            "obj_is_uri": pa.array(cols["obj_is_uri"], pa.bool_()),
-            "lang": pa.array(cols["lang"], pa.string()),
-            "datatype": pa.array(cols["datatype"], pa.string()),
-            "url": pa.array(cols["url"], pa.string()),
-            "bucket": pa.array(cols["bucket"], pa.int32()),
-            "side": pa.array(cols["side"], pa.int8()),
+            "subj": b.column("raw").take(idx),       # raw key
+            "pred": empty,
+            "obj": b.column("canonical").take(idx),  # canonical value
+            "obj_is_uri": pa.array(np.ones(m, bool)),
+            "lang": empty,
+            "datatype": empty,
+            "url": empty,
+            "bucket": pa.array(
+                (np.repeat(base, salt)
+                 + np.tile(np.arange(salt, dtype=np.int64), n))
+                .astype(np.int32), pa.int32()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
         })
 
     def rewrite(g: pd.DataFrame) -> pd.DataFrame:

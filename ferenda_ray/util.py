@@ -242,6 +242,31 @@ def bucket_ints(keys, mod: int):
     return (k % np.uint64(mod)).astype(np.int32)
 
 
+def bucket_keys(values, mod: int):
+    """Vectorized stable bucket ids in [0, mod) for ANY key column —
+    ints go straight to :func:`bucket_ints`; strings are hashed ONCE
+    by the polars xxhash kernel and then bucketed (replaces the
+    per-row ``stable_uint(str(k))`` python+sha1 loop). Bucket
+    assignment is job-internal (co-location only); nothing persisted
+    depends on the hash choice."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(values)  # zero-copy for string columns
+    else:
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iu":
+            return bucket_ints(arr.astype(np.int64, copy=False), mod)
+        s = pl.Series(values)
+    if s.dtype.is_integer():
+        return bucket_ints(s.to_numpy().astype(np.int64, copy=False),
+                           mod)
+    h = s.cast(pl.String).hash(17).to_numpy()
+    return bucket_ints(np.ascontiguousarray(h).view(np.int64), mod)
+
+
 def list_col_matrix(col, dtype="float64"):
     """Arrow list<float> column → (n, dim) numpy matrix via
     list_flatten (respects slices; no per-row python)."""

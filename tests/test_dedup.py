@@ -352,3 +352,41 @@ def test_paragraph_dup_stats_planted(ray_session, tmp_path):
     assert got.loc[1].tolist() == [3, 1]
     assert got.loc[2].tolist() == [3, 2]   # blank ignored, boiler x2
     assert got.loc[3].tolist() == [2, 0]
+
+
+def test_pair_indices_match_naive_loop():
+    """Vectorized triu pair emission == the nested python loop it
+    replaced, including the [2, max_bucket] group-size guard."""
+    import numpy as np
+
+    from ferenda_ray.ops.dedup import _pair_indices
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        sizes = rng.randint(1, 9, size=rng.randint(1, 6))
+        key = np.repeat(np.arange(len(sizes)), sizes)
+        ia, jb = _pair_indices(key, max_bucket=5)
+        naive = []
+        pos = 0
+        for l in sizes:
+            if 2 <= l <= 5:
+                for i in range(l):
+                    for j in range(i + 1, l):
+                        naive.append((pos + i, pos + j))
+            pos += l
+        assert list(zip(ia.tolist(), jb.tolist())) == naive
+
+
+def test_popcount64_matches_python():
+    import numpy as np
+
+    from ferenda_ray.ops.dedup import _popcount64
+
+    rng = np.random.RandomState(11)
+    # 32-bit-half domain (simhash halves) plus edge values
+    vals = np.r_[rng.randint(0, 2**32, 50, dtype=np.int64),
+                 [0, 1, 2**31, 2**32 - 1]]
+    got = _popcount64(vals)
+    want = [bin(int(v)).count("1") for v in vals]
+    assert got.tolist() == want
+    assert _popcount64(np.empty(0, np.int64)).tolist() == []
