@@ -552,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "paragraph_dup_stats": dedup.paragraph_dup_stats,
         "windowed_topk_users": win.windowed_topk_users,
+        # ---- new r5 operator + its (changed-generator) input feed ----
+        "pdf_layout": pdf_layout,
+        "pdf_textboxes": pdf_textboxes,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
         # in rounds 1-2), ahead of the stable r1/r2-green families ----
@@ -595,7 +598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "ann_ivf_topk": ann.ivf_topk,
         "kmeans_clusters": ann.kmeans,
-        "pdf_textboxes": pdf_textboxes,
         "docx_blocks": docx_blocks,
         "ft_search": ft_search,
         "latest_event_per_user": rel.latest_event_per_user,
@@ -712,6 +714,24 @@ def pdf_textboxes(sf_dir: str):
     return _pdf_textboxes_ds()
 
 
+def pdf_layout(sf_dir: str):
+    """PDF layout analysis (reference ``pdfanalyze.PDFAnalyzer``):
+    margins / header / footer zones / default style per document,
+    computed distributed over the textbox rows; the oracle is a REAL
+    DuckDB recompute of the metric spec from the cached textbox
+    parquet (stages/pdf.py:pdf_layout_sql), not self-consistency."""
+    from ferenda_ray.stages.pdf import pdf_layout as _pl
+
+    _cached_ds("pdftb", _pdf_textboxes_ds)  # oracle input
+    return _pl(_pdf_textboxes_ds())
+
+
+def _pdf_layout_sql() -> str:
+    from ferenda_ray.stages.pdf import pdf_layout_sql
+
+    return pdf_layout_sql(f"/tmp/ferenda_ray_corpus/pdftb_{_src_rev()}")
+
+
 def docx_blocks(sf_dir: str):
     """WordReader stage (S7): deterministic synthetic .docx archives →
     unzip + OOXML parse + run merge → block rows (stages/word.py; the
@@ -809,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _cache_sql("mediafeat"),
         "media_frames": _cache_sql("mediaframes"),
         "pdf_textboxes": _cache_sql("pdftb"),
+        "pdf_layout": _pdf_layout_sql(),
         "docx_blocks": _cache_sql("docxb"),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic

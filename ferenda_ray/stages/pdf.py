@@ -40,6 +40,7 @@ from __future__ import annotations
 import re
 import xml.etree.ElementTree as ET
 
+import pandas as pd
 import pyarrow as pa
 
 _WS = re.compile(r"[\s\xa0\xc2]+")
@@ -334,6 +335,8 @@ def pdf_textbox_rows(batch: pa.Table, glue: bool = True) -> pa.Table:
                     "doc_id": doc_id, "page": page["number"],
                     "top": box["top"], "left": box["left"],
                     "width": box["width"], "height": box["height"],
+                    "page_width": page["width"],
+                    "page_height": page["height"],
                     "fontid": str(box["fontid"]),
                     "family": spec.get("family", ""),
                     "size": int(spec.get("size", 0)),
@@ -348,6 +351,9 @@ def pdf_textbox_rows(batch: pa.Table, glue: bool = True) -> pa.Table:
         "left": pa.array([r["left"] for r in rows], pa.int32()),
         "width": pa.array([r["width"] for r in rows], pa.int32()),
         "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "page_width": pa.array([r["page_width"] for r in rows], pa.int32()),
+        "page_height": pa.array([r["page_height"] for r in rows],
+                                pa.int32()),
         "fontid": pa.array([r["fontid"] for r in rows], pa.string()),
         "family": pa.array([r["family"] for r in rows], pa.string()),
         "size": pa.array([r["size"] for r in rows], pa.int32()),
@@ -357,12 +363,224 @@ def pdf_textbox_rows(batch: pa.Table, glue: bool = True) -> pa.Table:
     return pa.table(cols)
 
 
+# -- layout analysis (margins / header / footer / default style) ------------
+
+HEADER_THRESHOLD = 0.002   # pdfanalyze.header_significance_threshold
+FOOTER_THRESHOLD = 0.002   # pdfanalyze.footer_significance_threshold
+_RIGHT_BINSIZE = 10        # pdfanalyze.findmargin binsize
+_RIGHT_CAND = 0.8          # candidates within 20% of the top bin count
+
+
+def _doc_layout(d: "pd.DataFrame") -> dict:
+    """Spatial metrics of ONE document's textbox rows — the
+    ``pdfanalyze.PDFAnalyzer.metrics`` semantics (reference
+    ``pdfanalyze.py:237-447``), restated as a deterministic spec:
+
+    * pagewidth/pageheight: max page dims (``analyze_*_margins``).
+    * leftmargin: modal ``left`` among boxes left of midpage (midpage
+      = modal page width / 2, ``pdfanalyze.py:430-434``); ties break
+      to the SMALLER position (the reference's Counter ties are
+      insertion-ordered — here pinned for oracle determinism).
+    * rightmargin: the reference's quantized right-edge vote
+      (``findmargin`` with quantize=True, ``pdfanalyze.py:457-494``):
+      right edges right of midpage binned to ceil(right/10)*10; answer
+      = MAX bin whose count is ≥ 0.8× the top bin's.
+    * topmargin/bottommargin: cumulative char-mass scan
+      (``analyze_vertical_margins``, ``pdfanalyze.py:400-425``): first
+      position (from the page edge) where cumulative stripped-text
+      length exceeds threshold × total, minus/plus one.
+    * default style: the (family, size) carrying the most chars
+      (``analyze_styles``, ``pdfanalyze.py:516-524``); ties pinned to
+      (size DESC, family ASC).
+
+    twopage=False variant (the even/odd margin split is a trivial
+    restriction of the same counters)."""
+    import numpy as np
+
+    pages = d.drop_duplicates("page")
+    pagewidth = int(pages["page_width"].max())
+    pageheight = int(pages["page_height"].max())
+    wc = pages.groupby("page_width").size()
+    midpage = int(wc[wc == wc.max()].index.min()) / 2
+    lm = d.loc[d["left"] < midpage, "left"]
+    if len(lm):
+        c = lm.value_counts()
+        leftmargin = int(c[c == c.max()].index.min())
+    else:
+        leftmargin = 0
+    rm = d.loc[d["right"] > midpage, "right"]
+    if len(rm):
+        bins = np.ceil(rm.to_numpy() / _RIGHT_BINSIZE).astype(np.int64) \
+            * _RIGHT_BINSIZE
+        bc = pd.Series(bins).value_counts()
+        rightmargin = int(bc[bc >= _RIGHT_CAND * bc.max()].index.max())
+    else:
+        rightmargin = pagewidth
+    total = int(d["text_len"].sum())
+    cum = d.groupby("top")["text_len"].sum().sort_index().cumsum()
+    over = cum[cum > HEADER_THRESHOLD * total]
+    topmargin = int(over.index[0]) - 1 if len(over) else 0
+    cumb = (d.groupby("bottom")["text_len"].sum()
+            .sort_index(ascending=False).cumsum())
+    overb = cumb[cumb > FOOTER_THRESHOLD * total]
+    bottommargin = int(overb.index[0]) + 1 if len(overb) else pageheight
+    st = d.groupby(["family", "size"])["text_len"].sum()
+    fam, size = sorted((k for k, v in st.items() if v == st.max()),
+                       key=lambda k: (-k[1], k[0]))[0]
+    return {"doc_id": int(d["doc_id"].iloc[0]), "pagewidth": pagewidth,
+            "pageheight": pageheight, "leftmargin": leftmargin,
+            "rightmargin": rightmargin, "topmargin": topmargin,
+            "bottommargin": bottommargin, "default_family": fam,
+            "default_size": int(size)}
+
+
+def pdf_layout(tb_ds, num_buckets: int = 16):
+    """Textbox-row Dataset → one (doc_id, pagewidth, pageheight,
+    leftmargin, rightmargin, topmargin, bottommargin, default_family,
+    default_size) row per document — distributed PDF layout analysis
+    (margin / header / footer / default-style detection; semantics in
+    :func:`_doc_layout`).
+
+    Shape: one hash(doc_id)-bucket exchange of the narrow geometry
+    columns (text reduced to its length BEFORE the shuffle), per-doc
+    metrics inside each bucket task; a doc's boxes fit one heap by
+    construction (a PDF has bounded pages)."""
+    from ferenda_ray.util import bucket_ints
+
+    def geom(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        left = b.column("left").to_numpy(zero_copy_only=False)
+        top = b.column("top").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "page": b.column("page"),
+            "page_width": b.column("page_width"),
+            "page_height": b.column("page_height"),
+            "top": b.column("top"),
+            "left": b.column("left"),
+            "right": pa.array(left + b.column("width")
+                              .to_numpy(zero_copy_only=False)),
+            "bottom": pa.array(top + b.column("height")
+                               .to_numpy(zero_copy_only=False)),
+            "family": b.column("family"),
+            "size": b.column("size"),
+            "text_len": pc.cast(pc.utf8_length(
+                pc.utf8_trim_whitespace(b.column("text"))), pa.int64()),
+            "bucket": pa.array(bucket_ints(d, num_buckets), pa.int32()),
+        })
+
+    def layout(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame([_doc_layout(d) for _, d in
+                            g.groupby("doc_id", sort=True)])
+        if not len(out):
+            out = pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "pagewidth": pd.Series([], dtype="int64"),
+                "pageheight": pd.Series([], dtype="int64"),
+                "leftmargin": pd.Series([], dtype="int64"),
+                "rightmargin": pd.Series([], dtype="int64"),
+                "topmargin": pd.Series([], dtype="int64"),
+                "bottommargin": pd.Series([], dtype="int64"),
+                "default_family": pd.Series([], dtype="str"),
+                "default_size": pd.Series([], dtype="int64"),
+            })
+        return out
+
+    return (tb_ds.map_batches(geom, batch_format="pyarrow")
+            .groupby("bucket").map_groups(layout, batch_format="pandas"))
+
+
+def pdf_layout_sql(parquet_path: str) -> str:
+    """DuckDB recompute of :func:`pdf_layout` over the textbox-row
+    parquet — same deterministic spec, including the tie-breaks and
+    the quantized right-margin vote."""
+    return f"""
+WITH tb AS (
+    SELECT doc_id, page, page_width, page_height, top, "left",
+           "left" + width AS r, top + height AS bottom, family, size,
+           len(trim(text)) AS w
+    FROM read_parquet('{parquet_path}/*.parquet')
+), pages AS (
+    SELECT DISTINCT doc_id, page, page_width, page_height FROM tb
+), pw AS (
+    SELECT doc_id, CAST(max(page_width) AS BIGINT) AS pagewidth,
+           CAST(max(page_height) AS BIGINT) AS pageheight
+    FROM pages GROUP BY doc_id
+), mw AS (
+    SELECT doc_id, page_width / 2.0 AS midpage FROM (
+        SELECT doc_id, page_width,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY count(*) DESC, page_width ASC) AS rn
+        FROM pages GROUP BY doc_id, page_width) WHERE rn = 1
+), lm AS (
+    SELECT doc_id, CAST("left" AS BIGINT) AS leftmargin FROM (
+        SELECT tb.doc_id, tb."left",
+               row_number() OVER (PARTITION BY tb.doc_id
+                   ORDER BY count(*) DESC, tb."left" ASC) AS rn
+        FROM tb JOIN mw USING (doc_id) WHERE tb."left" < midpage
+        GROUP BY tb.doc_id, tb."left") WHERE rn = 1
+), rbins AS (
+    SELECT tb.doc_id, CAST(ceil(r / {_RIGHT_BINSIZE}.0) AS BIGINT)
+               * {_RIGHT_BINSIZE} AS bin, count(*) AS c
+    FROM tb JOIN mw USING (doc_id) WHERE r > midpage
+    GROUP BY 1, 2
+), rm AS (
+    SELECT doc_id, max(bin) AS rightmargin FROM (
+        SELECT doc_id, bin, c, max(c) OVER (PARTITION BY doc_id) AS mx
+        FROM rbins) WHERE c >= {_RIGHT_CAND} * mx GROUP BY doc_id
+), tot AS (
+    SELECT doc_id, sum(w) AS total FROM tb GROUP BY doc_id
+), hm AS (
+    SELECT t.doc_id, CAST(min(t.top) - 1 AS BIGINT) AS topmargin
+    FROM (SELECT doc_id, top,
+                 sum(sw) OVER (PARTITION BY doc_id ORDER BY top) AS cum
+          FROM (SELECT doc_id, top, sum(w) AS sw FROM tb
+                GROUP BY doc_id, top)) t
+    JOIN tot USING (doc_id)
+    WHERE t.cum > {HEADER_THRESHOLD} * tot.total GROUP BY t.doc_id
+), bm AS (
+    SELECT t.doc_id, CAST(max(t.bottom) + 1 AS BIGINT) AS bottommargin
+    FROM (SELECT doc_id, bottom,
+                 sum(sw) OVER (PARTITION BY doc_id
+                               ORDER BY bottom DESC) AS cum
+          FROM (SELECT doc_id, bottom, sum(w) AS sw FROM tb
+                GROUP BY doc_id, bottom)) t
+    JOIN tot USING (doc_id)
+    WHERE t.cum > {FOOTER_THRESHOLD} * tot.total GROUP BY t.doc_id
+), styles AS (
+    SELECT doc_id, family AS default_family,
+           CAST(size AS BIGINT) AS default_size FROM (
+        SELECT doc_id, family, size,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY sum(w) DESC, size DESC, family ASC) AS rn
+        FROM tb GROUP BY doc_id, family, size) WHERE rn = 1
+)
+SELECT pw.doc_id, pagewidth, pageheight,
+       coalesce(leftmargin, 0) AS leftmargin,
+       coalesce(rightmargin, pagewidth) AS rightmargin,
+       coalesce(topmargin, 0) AS topmargin,
+       coalesce(bottommargin, pageheight) AS bottommargin,
+       default_family, default_size
+FROM pw
+LEFT JOIN lm USING (doc_id) LEFT JOIN rm USING (doc_id)
+LEFT JOIN hm USING (doc_id) LEFT JOIN bm USING (doc_id)
+JOIN styles USING (doc_id)
+"""
+
+
 # -- deterministic synthetic intermediates (fixtures + queries) -------------
 
 def synthetic_pdf2xml(doc_id: int) -> bytes:
     """Deterministic pdf2xml intermediate for tests/queries (the format
-    the stubbed pdftohtml WOULD produce)."""
+    the stubbed pdftohtml WOULD produce). Carries the spatial features
+    the layout analyzer (:func:`pdf_layout`) detects: a running header
+    (top 30), a footer page number (top 1220), a per-doc left margin
+    (85 + 5·(doc_id % 4)), an indented quote line, and ragged right
+    edges around a common right margin."""
     n_pages = 1 + doc_id % 2
+    lm = 85 + 5 * (doc_id % 4)
     out = ['<?xml version="1.0" encoding="UTF-8"?>',
            '<pdf2xml producer="poppler" version="0.24.3">']
     for p in range(1, n_pages + 1):
@@ -373,16 +591,26 @@ def synthetic_pdf2xml(doc_id: int) -> bytes:
                        'family="SYNTH+Serif-Bold" color="#000000"/>')
             out.append('\t<fontspec id="1" size="12" family="SYNTH+Serif" '
                        'color="#000000"/>')
-        out.append(f'<text top="100" left="90" width="300" height="28" '
+            out.append('\t<fontspec id="2" size="9" family="SYNTH+Serif" '
+                       'color="#000000"/>')
+        out.append(f'<text top="30" left="{lm}" width="220" height="11" '
+                   f'font="2">Synthetic corpus · doc {doc_id}</text>')
+        out.append(f'<text top="100" left="{lm}" width="300" height="28" '
                    f'font="0"><b>Synthetic doc {doc_id} page {p}</b></text>')
         base = 160
-        for i in range(3):
+        for i in range(6):
+            w = 600 - 3 * ((doc_id + i) % 4)  # ragged right edge
             out.append(
-                f'<text top="{base + 16 * i}" left="90" width="600" '
+                f'<text top="{base + 16 * i}" left="{lm}" width="{w}" '
                 f'height="14" font="1">Body line {i} of page {p} in doc '
                 f'{doc_id}, see RFC {700 + doc_id}.</text>')
-        out.append('<text top="240" left="90" width="60" height="14" '
+        out.append(f'<text top="280" left="{lm + 40}" width="480" '
+                   f'height="14" font="1">Indented quotation line of doc '
+                   f'{doc_id}, page {p}.</text>')
+        out.append(f'<text top="320" left="{lm}" width="60" height="14" '
                    'font="1"><i>fin</i></text>')
+        out.append(f'<text top="1220" left="440" width="16" height="11" '
+                   f'font="2">{p}</text>')
         out.append("</page>")
     out.append("</pdf2xml>")
     return "\n".join(out).encode()

@@ -242,6 +242,33 @@ def bucket_ints(keys, mod: int):
     return (k % np.uint64(mod)).astype(np.int32)
 
 
+def cluster(values, maxgap=None, maxgap_ratio=10, remove_outliers=True):
+    """1-D gap clustering (reference ``ferenda/util.py:893-910``
+    semantics): sort, start a new group where the gap to the previous
+    member exceeds ``maxgap`` (default: value range / maxgap_ratio);
+    optionally drop outlier groups — fewer than 4 members when the
+    clustering is coarse (group count below len(data)/10). The
+    layout-analysis helper ``pdfanalyze`` uses this shape for grouping
+    textbox edges. One documented divergence: the outlier test is
+    evaluated against the INITIAL group count for every group (the
+    reference re-evaluates against a list it is mutating, so whether a
+    group survives depends on how many were already removed)."""
+    data = sorted(values)
+    if not data:
+        return []
+    if maxgap is None:
+        maxgap = (data[-1] - data[0]) / maxgap_ratio
+    groups = [[data[0]]]
+    for x in data[1:]:
+        if abs(x - groups[-1][-1]) <= maxgap:
+            groups[-1].append(x)
+        else:
+            groups.append([x])
+    if remove_outliers and len(groups) < len(data) / 10:
+        groups = [g for g in groups if len(g) >= 4]
+    return groups
+
+
 def bucket_keys(values, mod: int):
     """Vectorized stable bucket ids in [0, mod) for ANY key column —
     ints go straight to :func:`bucket_ints`; strings are hashed ONCE

@@ -111,3 +111,54 @@ def test_pdf_textbox_rows_stage(ray_session):
               .str.replace(r"\s+", " ", regex=True).str.strip())
     assert "Scanned 3 footnote marker" not in set(texts2)  # sup kept
     assert any(t.startswith("Scanned heading") for t in texts2)
+
+
+def test_cluster_semantics():
+    from ferenda_ray.util import cluster
+
+    # gap clustering: default maxgap = range/10
+    got = cluster([1, 2, 3, 100, 101, 102])
+    assert got == [[1, 2, 3], [100, 101, 102]]
+    # explicit maxgap
+    assert cluster([1, 5, 6], maxgap=1) == [[1], [5, 6]]
+    assert cluster([]) == []
+    # outlier removal: coarse clustering (few groups for much data)
+    # drops groups under 4 members
+    data = list(range(20)) + [500]  # 2 groups over 21 points
+    got = cluster(data, maxgap=5)
+    assert got == [list(range(20))]
+    # fine-grained clustering (many groups) keeps small groups
+    assert cluster([1, 10, 20], maxgap=2, remove_outliers=True) == \
+        [[1], [10], [20]]
+
+
+def test_pdf_layout_metrics(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    tab = pa.table({
+        "doc_id": pa.array([0, 5], pa.int64()),
+        "fmt": pa.array(["pdf2xml"] * 2, pa.string()),
+        "data": pa.array([pdf.synthetic_pdf2xml(0),
+                          pdf.synthetic_pdf2xml(5)], pa.binary()),
+    })
+    tb = rd.from_arrow(tab).map_batches(pdf.pdf_textbox_rows,
+                                        batch_format="pyarrow")
+    out = pdf.pdf_layout(tb).to_pandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 5]
+    # page dims from the generator
+    assert (out.pagewidth == 892).all() and (out.pageheight == 1263).all()
+    # left margin: the generator's per-doc margin (85 + 5*(doc_id%4))
+    assert out.loc[0, "leftmargin"] == 85
+    assert out.loc[5, "leftmargin"] == 90
+    # header zone boundary sits just above the first text mass (top 30)
+    assert (out.topmargin == 29).all()
+    # footer: the pagenumber box at top 1220 (bottom 1231) defines the
+    # zone boundary (bottom + 1 per the cumulative-scan spec)
+    assert (out.bottommargin == 1232).all()
+    # body font dominates by char mass
+    assert (out.default_family == "SYNTH+Serif").all()
+    assert (out.default_size == 12).all()
+    # right margin: quantized vote over ragged right edges near lm+600
+    assert (out.rightmargin - (out.leftmargin + 600)).abs().max() <= 10
