@@ -176,8 +176,11 @@ def latest_filter_join(ds, *, num_buckets: int = 64):
 # read) the broadcast url→max_ts map stops being the default
 # latest-per-url path and the hash-bucket join takes over: the MAP (one
 # entry per distinct url), not the pages, is the driver-memory concern.
+# 5M entries ≈ hundreds of MB of python dict — already a meaningful
+# driver-heap bite; above that the join path is strictly safer (a 20M
+# default was a multi-GB hazard before the switch tripped).
 SNAPSHOT_BROADCAST_LIMIT = int(os.environ.get(
-    "FERENDA_RAY_SNAPSHOT_BROADCAST_LIMIT", "20000000"))
+    "FERENDA_RAY_SNAPSHOT_BROADCAST_LIMIT", "5000000"))
 
 
 def _dedupe_stage(ds, pages_path: str, dedupe_snapshots, batch_size: int):

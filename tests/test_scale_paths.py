@@ -55,3 +55,18 @@ def test_latest_per_url_auto_switch(ray_session, pages_parquet,
     joined = (kg.build_docs_ds(pages_parquet).to_pandas()
               .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(joined, base)
+
+
+def test_snapshot_broadcast_limit_default():
+    """The driver-dict ceiling stays at 5M entries (hundreds of MB of
+    python dict) — a 20M default was a multi-GB driver hazard before
+    the auto-switch tripped (VERDICT r4 #4)."""
+    import importlib
+
+    from ferenda_ray.pipelines import kg
+
+    assert kg.SNAPSHOT_BROADCAST_LIMIT <= 5_000_000
+    # env override still wins
+    assert (int(__import__("os").environ.get(
+        "FERENDA_RAY_SNAPSHOT_BROADCAST_LIMIT", "5000000"))
+        == kg.SNAPSHOT_BROADCAST_LIMIT)
