@@ -148,7 +148,8 @@ class _VocabShard:
 
 
 def bpe_train(sf_dir: str, num_merges: int = NUM_MERGES,
-              num_shards: int = 8) -> pd.DataFrame:
+              num_shards: int = 8,
+              round_stats: list | None = None) -> pd.DataFrame:
     """Learn ``num_merges`` BPE merges; returns the merge table
     ``(rank, lhs, rhs, n)`` — deterministic (ties broken
     lexicographically), so the unrolled SQL oracle reproduces it
@@ -233,6 +234,8 @@ def bpe_train(sf_dir: str, num_merges: int = NUM_MERGES,
             for d in deltas:
                 counts.update(d)
                 changed.update(d)
+            if round_stats is not None:  # scale instrumentation only
+                round_stats.append((rank, len(changed), int(c)))
             for p in changed:
                 cur = counts.get(p, 0)
                 if cur > 0:
