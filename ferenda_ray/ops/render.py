@@ -100,21 +100,38 @@ class _TemplateSet:
     * ``Parent[field=value]/Kind`` / ``Anc[field=value]//Kind`` —
       predicate on the ANCESTOR step (matched against that ancestor's
       own fields)
+    * ``Kind[1]`` / ``Kind[position()=n]`` / ``Kind[last()]`` —
+      positional predicate (XSLT semantics: the element's 1-based
+      position among its parent's children OF THE SAME KIND); also
+      allowed on the immediate-parent step (``Parent[1]/Kind``).
+      Positions need sibling context, so they apply to the child step
+      and the ``/`` parent step, not to the ``//`` ancestor step.
 
-    Specificity order: field predicate > ancestor-step predicate >
-    immediate parent > descendant ancestor > kind > ``*`` (numeric
-    priorities 4/3/2/1/1/0, summed per component). The
+    Specificity order: field/positional predicate > ancestor-step
+    predicate > immediate parent > descendant ancestor > kind > ``*``
+    (numeric priorities 4/3/2/1/1/0, summed per component). The
     highest-priority matching rule renders the element; ties break
     toward the later-defined rule (document order, as in XSLT). A
     plain ``Kind`` key behaves exactly as the pre-round-3 per-kind
     template dict, so existing templates are unaffected.
     """
 
+    _POS = r"\d+|position\(\)=\d+|last\(\)"
     _PAT = re.compile(
         r"^(?:(?P<parent>\*|\w+)"
-        r"(?:\[(?P<pfield>\w+)(?:=(?P<pvalue>[^\]]*))?\])?"
+        r"(?:\[(?:(?P<ppos>" + _POS + r")"
+        r"|(?P<pfield>\w+)(?:=(?P<pvalue>[^\]]*))?)\])?"
         r"(?P<sep>//|/))?(?P<kind>\*|\w+)"
-        r"(?:\[(?P<field>\w+)(?:=(?P<value>[^\]]*))?\])?$")
+        r"(?:\[(?:(?P<pos>" + _POS + r")"
+        r"|(?P<field>\w+)(?:=(?P<value>[^\]]*))?)\])?$")
+
+    @staticmethod
+    def _parse_pos(spec):
+        if spec is None:
+            return None
+        if spec == "last()":
+            return "last"
+        return int(spec.split("=")[-1])
 
     def __init__(self, templates: dict):
         self.rules = []
@@ -122,15 +139,20 @@ class _TemplateSet:
             m = self._PAT.match(pat)
             if not m:
                 raise ValueError(f"bad template pattern: {pat!r}")
-            parent, pfield, pvalue, sep, kind, field, value = m.group(
-                "parent", "pfield", "pvalue", "sep", "kind", "field",
-                "value")
+            parent, ppos, pfield, pvalue, sep, kind, pos, field, value \
+                = m.group("parent", "ppos", "pfield", "pvalue", "sep",
+                          "kind", "pos", "field", "value")
+            if ppos and sep == "//":
+                raise ValueError(
+                    f"positional predicate needs sibling context — not "
+                    f"available on the // ancestor step: {pat!r}")
             prio = ((1 if kind != "*" else 0)
                     + (2 if parent and sep == "/" else 1 if parent else 0)
-                    + (3 if pfield else 0)
-                    + (4 if field else 0))
-            self.rules.append((prio, i, parent, pfield, pvalue, sep,
-                               kind, field, value, tpl))
+                    + (3 if pfield or ppos else 0)
+                    + (4 if field or pos else 0))
+            self.rules.append((prio, i, parent, self._parse_pos(ppos),
+                               pfield, pvalue, sep, kind,
+                               self._parse_pos(pos), field, value, tpl))
         # highest priority first, later definition wins ties
         self.rules.sort(key=lambda r: (-r[0], -r[1]))
 
@@ -145,23 +167,48 @@ class _TemplateSet:
                 return False
         return True
 
+    @staticmethod
+    def _pos_ok(elem: dict, parent: dict | None, spec) -> bool:
+        """1-based position of ``elem`` among its parent's children of
+        the same kind (XSLT ``Kind[n]`` match semantics); a root
+        element counts as position 1 (and last)."""
+        if parent is None:
+            sibs = [elem]
+        else:
+            sibs = [c for c in parent.get("children", [])
+                    if c.get("kind") == elem.get("kind")]
+        idx = next((i for i, c in enumerate(sibs) if c is elem), None)
+        if idx is None:
+            return False
+        return (idx == len(sibs) - 1 if spec == "last"
+                else idx + 1 == spec)
+
     def lookup(self, elem: dict, ancestors: tuple) -> str | None:
         """``ancestors``: tuple of ancestor ELEMENT dicts, root first
         (the immediate parent last)."""
         kind = elem["kind"]
-        for (_p, _i, parent, pfield, pvalue, sep, k, field, value,
-             tpl) in self.rules:
+        for (_p, _i, parent, ppos, pfield, pvalue, sep, k, pos, field,
+             value, tpl) in self.rules:
             if k != "*" and k != kind:
                 continue
-            if parent and not (parent == "*" and pfield is None):
+            if parent and not (parent == "*" and pfield is None
+                               and ppos is None):
                 if sep == "/":
                     if not (ancestors and self._step_ok(
                             ancestors[-1], parent, pfield, pvalue)):
+                        continue
+                    if ppos is not None and not self._pos_ok(
+                            ancestors[-1],
+                            ancestors[-2] if len(ancestors) > 1 else None,
+                            ppos):
                         continue
                 else:  # "//": any ancestor
                     if not any(self._step_ok(a, parent, pfield, pvalue)
                                for a in ancestors):
                         continue
+            if pos is not None and not self._pos_ok(
+                    elem, ancestors[-1] if ancestors else None, pos):
+                continue
             if field is not None:
                 if field not in elem:
                     continue

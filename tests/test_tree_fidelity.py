@@ -365,3 +365,60 @@ def test_template_ancestor_step_predicate():
     assert '<p class="s1">p-one</p>' in html
     assert '<p class="any">p-two</p>' in html
     assert '<li class="deep">li-deep</li>' in html
+
+
+def test_template_positional_predicates():
+    """Round-5 increment: XSLT positional predicates — ``Kind[1]``,
+    ``Kind[position()=n]``, ``Kind[last()]`` (position among siblings
+    of the SAME kind), and on the immediate-parent step."""
+    import pytest
+
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "1", "title": "A", "children": [
+            {"kind": "Paragraph", "text": "a1"},
+            {"kind": "Paragraph", "text": "a2"},
+            {"kind": "Paragraph", "text": "a3"}]},
+        {"kind": "Section", "ordinal": "2", "title": "B", "children": [
+            {"kind": "Paragraph", "text": "b1"}]}]}
+
+    html = generate_html(
+        "u", "T", tree,
+        templates={
+            "Paragraph[1]": '<p class="lead">{inline}</p>',
+            "Paragraph[last()]": '<p class="tail">{inline}</p>',
+            "Paragraph[position()=2]": '<p class="mid">{inline}</p>',
+        })
+    assert '<p class="lead">a1</p>' in html
+    assert '<p class="mid">a2</p>' in html
+    assert '<p class="tail">a3</p>' in html
+    # b1 is both first and last among its siblings; positional rules
+    # tie on priority, later-defined wins (XSLT document order)
+    assert '<p class="tail">b1</p>' in html
+
+    # positional predicate on the parent step: only the FIRST section's
+    # paragraphs
+    html = generate_html(
+        "u", "T", tree,
+        templates={"Section[1]/Paragraph": '<p class="s1">{inline}</p>'})
+    assert '<p class="s1">a1</p>' in html
+    assert '<p class="s1">a2</p>' in html
+    assert "b1" in html and '<p class="s1">b1</p>' not in html
+
+    # position among SAME-KIND siblings: a heading between paragraphs
+    # does not shift paragraph positions
+    mixed = {"kind": "Body", "children": [
+        {"kind": "Paragraph", "text": "p1"},
+        {"kind": "Heading", "text": "H", "level": 3},
+        {"kind": "Paragraph", "text": "p2"}]}
+    html = generate_html(
+        "u", "T", mixed,
+        templates={"Paragraph[2]": '<p class="second">{inline}</p>'})
+    assert '<p class="second">p2</p>' in html
+    assert '<p class="second">p1</p>' not in html
+
+    # positional predicates need sibling context: rejected on //
+    with pytest.raises(ValueError):
+        generate_html("u", "T", tree,
+                      templates={"Section[1]//Paragraph": "x"})
