@@ -552,9 +552,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "paragraph_dup_stats": dedup.paragraph_dup_stats,
         "windowed_topk_users": win.windowed_topk_users,
-        # ---- new r5 operator + its (changed-generator) input feed ----
+        # ---- new r5 operators + the (changed-generator) input feed ----
         "pdf_layout": pdf_layout,
         "pdf_textboxes": pdf_textboxes,
+        "pep_docs": pep_docs,
+        "ecma_clauses": ecma_clauses,
         # ---- round-3 window rotation: the four entries that had never
         # produced a driver CORRECTNESS row (they sat past position 50
         # in rounds 1-2), ahead of the stable r1/r2-green families ----
@@ -714,6 +716,79 @@ def pdf_textboxes(sf_dir: str):
     return _pdf_textboxes_ds()
 
 
+def _pep_src_ds(n: int = 80):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.pep import synthetic_pep
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([synthetic_pep(i) for i in range(n)],
+                         pa.string()),
+    }))
+
+
+def pep_docs(sf_dir: str):
+    """PEP rule pack (reference sources/tech/pep.py conventions) run
+    THROUGH THE REGISTRY PATH: a user INI with a custom ``reader`` and
+    a custom ``fn`` step assembles the pipeline — driver-recorded
+    evidence for the extension surface. Oracle = DuckDB regex recompute
+    from the raw text (header fields, section underlines, PEP refs)."""
+    from ferenda_ray import registry
+
+    src = _cached_ds("pepsrc", _pep_src_ds)  # input + oracle input
+    ini = f"/tmp/ferenda_ray_corpus/pep_ini_{_src_rev()}.ini"
+    if not os.path.exists(ini):
+        with open(ini + ".tmp", "w") as fp:
+            fp.write(
+                "[pipeline]\n"
+                "steps = pep\n"
+                "reader = ferenda_ray.stages.pep:read_pep_src\n"
+                "batch_size = 32\n\n"
+                "[pep]\n"
+                "fn = ferenda_ray.stages.pep:pep_rows_batch\n")
+        os.replace(ini + ".tmp", ini)
+    return registry.assemble(src, ini)
+
+
+def _ecma_raw_ds(n: int = 40):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ferenda_ray.stages.ecma import synthetic_ecma_pdf2xml
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "fmt": pa.array(["pdf2xml"] * n, pa.string()),
+        "data": pa.array([synthetic_ecma_pdf2xml(i) for i in range(n)],
+                         pa.binary()),
+    }))
+
+
+def _ecma_tb_ds(n: int = 40):
+    from ferenda_ray.stages.pdf import pdf_textbox_rows
+
+    return (_ecma_raw_ds(n)
+            .map_batches(pdf_textbox_rows, batch_format="pyarrow")
+            .sort(["doc_id", "page", "top"]))
+
+
+def ecma_clauses(sf_dir: str):
+    """ECMA clause rule pack (reference sources/tech/ecma.py — PDF
+    standards corpus) over the FSM engine: pdf2xml → glued textboxes →
+    clause/annex re-nesting → per-clause rows. Oracle = DuckDB
+    window-scan recompute of the nearest-preceding-heading semantics
+    over the cached textbox rows."""
+    from ferenda_ray.stages.ecma import ecma_rows_batch
+
+    _cached_ds("ecmatb", _ecma_tb_ds)  # oracle input
+    return _ecma_raw_ds().map_batches(ecma_rows_batch,
+                                      batch_format="pyarrow")
+
+
 def pdf_layout(sf_dir: str):
     """PDF layout analysis (reference ``pdfanalyze.PDFAnalyzer``):
     margins / header / footer zones / default style per document,
@@ -730,6 +805,19 @@ def _pdf_layout_sql() -> str:
     from ferenda_ray.stages.pdf import pdf_layout_sql
 
     return pdf_layout_sql(f"/tmp/ferenda_ray_corpus/pdftb_{_src_rev()}")
+
+
+def _pep_docs_sql() -> str:
+    from ferenda_ray.stages.pep import pep_docs_sql
+
+    return pep_docs_sql(f"/tmp/ferenda_ray_corpus/pepsrc_{_src_rev()}")
+
+
+def _ecma_clauses_sql() -> str:
+    from ferenda_ray.stages.ecma import ecma_clauses_sql
+
+    return ecma_clauses_sql(
+        f"/tmp/ferenda_ray_corpus/ecmatb_{_src_rev()}")
 
 
 def docx_blocks(sf_dir: str):
@@ -830,6 +918,8 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _cache_sql("mediaframes"),
         "pdf_textboxes": _cache_sql("pdftb"),
         "pdf_layout": _pdf_layout_sql(),
+        "pep_docs": _pep_docs_sql(),
+        "ecma_clauses": _ecma_clauses_sql(),
         "docx_blocks": _cache_sql("docxb"),
         "stratified_sample": sample.STRATIFIED_SAMPLE_SQL,
         # KG products: operator-level oracles over the deterministic

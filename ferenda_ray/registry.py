@@ -117,12 +117,15 @@ def load_pipeline_config(config_path: str) -> tuple[list[str],
 
 
 def assemble(pages_path: str, config_path: str):
-    """pages parquet + INI → lazy Dataset chain.
+    """input parquet + INI → lazy Dataset chain.
 
     Pipeline options: ``dedupe_snapshots`` (default true; the
     latest-per-url filter), ``batch_size`` (uniform default — kept
     uniform across the fused chain unless a step overrides it, see
-    BASELINE §4 fusion note)."""
+    BASELINE §4 fusion note), ``reader`` (``module:fn`` resolving to a
+    ``path → Dataset`` source — the extension point for NON-pages
+    corpora like the PEP/ECMA packs; with a custom reader the
+    pages-specific snapshot dedupe defaults OFF)."""
     import ray
 
     from ferenda_ray.pipelines import kg
@@ -131,8 +134,11 @@ def assemble(pages_path: str, config_path: str):
     default_bs = int(pipe.get("batch_size", 64))
     builtin = _builtin_steps()
 
-    ds = kg.read_pages(pages_path)
-    if pipe.get("dedupe_snapshots", "true").lower() != "false":
+    reader = pipe.get("reader")
+    ds = (resolve_fn(reader)(pages_path) if reader
+          else kg.read_pages(pages_path))
+    if pipe.get("dedupe_snapshots",
+                "false" if reader else "true").lower() != "false":
         max_ref = ray.put(kg.latest_per_url_map(pages_path))
         ds = ds.map_batches(
             functools.partial(kg.latest_filter, max_ref=max_ref),
