@@ -537,17 +537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_composite_stats": kg_composite_stats,
         "kg_meta_triples": kg_meta_triples,
         "kg_eulaw_refs": kg_eulaw_refs,  # new in r4 (EU grammar pack)
-        # ---- multimodal + similarity-search scale paths ----
-        # (media_frames/ann_ivf_topk/kmeans_clusters rotated out in r4
-        # — all r3-green with their files untouched — making window
-        # room for the new kg_eulaw_refs / dsir_scores /
-        # dedup_keep_best entries)
-        "media_features": media_features,
-        # r4 rotation: embedding_dup_pairs re-entered the window (its
-        # phase 2 became block-pair tasks this round); knn_classify
-        # (r3-green, ann.py untouched in r4) rotated out past the edge
-        "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        # ---- new r4 operators (must record fresh driver evidence) ----
+        # ---- r4 operators with r5-changed implementations (dsir on
+        # the BSP disk tier; keep_best/paragraph over the vectorized
+        # pair paths) ----
         "dsir_scores": text.dsir_scores,
         "dedup_keep_best": dedup.dedup_keep_best,
         "paragraph_dup_stats": dedup.paragraph_dup_stats,
@@ -557,52 +549,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_textboxes": pdf_textboxes,
         "pep_docs": pep_docs,
         "ecma_clauses": ecma_clauses,
-        # ---- round-3 window rotation: the four entries that had never
-        # produced a driver CORRECTNESS row (they sat past position 50
-        # in rounds 1-2), ahead of the stable r1/r2-green families ----
-        "fingerprint_rows": text.fingerprint_rows,
-        "doc_pages": text.doc_pages,
-        # (pdf_textboxes / docx_blocks rotated out in r4 — r3-green,
-        # stages/{pdf,word}.py untouched — making room for
-        # paragraph_dup_stats / windowed_topk_users)
-        # ---- operators whose code changed this round stay inside the
-        # 50-entry recording window for fresh driver evidence ----
+        # ---- r5 semantic changes: BSP-tier token cogroups, the
+        # curation eval-gram/oracle fixes, vectorized LSH/simhash pair
+        # emission, the \S+ oracle tokenization, the decontaminate
+        # oracle, bpe sharding hash ----
+        "lm_cross_entropy": text.lm_cross_entropy,
+        "curation_pipeline": curate.curation_pipeline,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
-        "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "dup_clusters": lambda sf: dedup.dup_clusters(
+            dedup.minhash_dedup_pairs(sf)),
         "ngram_jaccard_pairs": dedup.jaccard_top_pairs,
+        "decontaminate": decontam.decontaminate,
+        "fingerprint_rows": text.fingerprint_rows,
+        "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
+        "fingerprint_containment_pairs": text.fingerprint_containment_pairs,
         "lang_id": text.lang_id,
+        "doc_pages": text.doc_pages,
+        "bpe_train": bpe.bpe_train,
+        "bpe_token_counts": bpe.bpe_token_counts,
+        # ---- r5 co-location-hash changes (bucket_keys): one
+        # representative per family inside the window; the rest are
+        # re-verified by the local 104/104 two-scale gate (COVERAGE.md
+        # rotation note) ----
+        "latest_event_per_user": rel.latest_event_per_user,
+        "events_asof_orders": win.events_asof_orders,
+        "user_sessions": win.user_sessions,
+        "funnel_stages": win.funnel_stages,
+        # ---- WINDOW EDGE (50) ------------------------------------
+        # rotated out r5 (driver-green r3/r4; either files untouched —
+        # media_features/multimodal.py, embedding_near_dups_ivf/ann.py,
+        # mix/curriculum/sample.py — or only the co-location bucket
+        # hash changed in an unrelated region of a shared file:
+        # embedding_dup_pairs, doc_structure, tokenize_id_rows,
+        # repetition_scores, pack_sequences, quality_classifier,
+        # hopping_window_stats, tfidf_top_terms; all re-verified by the
+        # local gate at sf0.01 AND sf0.1) ----
+        "media_features": media_features,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
         "doc_structure": text.doc_structure,
         "tokenize_id_rows": text.tokenize_id_rows,
         "repetition_scores": text.repetition_scores,
         "pack_sequences": text.pack_sequences,
-        "fingerprint_overlap_pairs": text.fingerprint_overlap_pairs,
-        "fingerprint_containment_pairs": text.fingerprint_containment_pairs,
         "mix_corpus": sample.mix_corpus,
         "curriculum_deciles": sample.curriculum_deciles,
         "quality_classifier": text.quality_classifier,
         "hopping_window_stats": win.hopping_window_stats,
-        "lm_cross_entropy": text.lm_cross_entropy,
-        "curation_pipeline": curate.curation_pipeline,
-        "bpe_train": bpe.bpe_train,
-        "bpe_token_counts": bpe.bpe_token_counts,
-        # ---- stable r1/r2-green oracle families (rotated past the
-        # window edge; all were rows+schema+hash green in r1 or r2) ----
+        # ---- stable r1/r2-green oracle families ----
         "exact_dedup": dedup.exact_dedup,
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
         "stopword_scores": text.stopword_scores,
         "tfidf_top_terms": text.tfidf_top_terms,
         "curate_documents": text.curate_documents,
-        "simhash_dup_pairs": dedup.simhash_dup_pairs,
-        "dup_clusters": lambda sf: dedup.dup_clusters(
-            dedup.minhash_dedup_pairs(sf)),
         "knn_classify": ann.knn_classify,
         "media_frames": media_frames,
         "ann_ivf_topk": ann.ivf_topk,
         "kmeans_clusters": ann.kmeans,
         "docx_blocks": docx_blocks,
         "ft_search": ft_search,
-        "latest_event_per_user": rel.latest_event_per_user,
         "customers_with_events": bloom.customers_with_events,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "events_hourly": rel.events_hourly,
@@ -615,12 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": rel.segment_order_stats,
         "nation_order_rollup": rel.nation_order_rollup,
         "customers_by_sortkey": rel.customers_by_sortkey,
-        "decontaminate": decontam.decontaminate,
         "redact_pii": decontam.redact_pii,
         "top_terms": sketch.top_terms,
         "value_quantiles": sketch.value_quantiles,
-        "events_asof_orders": win.events_asof_orders,
-        "user_sessions": win.user_sessions,
         "ann_topk": ann.bruteforce_topk,
         "props_stats": rel.props_stats,
         "big_customers": rel.big_customers,
@@ -634,7 +637,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": sample.sample_events,
         "stratified_sample": sample.stratified_sample,
         "lineitems_shipped_within": win.lineitems_shipped_within,
-        "funnel_stages": win.funnel_stages,
         "events_running_total": win.events_running_total,
         "users_in_both": win.users_in_both,
         # ---- rows-only (approximate / seeded-sampling semantics, or
