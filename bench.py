@@ -186,6 +186,13 @@ def run_queries() -> dict[str, float]:
                 _ = res.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # the result is fully consumed; free any stage-tier spill
+            # dirs this query registered so a full bench session does
+            # not accumulate per-query derived-data copies (outside
+            # the timed region for cross-round comparability)
+            from ferenda_ray import bsp
+
+            bsp.release_spills()
         out[name] = round(best, 3)
     return out
 

@@ -63,6 +63,21 @@ def _register(path: str) -> None:
     _PUBLISHED.append(path)
 
 
+def release_spills() -> None:
+    """Explicitly remove every stage-tier result dir registered by
+    :func:`publish_dataset` / :func:`spill_dataset`. The files back the
+    lazy Datasets those functions returned, so call this ONLY once
+    everything derived from them has been fully consumed. Long-running
+    sessions that issue many spilling queries (the bench loop, the
+    local correctness gate, a REPL) should call it between queries so
+    full-corpus derived copies don't accumulate on the stage tier;
+    one-shot scripts can rely on the interpreter-exit backstop."""
+    import shutil
+
+    while _PUBLISHED:
+        shutil.rmtree(_PUBLISHED.pop(), ignore_errors=True)
+
+
 def publish_dataset(root: str, files: list[str], prefix: str,
                     columns: list[str] | None = None):
     """Publish the final per-bucket result files of a BSP run as a lazy
@@ -71,8 +86,9 @@ def publish_dataset(root: str, files: list[str], prefix: str,
     it. Node-level output therefore stays on the stage tier (shared
     storage on a cluster) instead of concentrating on the driver as a
     pandas concat — at 10^9 nodes the answer itself doesn't fit there.
-    Result dirs are removed at interpreter exit; callers that need the
-    output durably write_parquet it somewhere of their own.
+    Result dirs are removed at interpreter exit (or earlier via
+    :func:`release_spills`); callers that need the output durably
+    write_parquet it somewhere of their own.
     """
     import ray.data as rd
 
@@ -92,7 +108,8 @@ def spill_dataset(ds, prefix: str, columns: list[str] | None = None):
     managed disk tier (shared storage on a cluster) instead of pinning
     the whole derived dataset in the object store, where at 100 TB it
     would live in spill files anyway — but unmanaged and re-shipped per
-    consumer. Cleaned at interpreter exit (:func:`_register`)."""
+    consumer. Cleaned at interpreter exit, or between queries via
+    :func:`release_spills` once the returned Dataset is consumed."""
     import ray.data as rd
 
     out = stage_root(prefix)

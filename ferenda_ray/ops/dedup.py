@@ -203,8 +203,7 @@ def _lsh_candidates(sh_ds, num_buckets: int = N_SHUFFLE_BUCKETS,
         batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = bucket_keys(b.column("band_hash").to_pylist(),
-                              num_buckets)
+        buckets = bucket_keys(b.column("band_hash"), num_buckets)
         return b.append_column("bucket", pa.array(buckets, pa.int32()))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:

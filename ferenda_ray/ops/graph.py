@@ -100,10 +100,30 @@ def incoming_refs(edges_ds, num_buckets: int = 32):
 # -- BSP machinery for iterative node-score algorithms ----------------------
 
 # identifies the bucket-assignment hash baked into a staged resume
-# root; bumped when the hash changes so a durable root staged by older
-# code refuses to resume instead of silently splitting the keyspace
-# differently ("sha1" was the pre-r5 per-row python assignment)
-_BUCKET_FN = "xxh64-splitmix"
+# root, so a durable root staged under a different hash refuses to
+# resume instead of silently splitting the keyspace differently
+# ("sha1" was the pre-r5 per-row python assignment). Stamped as
+# BEHAVIOR, not name: the string path rides polars' xxhash kernel,
+# whose output is not contractually stable across polars versions, so
+# the stamp embeds the actual bucket ids of sentinel keys — a polars
+# upgrade between staging and resume that changes the kernel flips the
+# stamp and _check_staged_params raises rather than misrouting every
+# round's contributions.
+def _bucket_fn_stamp() -> str:
+    from ferenda_ray.util import bucket_keys
+
+    probe = bucket_keys(["", "a", "ferenda", "https://example.org/0",
+                         "råy"], 1 << 31)
+    return "xxh64-splitmix/" + "-".join(str(int(x)) for x in probe)
+
+
+_BUCKET_FN_CACHE: list[str] = []
+
+
+def _bucket_fn() -> str:
+    if not _BUCKET_FN_CACHE:
+        _BUCKET_FN_CACHE.append(_bucket_fn_stamp())
+    return _BUCKET_FN_CACHE[0]
 
 
 def _graph_stage_root() -> str:
@@ -271,7 +291,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             _check_staged_params(meta, {"num_buckets": num_buckets,
                                         "damping": damping,
                                         "n_iter": n_iter,
-                                        "bucket_fn": _BUCKET_FN})
+                                        "bucket_fn": _bucket_fn()})
             n = meta["n"]
         else:
             # no marker = staging never completed; a partial hive dir
@@ -283,7 +303,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
             n = _stage_graph(edges_ds, root, num_buckets)
             _atomic_write_json({"n": n, "num_buckets": num_buckets,
                                 "damping": damping, "n_iter": n_iter,
-                                "bucket_fn": _BUCKET_FN},
+                                "bucket_fn": _bucket_fn()},
                                marker)
         if n == 0:
             done = True
@@ -387,7 +407,7 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
             meta = _json.load(open(marker))
             _check_staged_params(meta, {"num_buckets": num_buckets,
                                         "n_iter": n_iter,
-                                        "bucket_fn": _BUCKET_FN})
+                                        "bucket_fn": _bucket_fn()})
             n = meta["n"]
         else:
             if resume_root and os.path.isdir(root):
@@ -396,7 +416,7 @@ def hits(edges_ds, n_iter: int = 10, num_buckets: int = 16,
             n = _stage_graph(edges_ds, root, num_buckets)
             _atomic_write_json({"n": n, "num_buckets": num_buckets,
                                 "n_iter": n_iter,
-                                "bucket_fn": _BUCKET_FN}, marker)
+                                "bucket_fn": _bucket_fn()}, marker)
         if n == 0:
             done = True
             return rd.from_arrow(pa.table(

@@ -49,6 +49,11 @@ def pep_parse(text: str) -> tuple[dict, dict, list[str]]:
             break
         last_key = m.group("k")
         meta[last_key] = m.group("v").strip()
+    else:
+        # header block ran to end-of-input (no blank/body line): every
+        # line was folded into meta; without this, lines[i:] would
+        # re-include the LAST header line as a phantom body paragraph
+        i = len(lines)
     body = "\n".join(lines[i:])
     tree = rst_parse(body)
     refs = sorted({m.group(1) for m in _PEP_REF.finditer(text)})

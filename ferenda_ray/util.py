@@ -274,8 +274,11 @@ def bucket_keys(values, mod: int):
     ints go straight to :func:`bucket_ints`; strings are hashed ONCE
     by the polars xxhash kernel and then bucketed (replaces the
     per-row ``stable_uint(str(k))`` python+sha1 loop). Bucket
-    assignment is job-internal (co-location only); nothing persisted
-    depends on the hash choice."""
+    assignment is job-internal (co-location only) — EXCEPT graph
+    durable resume roots, which persist bucket-partitioned files and
+    therefore stamp the hash behavior (``ops/graph._bucket_fn_stamp``:
+    polars' kernel is not contractually version-stable) so a kernel
+    change refuses to resume instead of misrouting keys."""
     import numpy as np
     import polars as pl
     import pyarrow as pa

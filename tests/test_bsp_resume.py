@@ -190,3 +190,37 @@ def test_pagerank_resume_param_mismatch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(edges, n_iter=4, damping=0.85, num_buckets=8,
                  resume_root=root)
+
+
+def test_pagerank_resume_bucket_fn_behavior_stamp(ray_session, tmp_path):
+    """A durable root staged under a DIFFERENT bucket-hash behavior
+    (e.g. a polars upgrade changing its xxhash kernel between staging
+    and resume) must refuse to resume — the stamp embeds actual probe
+    bucket ids, not just the in-repo hash name."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.graph import (_bucket_fn, edges_from_triples,
+                                       pagerank)
+    from ferenda_ray.pipelines.kg import build_triples_ds
+    from ferenda_ray.sources.pages import corpus_table
+
+    stamp = _bucket_fn()
+    # name prefix + one probe bucket id per sentinel key
+    name, _, probes = stamp.partition("/")
+    assert name == "xxh64-splitmix" and len(probes.split("-")) == 5
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(60), pages)
+    edges = edges_from_triples(build_triples_ds(pages))
+    root = str(tmp_path / "stage")
+    os.makedirs(root)
+    # same name, different probe values = a kernel change
+    json.dump({"n": 60, "num_buckets": 8, "damping": 0.85, "n_iter": 3,
+               "bucket_fn": "xxh64-splitmix/0-0-0-0-0"},
+              open(f"{root}/_staged.json", "w"))
+    with pytest.raises(ValueError, match="bucket_fn"):
+        pagerank(edges, n_iter=3, damping=0.85, num_buckets=8,
+                 resume_root=root)

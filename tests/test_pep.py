@@ -41,6 +41,19 @@ def test_pep_header_edge_cases():
     meta2, tree2, refs2 = pep.pep_parse("just a paragraph\n")
     assert meta2 == {} or "just" not in meta2
     assert tree2["kind"] == "Body"
+    # header block terminated by end-of-input: every line folds into
+    # meta and the body is EMPTY (the last header line must not
+    # reappear as a phantom body paragraph)
+    meta3, tree3, _ = pep.pep_parse("PEP: 7\nTitle: X")
+    assert meta3 == {"PEP": "7", "Title": "X"}
+    assert tree3["children"] == []
+    # ... including when the final line is a continuation fold
+    meta4, tree4, _ = pep.pep_parse("PEP: 7\nAuthor: A. Lovelace,\n   B. Babbage")
+    assert meta4["Author"] == "A. Lovelace, B. Babbage"
+    assert tree4["children"] == []
+    # empty input
+    meta5, tree5, _ = pep.pep_parse("")
+    assert meta5 == {} and tree5["children"] == []
 
 
 def test_pep_registry_path(ray_session, tmp_path):

@@ -95,3 +95,38 @@ def test_materialize_honors_shared_root(ray_session, shared_root,
     tri = mat.read_triples(out).to_pandas()
     assert len(tri) > 0
     assert _tmp_ferenda() == before
+
+
+def test_release_spills_frees_stage_tier(ray_session, shared_root):
+    """spill_dataset dirs are freed on explicit release once the
+    returned Dataset is consumed — a long session of spilling queries
+    must not accumulate full-corpus derived copies until exit."""
+    import ray.data as rd
+
+    from ferenda_ray import bsp
+
+    ds = rd.range(10)
+    out = bsp.spill_dataset(ds, "spilltest")
+    assert out.count() == 10
+    assert [e for e in os.listdir(shared_root)
+            if e.startswith("spilltest-")]
+    bsp.release_spills()
+    assert not [e for e in os.listdir(shared_root)
+                if e.startswith("spilltest-")]
+    bsp.release_spills()  # idempotent on an empty registry
+
+
+def test_bucket_keys_arrow_column_parity():
+    """bucket_keys over a pyarrow column (incl. chunked) must equal
+    the python-list path — the LSH add_bucket hot path passes the
+    arrow column zero-copy."""
+    from ferenda_ray.util import bucket_keys
+
+    strs = ["", "a", "ferenda", "https://example.org/0", "råy"] * 3
+    ints = [0, 1, -7, 2**40, 17] * 3
+    for vals, typ in ((strs, pa.string()), (ints, pa.int64())):
+        plain = list(bucket_keys(vals, 64))
+        arr = pa.array(vals, typ)
+        chunked = pa.chunked_array([arr[:4], arr[4:]])
+        assert list(bucket_keys(arr, 64)) == plain
+        assert list(bucket_keys(chunked, 64)) == plain

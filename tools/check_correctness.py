@@ -77,6 +77,13 @@ def main(sf_dir: str) -> int:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        finally:
+            # the result was materialized to pandas (or the query
+            # died); free any stage-tier spill dirs it registered so a
+            # 107-query gate run doesn't accumulate derived-data copies
+            from ferenda_ray import bsp
+
+            bsp.release_spills()
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
