@@ -428,6 +428,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hits(edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
                     n_iter=5)
 
+    def kg_kcore(sf_dir: str):
+        """k-core decomposition of the citation graph (late-r5
+        graphanalyze-family addition; sits past the window edge, so
+        verified by the local gate + pytest rather than a driver row)."""
+        from ferenda_ray.ops.graph import edges_from_triples, kcore
+
+        return kcore(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
+            k=3, n_rounds=8)
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -585,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repetition_scores, pack_sequences, quality_classifier,
         # hopping_window_stats, tfidf_top_terms; all re-verified by the
         # local gate at sf0.01 AND sf0.1) ----
+        # late-r5 additions (after the window rotation, hence placed
+        # past the edge; local gate + pytest verified)
+        "kg_kcore": kg_kcore,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,

@@ -784,3 +784,159 @@ def triangle_count(edges_ds, num_buckets: int = 16,
     val = agg["n_triangles"]
     return pd.DataFrame({"n_triangles": [int(val) if val is not None
                                          else 0]})
+
+
+# -- k-core decomposition (iterative peel, BSP) -----------------------------
+
+def kcore(edges_ds, k: int = 3, n_rounds: int = 8, num_buckets: int = 16):
+    """k-core of the undirected citation graph (graphanalyze-family
+    analytics, reference ``sources/general/graphanalyze.py:537-925``
+    degree-based cohesion reports): iteratively peel nodes whose degree
+    in the surviving subgraph is < ``k``; returns the survivors with
+    their within-core degree as a lazy ``(url, core_deg)`` Dataset.
+
+    Peeling is synchronous (Jacobi): round ``i`` removes exactly the
+    nodes whose degree among round-``i-1`` survivors is < k — the same
+    semantics as the unrolled-CTE SQL oracle, so after ``n_rounds``
+    both sides hold the identical subgraph whether or not the peel has
+    converged (rounds past the fixpoint are the identity; this side
+    early-exits on an empty peel wave).
+
+    BSP shape (module docstring): the canonical distinct edge set is
+    staged ONCE as half-edges hive-partitioned by ``bucket(u)``; each
+    round a dying node sends pre-aggregated degree DECREMENTS to its
+    neighbors' buckets (node-level message volume — the edges never
+    move again), and the per-bucket survivor table is rewritten
+    crash-atomically. Driver state per round: one integer (the global
+    peel count)."""
+    from ferenda_ray.util import bucket_keys
+
+    if k < 1 or n_rounds < 1:
+        raise ValueError(f"need k >= 1 and n_rounds >= 1, "
+                         f"got k={k}, n_rounds={n_rounds}")
+
+    und = _canon_edges(edges_ds)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "core_deg": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+
+    root = _graph_stage_root()
+    try:
+        os.makedirs(root, exist_ok=True)
+
+        def halves(b: pa.Table) -> pa.Table:
+            u = pa.concat_arrays([
+                b.column("a").combine_chunks().cast(pa.string()),
+                b.column("b").combine_chunks().cast(pa.string())])
+            v = pa.concat_arrays([
+                b.column("b").combine_chunks().cast(pa.string()),
+                b.column("a").combine_chunks().cast(pa.string())])
+            return pa.table({
+                "u": u, "v": v,
+                "ub": pa.array(bucket_keys(u, num_buckets), pa.int32()),
+            })
+
+        (und.map_batches(halves, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "halfedges"),
+                        partition_cols=["ub"]))
+
+        @ray.remote
+        def init_nodes(b: int) -> None:
+            from ferenda_ray.bsp import read_hive_bucket
+
+            he = read_hive_bucket(root, "halfedges", "ub", b, ["u"])
+            if he is None:
+                nd = pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                   "deg": pd.Series([], dtype="int64")})
+            else:
+                nd = (he.to_pandas().groupby("u", sort=True).size()
+                      .rename("deg").reset_index()
+                      .rename(columns={"u": "url"}))
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"core0-{b:05d}.parquet"))
+
+        ray.get([init_nodes.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def peel_map(b: int, r: int) -> int:
+            """Detect this bucket's dying nodes and mail their degree
+            decrements to the neighbors' buckets."""
+            from ferenda_ray.bsp import read_hive_bucket
+
+            nd = pq.read_table(
+                os.path.join(root, f"core{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            dead = nd.loc[nd.deg < k, "url"]
+            if not len(dead):
+                return 0
+            he = read_hive_bucket(root, "halfedges", "ub", b, ["u", "v"])
+            j = he.to_pandas()
+            j = j[j.u.isin(set(dead))]
+            part = (j.groupby("v", sort=True).size().rename("dec")
+                    .reset_index().rename(columns={"v": "url"}))
+            part["vb"] = bucket_keys(part.url.to_numpy(), num_buckets)
+            _write_partials(root, f"dec{r}", b, part, "vb")
+            return int(len(dead))
+
+        @ray.remote
+        def peel_reduce(b: int, r: int) -> None:
+            """Drop this bucket's dead and apply incoming decrements."""
+            nd = pq.read_table(
+                os.path.join(root, f"core{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            alive = nd[nd.deg >= k].copy()
+            dec = _read_partials(root, f"dec{r}", b)
+            if dec is not None and len(alive):
+                got = dec.groupby("url", sort=True)["dec"].sum()
+                alive["deg"] = (alive["deg"].to_numpy()
+                                - got.reindex(alive.url).fillna(0)
+                                .to_numpy().astype("int64"))
+            _atomic_write_table(
+                pa.Table.from_pandas(alive, preserve_index=False),
+                os.path.join(root, f"core{r}-{b:05d}.parquet"))
+
+        final = 0
+        for r in range(1, n_rounds + 1):
+            n_dead = sum(ray.get(
+                [peel_map.remote(b, r) for b in range(num_buckets)]))
+            if n_dead == 0:
+                break
+            ray.get([peel_reduce.remote(b, r)
+                     for b in range(num_buckets)])
+            final = r
+
+        from ferenda_ray.bsp import publish_dataset
+
+        @ray.remote
+        def finalize(b: int) -> str:
+            """Per-bucket output rewrite (url, core_deg): done on the
+            BSP tier rather than a trailing map_batches so an all-peeled
+            EMPTY result still reads back with a stable parquet schema.
+            A not-yet-converged survivor can reach degree 0 (all its ≥k
+            neighbors died in the final round); the subgraph has no
+            edges for it, so it is not part of the round's edge set —
+            drop it (no-op once converged, where deg ≥ k ≥ 1)."""
+            import pyarrow.compute as pc
+
+            t = pq.read_table(
+                os.path.join(root, f"core{final}-{b:05d}.parquet"))
+            t = t.filter(pc.greater(t.column("deg"), 0))
+            out = pa.table({"url": t.column("url").cast(pa.string()),
+                            "core_deg": t.column("deg").cast(pa.int64())})
+            path = os.path.join(root, f"kcore-{b:05d}.parquet")
+            _atomic_write_table(out, path)
+            return path, out.num_rows
+
+        done = ray.get([finalize.remote(b) for b in range(num_buckets)])
+        if sum(n for _, n in done) == 0:
+            # an all-peeled core: hand back an in-memory empty block —
+            # a 0-row parquet-backed Dataset loses its column schema
+            # through to_pandas()
+            return rd.from_arrow(empty)
+        return publish_dataset(root, [f for f, _ in done],
+                               "ferenda_graph_kcore",
+                               columns=["url", "core_deg"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -100,6 +100,39 @@ def _pagerank_sql(tri: str, n_iter: int = 5, d: float = 0.85) -> str:
             + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
 
 
+def _kcore_sql(tri: str, k: int = 3, n_rounds: int = 8) -> str:
+    """k-core peel unrolled to ``n_rounds`` CTE rounds — the exact
+    synchronous (Jacobi) semantics of ``ops/graph.py:kcore``: round i
+    keeps the half-edges whose BOTH endpoints had degree ≥ k among
+    round i−1 survivors; the output is the final half-edge group count
+    (so a node peeled to degree 0 in a non-converged final round is
+    absent on both sides). Integer counts only — no float-order
+    concern."""
+    edges = (f"SELECT DISTINCT least(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS a, "
+             f"greatest(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS b FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}' "
+             f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)")
+    M = "AS MATERIALIZED"
+    parts = [
+        f"e {M} ({edges})",
+        f"h0 {M} (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"a{i} {M} (SELECT u FROM h{i} GROUP BY u "
+            f"HAVING count(*) >= {k})")
+        parts.append(
+            f"h{i + 1} {M} (SELECT u, v FROM h{i} "
+            f"WHERE u IN (SELECT u FROM a{i}) "
+            f"AND v IN (SELECT u FROM a{i}))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT u AS url, count(*) AS core_deg "
+            f"FROM h{n_rounds} GROUP BY u")
+
+
 def _hits_sql(tri: str, n_iter: int = 5) -> str:
     """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
     implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
@@ -336,6 +369,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"/tmp/ferenda_ray_corpus/pages_{n_pages}{rev}.parquet"),
         "kg_pagerank": _pagerank_sql(tri),
         "kg_hits": _hits_sql(tri),
+        "kg_kcore": _kcore_sql(tri),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

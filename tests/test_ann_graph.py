@@ -306,3 +306,79 @@ def test_triangle_count_empty_edges(ray_session):
                        "dst": pd.Series([], dtype="object")})
     got = triangle_count(rd.from_pandas(df))
     assert int(got.n_triangles[0]) == 0
+
+
+def _sync_peel_reference(edges, k, n_rounds):
+    """Synchronous (Jacobi) k-core peel, bounded rounds — the exact
+    semantics kcore and its unrolled SQL oracle both implement."""
+    half = {}
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for a, b in und:
+        half.setdefault(a, set()).add(b)
+        half.setdefault(b, set()).add(a)
+    alive = set(half)
+    for _ in range(n_rounds):
+        deg = {u: sum(v in alive for v in half[u]) for u in alive}
+        dead = {u for u in alive if deg[u] < k}
+        if not dead:
+            break
+        alive -= dead
+    out = {}
+    for u in alive:
+        d = sum(v in alive for v in half[u])
+        if d > 0:  # zero-degree survivor of a truncated peel: no edges
+            out[u] = d
+    return out
+
+
+def test_kcore_vs_bruteforce(ray_session):
+    """Converged case: kcore equals the fixpoint peel on a
+    deterministic pseudo-random graph, at several k."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import kcore
+
+    edges = [(f"n{(i * 7) % 29}", f"n{(i * 13 + 5) % 29}")
+             for i in range(120)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    for k in (2, 3, 4):
+        got = kcore(ds, k=k, n_rounds=50, num_buckets=5).to_pandas()
+        want = _sync_peel_reference(edges, k, 50)
+        # ray's to_pandas drops the column schema on 0-row results
+        got_map = (dict(zip(got.url, got.core_deg)) if len(got) else {})
+        assert got_map == want
+
+
+def test_kcore_bounded_rounds_match_reference(ray_session):
+    """NON-converged case (the oracle-parity contract): a long path
+    graph peels one layer per round under k=2, so a small round bound
+    truncates mid-peel — kcore must equal the same-round-count
+    synchronous reference exactly, including dropping any survivor
+    peeled to degree 0 in the final round."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import kcore
+
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    for rounds in (1, 3, 8):
+        got = kcore(ds, k=2, n_rounds=rounds, num_buckets=3).to_pandas()
+        want = _sync_peel_reference(edges, 2, rounds)
+        assert dict(zip(got.url, got.core_deg)) == want
+    # fully converged: a path has no 2-core at all
+    assert kcore(ds, k=2, n_rounds=50, num_buckets=3).count() == 0
+
+
+def test_kcore_empty_and_validation(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import kcore
+
+    empty = rd.from_pandas(pd.DataFrame({"src": ["x"], "dst": ["x"]}))
+    assert kcore(empty, k=2).count() == 0  # self-loops drop to nothing
+    with _pytest.raises(ValueError):
+        kcore(empty, k=0)
