@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-r5 additions (after the window rotation, hence placed
         # past the edge; local gate + pytest verified)
         "kg_kcore": kg_kcore,
+        "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_near_dups_ivf": dedup.embedding_near_dups_ivf,
@@ -900,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dsir_scores": text.DSIR_SCORES_SQL,
+        "bigram_pmi": text.BIGRAM_PMI_SQL,
         "paragraph_dup_stats": dedup.PARAGRAPH_DUP_SQL,
         "windowed_topk_users": win.WINDOWED_TOPK_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,

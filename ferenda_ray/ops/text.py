@@ -1677,3 +1677,174 @@ FROM grouped g JOIN cnt USING (t)
 WHERE NOT g.is_target
 GROUP BY g.doc_id
 """
+
+
+# -- collocation mining (bigram PMI) ----------------------------------------
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, num_buckets: int = 32):
+    """Corpus-level collocations: every adjacent word bigram occurring
+    ≥ ``min_count`` times, with its pointwise mutual information under
+    the bigram-margin model ``pmi = ln(c₁₂·B / (c₁·c₂))`` where ``c₁``
+    / ``c₂`` are the bigram-stream margins (occurrences as first /
+    second element) and ``B`` the total bigram count. Margins rather
+    than unigram counts keep the whole operator a single pass over the
+    text; the ``min_count`` filter applies AFTER the margins, so the
+    reported pmi is exact over the full stream.
+
+    BSP shape (three skinny exchanges on the disk tier, text read
+    once):
+
+    1. per-batch polars bigram partial counts hive-written by
+       ``hash(w1,w2)`` bucket — token-level data never pins the object
+       store (``bsp.spill``-family discipline);
+    2. one task per pair-bucket: exact bigram counts (each pair lives
+       in exactly one bucket); margin partials mailed to ``hash(w)``
+       token buckets, survivors (c ≥ min_count) mailed to ``hash(w1)``;
+       the bucket-local total rides back as a sidecar scalar;
+    3. one task per token-bucket attaches ``c1`` to survivors and
+       forwards by ``hash(w2)``; a second wave attaches ``c2`` and
+       closes the formula. Every exchanged row is pre-aggregated;
+       margin volume is bounded by vocabulary, survivor volume by the
+       min_count filter."""
+    import numpy as np
+    import ray
+
+    from ferenda_ray.bsp import (publish_dataset, read_hive_bucket,
+                                 read_partials, stage_root,
+                                 write_partials)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        ex = (df.select("doc_id",
+                        pl.col("text").str.to_lowercase()
+                        .str.extract_all(r"[a-z]+").alias("t"))
+              .explode("t").drop_nulls("t")
+              .with_columns(pl.col("t").shift(-1).over("doc_id")
+                            .alias("t2"))
+              .drop_nulls("t2"))
+        g = (ex.group_by("t", "t2").len().rename(
+                {"t": "w1", "t2": "w2", "len": "c"})
+             .with_columns(pl.col("c").cast(pl.Int64)))
+        g = g.with_columns(
+            ((pl.col("w1").hash(7) ^ pl.col("w2").hash(13))
+             % num_buckets).cast(pl.Int32).alias("bucket"))
+        return g.to_arrow()
+
+    def tok_bucket(arr, seed: int):
+        import polars as pl_
+
+        return ((pl_.Series(arr).hash(seed) % num_buckets)
+                .cast(pl_.Int32).to_numpy())
+
+    root = stage_root("ferenda_pmi")
+    try:
+        (ds.map_batches(partial, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "big"),
+                        partition_cols=["bucket"]))
+
+        @ray.remote
+        def pair_task(b: int) -> int:
+            t = read_hive_bucket(root, "big", "bucket", b,
+                                 ["w1", "w2", "c"])
+            if t is None or not t.num_rows:
+                return 0
+            cnt = (t.to_pandas().groupby(["w1", "w2"], as_index=False,
+                                         sort=True)["c"].sum())
+            for col, tag in (("w1", "m1"), ("w2", "m2")):
+                m = cnt.groupby(col, as_index=False, sort=True)["c"].sum()
+                m.columns = ["w", "c"]
+                m["tb"] = tok_bucket(m["w"].to_numpy(), 21)
+                write_partials(root, tag, b, m, "tb")
+            surv = cnt[cnt["c"] >= min_count].copy()
+            if len(surv):
+                surv["tb"] = tok_bucket(surv["w1"].to_numpy(), 21)
+                write_partials(root, "sv1", b, surv, "tb")
+            return int(cnt["c"].sum())
+
+        b_total = sum(ray.get([pair_task.remote(b)
+                               for b in range(num_buckets)]))
+
+        @ray.remote
+        def attach1(tb: int) -> None:
+            sv = read_partials(root, "sv1", tb)
+            if sv is None:
+                return
+            m1 = (read_partials(root, "m1", tb)
+                  .groupby("w", sort=True)["c"].sum())
+            sv["c1"] = m1.reindex(sv["w1"]).to_numpy().astype("int64")
+            sv["tb2"] = tok_bucket(sv["w2"].to_numpy(), 21)
+            write_partials(root, "sv2", tb,
+                           sv[["w1", "w2", "c", "c1", "tb2"]], "tb2")
+
+        ray.get([attach1.remote(tb) for tb in range(num_buckets)])
+
+        @ray.remote
+        def attach2(tb: int) -> str:
+            sv = read_partials(root, "sv2", tb)
+            if sv is None:
+                sv = pd.DataFrame(
+                    {"w1": pd.Series([], dtype="object"),
+                     "w2": pd.Series([], dtype="object"),
+                     "c": pd.Series([], dtype="int64"),
+                     "c1": pd.Series([], dtype="int64")})
+                sv["c2"] = pd.Series([], dtype="int64")
+            else:
+                m2 = (read_partials(root, "m2", tb)
+                      .groupby("w", sort=True)["c"].sum())
+                sv["c2"] = (m2.reindex(sv["w2"]).to_numpy()
+                            .astype("int64"))
+            out = pd.DataFrame({
+                "w1": sv["w1"], "w2": sv["w2"],
+                "n_pair": sv["c"].astype("int64"),
+                # same association order as the SQL oracle:
+                # (c·B) / (c1·c2)
+                "pmi": np.log(sv["c"].to_numpy().astype("float64")
+                              * float(b_total)
+                              / (sv["c1"].to_numpy().astype("float64")
+                                 * sv["c2"].to_numpy()
+                                 .astype("float64"))),
+            })
+            import pyarrow.parquet as pq_
+
+            path = os.path.join(root, f"pmi-{tb:05d}.parquet")
+            pq_.write_table(pa.Table.from_pandas(out,
+                                                 preserve_index=False),
+                            path)
+            return path
+
+        files = ray.get([attach2.remote(tb)
+                         for tb in range(num_buckets)])
+        return publish_dataset(root, files, "ferenda_pmi_out")
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BIGRAM_PMI_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t,
+           unnest(range(0, len(regexp_extract_all(lower(text),
+                                                  '[a-z]+')))) AS i
+    FROM documents
+), bigr AS (
+    SELECT a.t AS w1, b.t AS w2
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), cnt AS (
+    SELECT w1, w2, count(*) AS c FROM bigr GROUP BY w1, w2
+), m1 AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM cnt GROUP BY w1
+), m2 AS (
+    SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM cnt GROUP BY w2
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS bt FROM cnt
+)
+SELECT cnt.w1, cnt.w2, CAST(cnt.c AS BIGINT) AS n_pair,
+       ln(CAST(cnt.c AS DOUBLE) * (SELECT bt FROM tot)
+          / (CAST(c1 AS DOUBLE) * c2)) AS pmi
+FROM cnt JOIN m1 USING (w1) JOIN m2 USING (w2)
+WHERE cnt.c >= 5
+"""

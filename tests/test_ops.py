@@ -517,3 +517,51 @@ def test_fp_pair_counts_vs_bruteforce(ray_session):
     got_map = {(a, b): n for a, b, n in
                zip(got.doc_a, got.doc_b, got.n_shared)}
     assert got_map == want
+
+
+def test_bigram_pmi_oracle_and_handcheck(ray_session, tmp_path):
+    """Synthetic corpus where the PMI values are hand-derivable, plus
+    the exact-SQL comparison on the same input (min_count=5 default:
+    'a b' repeats clear it, singletons don't)."""
+    import math
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from ferenda_ray.ops.text import BIGRAM_PMI_SQL, bigram_pmi
+
+    texts = [
+        "a b " * 6,              # 'a b' ×6, 'b a' ×5
+        "c d " * 7,              # 'c d' ×7, 'd c' ×6
+        "x y",                   # below min_count, margins still count
+        "",                      # no tokens at all
+    ]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{tmp_path}/documents.parquet')")
+    got = bigram_pmi(str(tmp_path)).to_pandas()
+    _cmp(got, c, BIGRAM_PMI_SQL)
+    got = got.set_index(["w1", "w2"])
+    # stream: 11 'a b'-doc bigrams + 13 'c d'-doc bigrams + 1 'x y' = 25
+    assert set(got.index) == {("a", "b"), ("b", "a"), ("c", "d"),
+                              ("d", "c")}
+    assert got.loc[("a", "b"), "n_pair"] == 6
+    # margins in the bigram stream: c1('a')=6 ('a' only starts 'a b'),
+    # c2('b')=6; pmi = ln(6·25/(6·6))
+    assert abs(got.loc[("a", "b"), "pmi"]
+               - math.log(6 * 25 / 36)) < 1e-12
+    assert abs(got.loc[("c", "d"), "pmi"]
+               - math.log(7 * 25 / (7 * 7))) < 1e-12
+
+
+def test_bigram_pmi_sf(ray_session, con):
+    from ferenda_ray.ops.text import BIGRAM_PMI_SQL, bigram_pmi
+
+    _cmp(bigram_pmi(SF), con, BIGRAM_PMI_SQL)
