@@ -56,6 +56,143 @@ class _Ctx(dict):
         return ""
 
 
+# -- XPath-1.0 string functions in value templates ---------------------------
+#
+# The reference's stylesheets lean on a small set of XPath string
+# functions (counted across res/xsl/*.xsl: substring-after ×32,
+# substring ×13, concat ×11, substring-before ×7, string-length ×7,
+# normalize-space ×4, translate ×1 — reference ``transformer.py:25-372``
+# hands them to libxslt). Value templates support exactly that set,
+# nested arbitrarily: ``{substring-after(identifier, '-')}``,
+# ``{concat(url, '#', fragment)|attr}``. Arguments are field names,
+# 'single-quoted' literals or integers; results render XSLT-style as
+# escaped text (``|attr`` → quoted attribute value, ``|raw`` →
+# unescaped). Unknown fields resolve to "" like plain placeholders.
+
+_FN_TOKEN = re.compile(
+    r"\s*(?:(?P<lit>'[^']*')|(?P<num>-?\d+)"
+    r"|(?P<name>[A-Za-z_][\w-]*)|(?P<punc>[(),]))")
+
+_XPATH_FNS = {"concat", "substring", "substring-after",
+              "substring-before", "string-length", "normalize-space",
+              "translate"}
+
+
+def _parse_fn_expr(src: str):
+    """Recursive-descent parse of one function expression into a
+    nested tuple AST: ('fn', name, [args]) / ('lit', s) / ('num', n) /
+    ('field', name). Raises ValueError on malformed input (template
+    authoring error — fail loudly at compile, not per element)."""
+    toks = []
+    pos = 0
+    while pos < len(src):
+        m = _FN_TOKEN.match(src, pos)
+        if not m:
+            raise ValueError(f"bad template expression: {src!r}")
+        toks.append(m)
+        pos = m.end()
+
+    idx = 0
+
+    def peek_punc(p):
+        return (idx < len(toks) and toks[idx].group("punc") == p)
+
+    def expr():
+        nonlocal idx
+        if idx >= len(toks):
+            raise ValueError(f"truncated template expression: {src!r}")
+        t = toks[idx]
+        idx += 1
+        if t.group("lit") is not None:
+            return ("lit", t.group("lit")[1:-1])
+        if t.group("num") is not None:
+            return ("num", int(t.group("num")))
+        if t.group("name") is not None:
+            name = t.group("name")
+            if peek_punc("("):
+                if name not in _XPATH_FNS:
+                    raise ValueError(
+                        f"unknown template function {name!r} in {src!r}")
+                idx += 1
+                args = []
+                if not peek_punc(")"):
+                    args.append(expr())
+                    while peek_punc(","):
+                        idx += 1
+                        args.append(expr())
+                if not peek_punc(")"):
+                    raise ValueError(f"expected ')' in {src!r}")
+                idx += 1
+                return ("fn", name, args)
+            return ("field", name)
+        raise ValueError(f"bad token in template expression: {src!r}")
+
+    ast = expr()
+    if idx != len(toks):
+        raise ValueError(f"trailing junk in template expression: {src!r}")
+    return ast
+
+
+def _eval_fn_expr(ast, elem: dict, url: str) -> str:
+    kind = ast[0]
+    if kind == "lit":
+        return ast[1]
+    if kind == "num":
+        return str(ast[1])
+    if kind == "field":
+        if ast[1] == "url":
+            return url
+        v = elem.get(ast[1], "")
+        return str(v) if isinstance(v, (str, int, float)) else ""
+    name, args = ast[1], [_eval_fn_expr(a, elem, url) for a in ast[2]]
+    if name == "concat":
+        return "".join(args)
+    if name == "substring-after":
+        _, sep, rest = args[0].partition(args[1])
+        return rest if sep else ""
+    if name == "substring-before":
+        head, sep, _ = args[0].partition(args[1])
+        return head if sep else ""
+    if name == "substring":
+        s = args[0]
+        start = int(args[1]) - 1  # XPath positions are 1-based
+        end = start + int(args[2]) if len(args) > 2 else len(s)
+        return s[max(start, 0):max(end, 0)]
+    if name == "string-length":
+        return str(len(args[0]))
+    if name == "normalize-space":
+        return " ".join(args[0].split())
+    # translate(s, from, to): map from[i]→to[i], delete the overhang
+    table = {ord(f): (args[2][i] if i < len(args[2]) else None)
+             for i, f in enumerate(args[1])}
+    return args[0].translate(table)
+
+
+_FN_PLACEHOLDER = re.compile(r"\{([a-z-]+\([^{}]*\))(\|attr|\|raw)?\}")
+
+_FN_TPL_CACHE: dict[str, tuple] = {}
+
+
+def _compile_fn_template(tpl: str):
+    """Rewrite ``{func(...)}`` placeholders to synthetic context keys,
+    returning (rewritten template, [(key, ast, mode), ...]); cached by
+    template content (templates are tiny user strings)."""
+    got = _FN_TPL_CACHE.get(tpl)
+    if got is not None:
+        return got
+    slots = []
+
+    def sub(m):
+        key = f"_fn{len(slots)}"
+        slots.append((key, _parse_fn_expr(m.group(1)),
+                      (m.group(2) or "|esc")[1:]))
+        return "{%s}" % key
+
+    rewritten = _FN_PLACEHOLDER.sub(sub, tpl)
+    _FN_TPL_CACHE[tpl] = (rewritten, slots)
+    return rewritten, slots
+
+
 def _apply_template(tpl: str, elem: dict, url: str, children: str,
                     inline: str) -> str:
     """Render one element through a user template string — the
@@ -64,6 +201,7 @@ def _apply_template(tpl: str, elem: dict, url: str, children: str,
     with the same substitution surface: element fields, ``*_esc``
     escaped variants, ``children``/``inline`` pre-rendered HTML,
     ``url``)."""
+    tpl, fn_slots = _compile_fn_template(tpl)
     ctx = _Ctx()
     for k, v in elem.items():
         if isinstance(v, (str, int, float)):
@@ -73,6 +211,10 @@ def _apply_template(tpl: str, elem: dict, url: str, children: str,
             # safe to interpolate as  href={field_attr}  (the XSLT AVT
             # slot of the reference's generic.xsl)
             ctx[f"{k}_attr"] = quoteattr(str(v))
+    for key, ast, mode in fn_slots:
+        val = _eval_fn_expr(ast, elem, url)
+        ctx[key] = (escape(val) if mode == "esc"
+                    else quoteattr(val) if mode == "attr" else val)
     ctx["children"] = children
     ctx["inline"] = inline
     ctx["url"] = url

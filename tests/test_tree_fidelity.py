@@ -422,3 +422,62 @@ def test_template_positional_predicates():
     with pytest.raises(ValueError):
         generate_html("u", "T", tree,
                       templates={"Section[1]//Paragraph": "x"})
+
+
+def test_template_xpath_string_functions():
+    """Round-5 template increment: the XPath-1.0 string-function set
+    the reference stylesheets actually use (substring-after ×32,
+    substring ×13, concat ×11, substring-before ×7, string-length ×7,
+    normalize-space ×4, translate ×1 across res/xsl/*.xsl), nested,
+    with XSLT-style escaped-text output and |attr AVT mode."""
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Section", "ordinal": "2", "title": "RFC-7230: <Msg>",
+         "ident": "doc-7230-old", "children": [
+             {"kind": "Paragraph", "text": "  padded   text "}]}]}
+    html = generate_html(
+        "https://example.org/d", "T", tree,
+        templates={
+            "Section": (
+                '<section id={concat(\'s\', ordinal)|attr} '
+                'data-num={substring-after(title, \'-\')|attr} '
+                'data-pre="{substring-before(ident, \'-\')}" '
+                'data-len="{string-length(title)}">'
+                "{substring(title, 1, 3)}{children}</section>"),
+            "Paragraph": (
+                "<p>{normalize-space(text)}|"
+                "{translate(substring-after(ident, 'doc-'), '-od', '.')}"
+                "</p>"),
+        })
+    # concat + attr mode quotes; substring-after escapes the payload
+    assert '<section id="s2" data-num="7230: &lt;Msg&gt;"' in html
+    assert 'data-pre="doc" data-len="15">RFC' in html
+    # nested call + translate deletion semantics ('o','d' deleted,
+    # '-'→'.'); ident comes from the enclosing element context only
+    # when present — Paragraph has no ident, so it resolves empty
+    assert "<p>padded text|</p>" in html
+
+
+def test_template_fn_errors_and_cache_isolation():
+    from ferenda_ray.ops.render import generate_html
+
+    tree = {"kind": "Body", "children": [
+        {"kind": "Paragraph", "text": "x"}]}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown template function"):
+        generate_html("u", "T", tree,
+                      templates={"Paragraph": "{bogus(text)}"})
+    with _pytest.raises(ValueError, match="bad token"):
+        generate_html("u", "T", tree,
+                      templates={"Paragraph": "{concat(text,)}"})
+    # an UNCLOSED paren never matches the fn-placeholder shape, so it
+    # degrades to a plain (unknown → empty) placeholder, not an error
+    h = generate_html("u", "T", tree,
+                      templates={"Paragraph": "<p>{concat(text}</p>"})
+    assert "<p></p>" in h
+    # plain placeholders and *_esc/_attr variants are untouched
+    h = generate_html("u", "T", tree,
+                      templates={"Paragraph": "<p>{text_esc}</p>"})
+    assert "<p>x</p>" in h
