@@ -241,6 +241,38 @@ def cmd_dsir(args) -> int:
     return 0
 
 
+def cmd_kcore(args) -> int:
+    """k-core of the citation graph over a materialized triples dir —
+    the cohesive-subgraph slice of the graphanalyze report family."""
+    from ferenda_ray.ops.graph import edges_from_triples, kcore
+    from ferenda_ray.stages import materialize as mat
+
+    out = kcore(edges_from_triples(mat.read_triples(args.triples)),
+                k=args.k, n_rounds=args.rounds)
+    out.write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_collocations(args) -> int:
+    """Corpus collocations (bigram PMI) over a documents table."""
+    import os
+
+    from ferenda_ray.ops.text import bigram_pmi
+
+    sf_dir = os.path.dirname(args.documents) or "."
+    out = bigram_pmi(sf_dir, min_count=args.min_count)
+    out.write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_setup(args) -> int:
     """Scaffold a pipeline project dir (reference ``ferenda-setup`` /
     ``manager.runsetup``): writes the default INI (editable with
@@ -327,6 +359,17 @@ def main(argv=None) -> int:
     sp.add_argument("--target", default="src0",
                     help="target-domain source value")
     sp.set_defaults(fn=cmd_dsir)
+    sp = sub.add_parser("kcore")
+    sp.add_argument("--triples", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=3)
+    sp.add_argument("--rounds", type=int, default=16)
+    sp.set_defaults(fn=cmd_kcore)
+    sp = sub.add_parser("collocations")
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--min-count", dest="min_count", type=int, default=5)
+    sp.set_defaults(fn=cmd_collocations)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
     sp.add_argument("--pages-count", type=int, required=True)

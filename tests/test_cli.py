@@ -79,3 +79,30 @@ def test_cli_dedup_report_and_dsir(tmp_path):
     out = run_cli("dsir", "--documents", docs, "--target", "src0",
                   "--out", str(tmp_path / "dsir"))
     assert json.loads(out[-1])["rows"] == 475  # non-target docs
+
+
+@pytest.mark.cli
+def test_cli_kcore_and_collocations(tmp_path):
+    """Late-r5 CLI surface: graph k-core over a materialized triples
+    dir, and bigram-PMI collocations over a documents table."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.sources.pages import corpus_table
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(30), pages)
+    out = str(tmp_path / "kg")
+    run_cli("run", "--pages", pages, "--out", out, "--buckets", "4")
+    res = json.loads(run_cli("kcore", "--triples", out, "--k", "2",
+                             "--out", str(tmp_path / "core"))[-1])
+    assert res["rows"] > 0
+
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                tmp_path / "documents.parquet")
+    res = json.loads(run_cli(
+        "collocations", "--documents",
+        str(tmp_path / "documents.parquet"),
+        "--out", str(tmp_path / "pmi"))[-1])
+    assert res["rows"] == 900
