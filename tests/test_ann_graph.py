@@ -382,3 +382,30 @@ def test_kcore_empty_and_validation(ray_session):
     assert kcore(empty, k=2).count() == 0  # self-loops drop to nothing
     with _pytest.raises(ValueError):
         kcore(empty, k=0)
+
+
+def test_kcore_differential_fuzz(ray_session):
+    """Seeded random multigraphs (self-loops + duplicate edges in the
+    input, which canonicalization must collapse) vs the synchronous
+    peel reference, across k and round bounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        n = int(rng.integers(15, 40))
+        m = int(rng.integers(30, 140))
+        src = [f"v{int(x)}" for x in rng.integers(0, n, m)]
+        dst = [f"v{int(x)}" for x in rng.integers(0, n, m)]
+        edges = list(zip(src, dst))
+        ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+        for k, rounds in ((2, 2), (3, 50), (4, 1)):
+            got = kcore(ds, k=k, n_rounds=rounds,
+                        num_buckets=4).to_pandas()
+            want = _sync_peel_reference(edges, k, rounds)
+            got_map = (dict(zip(got.url, got.core_deg))
+                       if len(got) else {})
+            assert got_map == want, (trial, k, rounds)

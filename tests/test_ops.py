@@ -565,3 +565,36 @@ def test_bigram_pmi_sf(ray_session, con):
     from ferenda_ray.ops.text import BIGRAM_PMI_SQL, bigram_pmi
 
     _cmp(bigram_pmi(SF), con, BIGRAM_PMI_SQL)
+
+
+def test_bigram_pmi_differential_fuzz(ray_session, tmp_path):
+    """Seeded random corpora: the three-exchange BSP path equals the
+    one-query DuckDB recompute on every draw (margins computed before
+    the min_count filter, pmi association order, empty docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    from ferenda_ray.ops.text import BIGRAM_PMI_SQL, bigram_pmi
+
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        texts = []
+        for _ in range(40):
+            n = int(rng.integers(0, 30))
+            texts.append(" ".join(rng.choice(vocab, n)))
+        texts.append("")  # always one empty doc
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            str(d / "documents.parquet"))
+        c = duckdb.connect()
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{d}/documents.parquet')")
+        _cmp(bigram_pmi(str(d), min_count=5, num_buckets=7), c,
+             BIGRAM_PMI_SQL)
