@@ -438,6 +438,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
             k=3, n_rounds=8)
 
+    def kg_coreness(sf_dir: str):
+        """Full core-number decomposition (h-index iteration; late-r5,
+        past the window edge — local gate + pytest verified). 12
+        rounds matches the oracle's unroll; the iteration converges in
+        fewer on this graph (early-exit makes extra rounds free)."""
+        from ferenda_ray.ops.graph import core_numbers, edges_from_triples
+
+        return core_numbers(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
+            n_rounds=12)
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -598,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-r5 additions (after the window rotation, hence placed
         # past the edge; local gate + pytest verified)
         "kg_kcore": kg_kcore,
+        "kg_coreness": kg_coreness,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

@@ -243,12 +243,17 @@ def cmd_dsir(args) -> int:
 
 def cmd_kcore(args) -> int:
     """k-core of the citation graph over a materialized triples dir —
-    the cohesive-subgraph slice of the graphanalyze report family."""
-    from ferenda_ray.ops.graph import edges_from_triples, kcore
+    the cohesive-subgraph slice of the graphanalyze report family
+    (``--coreness`` computes every node's core number instead)."""
+    from ferenda_ray.ops.graph import (core_numbers, edges_from_triples,
+                                       kcore)
     from ferenda_ray.stages import materialize as mat
 
-    out = kcore(edges_from_triples(mat.read_triples(args.triples)),
-                k=args.k, n_rounds=args.rounds)
+    edges = edges_from_triples(mat.read_triples(args.triples))
+    if args.coreness:
+        out = core_numbers(edges, n_rounds=args.rounds)
+    else:
+        out = kcore(edges, k=args.k, n_rounds=args.rounds)
     out.write_parquet(args.out)
     import ray.data as rd
 
@@ -364,6 +369,7 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--k", type=int, default=3)
     sp.add_argument("--rounds", type=int, default=16)
+    sp.add_argument("--coreness", action="store_true")
     sp.set_defaults(fn=cmd_kcore)
     sp = sub.add_parser("collocations")
     sp.add_argument("--documents", required=True)

@@ -940,3 +940,160 @@ def kcore(edges_ds, k: int = 3, n_rounds: int = 8, num_buckets: int = 16):
                                columns=["url", "core_deg"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def core_numbers(edges_ds, n_rounds: int = 16, num_buckets: int = 16):
+    """Full coreness decomposition of the undirected citation graph —
+    every node's core number in one run (the fixed-k slice is
+    :func:`kcore`) via distributed h-index iteration (Montresor,
+    De Pellegrini & Miorandi 2011, "Distributed k-core decomposition":
+    start from ``est₀ = degree`` and repeatedly set ``est(u)`` to the
+    h-index of its neighbors' estimates; the sequence is pointwise
+    non-increasing and converges to the exact core numbers).
+
+    Updates are synchronous (round r uses round r−1 estimates for ALL
+    neighbors) — the same unrolled-CTE oracle contract as
+    :func:`kcore`: after ``n_rounds`` both sides hold identical
+    estimates whether or not the iteration has converged; this side
+    early-exits once a round changes nothing.
+
+    BSP shape: half-edges staged once by ``bucket(u)``; each round a
+    bucket mails its nodes' estimates along its half-edges as
+    HISTOGRAM rows ``(v, est, count)`` (pre-aggregated per destination
+    — the h-index needs only the multiset histogram, never the raw
+    edge list), and the reduce wave folds each node's histogram with
+    one vectorized sort/cumsum. Driver state per round: one changed
+    counter."""
+    from ferenda_ray.util import bucket_keys
+
+    if n_rounds < 1:
+        raise ValueError(f"need n_rounds >= 1, got {n_rounds}")
+
+    und = _canon_edges(edges_ds)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "coreness": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+
+    root = _graph_stage_root()
+    try:
+        os.makedirs(root, exist_ok=True)
+
+        def halves(b: pa.Table) -> pa.Table:
+            u = pa.concat_arrays([
+                b.column("a").combine_chunks().cast(pa.string()),
+                b.column("b").combine_chunks().cast(pa.string())])
+            v = pa.concat_arrays([
+                b.column("b").combine_chunks().cast(pa.string()),
+                b.column("a").combine_chunks().cast(pa.string())])
+            return pa.table({
+                "u": u, "v": v,
+                "ub": pa.array(bucket_keys(u, num_buckets), pa.int32()),
+            })
+
+        (und.map_batches(halves, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "halfedges"),
+                        partition_cols=["ub"]))
+
+        @ray.remote
+        def init_est(b: int) -> None:
+            from ferenda_ray.bsp import read_hive_bucket
+
+            he = read_hive_bucket(root, "halfedges", "ub", b, ["u"])
+            if he is None:
+                nd = pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                   "est": pd.Series([], dtype="int64")})
+            else:
+                nd = (he.to_pandas().groupby("u", sort=True).size()
+                      .rename("est").reset_index()
+                      .rename(columns={"u": "url"}))
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"est0-{b:05d}.parquet"))
+
+        ray.get([init_est.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def mail(b: int, r: int) -> None:
+            """Send this bucket's estimates along its half-edges as
+            per-destination histogram rows (v, e, c)."""
+            from ferenda_ray.bsp import read_hive_bucket
+
+            est = pq.read_table(
+                os.path.join(root, f"est{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            if not len(est):
+                return
+            he = read_hive_bucket(root, "halfedges", "ub", b,
+                                  ["u", "v"]).to_pandas()
+            j = he.merge(est, left_on="u", right_on="url")
+            part = (j.groupby(["v", "est"], sort=True).size()
+                    .rename("c").reset_index()
+                    .rename(columns={"v": "url", "est": "e"}))
+            part["vb"] = bucket_keys(part.url.to_numpy(), num_buckets)
+            _write_partials(root, f"hx{r}", b, part, "vb")
+
+        @ray.remote
+        def fold(b: int, r: int) -> int:
+            """New estimate = h-index of the received histogram:
+            values sorted desc, H = max(min(e, cum_count))."""
+            import numpy as np
+
+            prev = pq.read_table(
+                os.path.join(root, f"est{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            hx = _read_partials(root, f"hx{r}", b)
+            if hx is None:
+                nd = prev
+                changed = 0
+            else:
+                g = (hx.groupby(["url", "e"], sort=True)["c"].sum()
+                     .reset_index()
+                     .sort_values(["url", "e"],
+                                  ascending=[True, False],
+                                  kind="mergesort"))
+                g["cum"] = g.groupby("url", sort=False)["c"].cumsum()
+                g["h"] = np.minimum(g["e"].to_numpy(),
+                                    g["cum"].to_numpy())
+                new = (g.groupby("url", sort=True)["h"].max()
+                       .rename("est").reset_index())
+                nd = (prev[["url"]].merge(new, on="url", how="left"))
+                # every staged node has ≥1 neighbor, so a missing
+                # histogram can only mean its neighbors' est rows were
+                # empty — impossible by the same invariant; fillna is
+                # belt-and-braces for dtype stability
+                nd["est"] = (nd["est"].fillna(0).astype("int64"))
+                changed = int((nd["est"].to_numpy()
+                               != prev["est"].to_numpy()).sum())
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"est{r}-{b:05d}.parquet"))
+            return changed
+
+        final = 0
+        for r in range(1, n_rounds + 1):
+            ray.get([mail.remote(b, r) for b in range(num_buckets)])
+            changed = sum(ray.get(
+                [fold.remote(b, r) for b in range(num_buckets)]))
+            final = r
+            if changed == 0:
+                break
+
+        from ferenda_ray.bsp import publish_dataset
+
+        @ray.remote
+        def finalize(b: int) -> str:
+            t = pq.read_table(
+                os.path.join(root, f"est{final}-{b:05d}.parquet"))
+            out = pa.table({
+                "url": t.column("url").cast(pa.string()),
+                "coreness": t.column("est").cast(pa.int64())})
+            path = os.path.join(root, f"coreness-{b:05d}.parquet")
+            _atomic_write_table(out, path)
+            return path
+
+        files = ray.get([finalize.remote(b) for b in range(num_buckets)])
+        return publish_dataset(root, files, "ferenda_graph_coreness",
+                               columns=["url", "coreness"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

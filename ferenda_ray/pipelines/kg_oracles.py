@@ -133,6 +133,40 @@ def _kcore_sql(tri: str, k: int = 3, n_rounds: int = 8) -> str:
             f"FROM h{n_rounds} GROUP BY u")
 
 
+def _coreness_sql(tri: str, n_rounds: int = 12) -> str:
+    """Distributed h-index coreness iteration unrolled to ``n_rounds``
+    — the exact synchronous semantics of ``ops/graph.py:core_numbers``
+    (Montresor et al. 2011): est₀ = degree; each round est(u) becomes
+    the h-index of its neighbors' previous estimates, written in SQL
+    as ``max(least(est_v, row_number ordered by est_v desc))`` per
+    node. Integer estimates only."""
+    edges = (f"SELECT DISTINCT least(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS a, "
+             f"greatest(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS b FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}' "
+             f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)")
+    M = "AS MATERIALIZED"
+    parts = [
+        f"e {M} ({edges})",
+        f"h0 {M} (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+        f"est0 {M} (SELECT u, CAST(count(*) AS BIGINT) AS est "
+        "FROM h0 GROUP BY u)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"rk{r} {M} (SELECT h0.u AS u, s.est AS ev, "
+            f"row_number() OVER (PARTITION BY h0.u "
+            f"ORDER BY s.est DESC) AS rn "
+            f"FROM h0 JOIN est{r - 1} s ON s.u = h0.v)")
+        parts.append(
+            f"est{r} {M} (SELECT u, CAST(max(least(ev, rn)) AS BIGINT) "
+            f"AS est FROM rk{r} GROUP BY u)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT u AS url, est AS coreness FROM est{n_rounds}")
+
+
 def _hits_sql(tri: str, n_iter: int = 5) -> str:
     """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
     implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
@@ -370,6 +404,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(tri),
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
+        "kg_coreness": _coreness_sql(tri),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

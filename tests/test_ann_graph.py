@@ -409,3 +409,68 @@ def test_kcore_differential_fuzz(ray_session):
             got_map = (dict(zip(got.url, got.core_deg))
                        if len(got) else {})
             assert got_map == want, (trial, k, rounds)
+
+
+def _hindex_reference(edges, n_rounds):
+    """Synchronous h-index iteration (Montresor et al. 2011) — the
+    exact semantics core_numbers and its unrolled SQL oracle share."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    est = {u: len(vs) for u, vs in adj.items()}
+    for _ in range(n_rounds):
+        new = {}
+        for u, vs in adj.items():
+            vals = sorted((est[v] for v in vs), reverse=True)
+            new[u] = max((min(v, i + 1) for i, v in enumerate(vals)),
+                         default=0)
+        if new == est:
+            break
+        est = new
+    return est
+
+
+def test_core_numbers_vs_exact_and_truncated(ray_session):
+    """core_numbers equals (a) the exact min-degree-peel corenesses
+    once converged, and (b) the same-round-count synchronous h-index
+    reference when truncated mid-iteration (the oracle contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import core_numbers
+
+    rng = np.random.default_rng(5)
+    for trial in range(2):
+        n = int(rng.integers(15, 45))
+        m = int(rng.integers(30, 180))
+        edges = [(f"v{int(a)}", f"v{int(b)}")
+                 for a, b in zip(rng.integers(0, n, m),
+                                 rng.integers(0, n, m))]
+        ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+        for rounds in (1, 2, 60):
+            got = core_numbers(ds, n_rounds=rounds,
+                               num_buckets=4).to_pandas()
+            want = _hindex_reference(edges, rounds)
+            assert dict(zip(got.url, got.coreness)) == want, \
+                (trial, rounds)
+        # converged h-index == exact peel corenesses (sanity against
+        # an independent algorithm, not just the same recurrence)
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive, deg, core, k = set(adj), \
+            {u: len(adj[u]) for u in adj}, {}, 0
+        while alive:
+            u = min(alive, key=lambda x: (deg[x], x))
+            k = max(k, deg[u])
+            core[u] = k
+            alive.remove(u)
+            for v in adj[u]:
+                if v in alive:
+                    deg[v] -= 1
+        assert _hindex_reference(edges, 60) == core

@@ -98,6 +98,11 @@ def test_cli_kcore_and_collocations(tmp_path):
     res = json.loads(run_cli("kcore", "--triples", out, "--k", "2",
                              "--out", str(tmp_path / "core"))[-1])
     assert res["rows"] > 0
+    res = json.loads(run_cli("kcore", "--triples", out, "--coreness",
+                             "--out", str(tmp_path / "coreness"))[-1])
+    assert res["rows"] >= json.loads(
+        run_cli("kcore", "--triples", out, "--k", "1",
+                "--out", str(tmp_path / "core1"))[-1])["rows"]
 
     shutil.copy("/root/testdata/sf0.001/documents.parquet",
                 tmp_path / "documents.parquet")
