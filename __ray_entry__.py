@@ -449,6 +449,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
             n_rounds=12)
 
+    def kg_components(sf_dir: str):
+        """Weakly-connected components of the citation graph (late-r5,
+        past the window edge — local gate + pytest verified)."""
+        from ferenda_ray.ops.graph import components, edges_from_triples
+
+        return components(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -610,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # past the edge; local gate + pytest verified)
         "kg_kcore": kg_kcore,
         "kg_coreness": kg_coreness,
+        "kg_components": kg_components,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

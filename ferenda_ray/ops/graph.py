@@ -1097,3 +1097,134 @@ def core_numbers(edges_ds, n_rounds: int = 16, num_buckets: int = 16):
                                columns=["url", "coreness"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def components(edges_ds, num_buckets: int = 16, max_rounds: int = 64):
+    """Weakly-connected components of the citation graph — the
+    "related document cluster" report of the graphanalyze family
+    (string-keyed sibling of ``dedup.dup_clusters``, same iterative
+    min-label propagation on the BSP tier): symmetric edges staged
+    once by ``bucket(u)``, per-round map wave mails min-label
+    candidates, reduce wave takes per-node minima; converges in
+    O(component diameter) rounds and raises if ``max_rounds`` is
+    exhausted (never returns a silently-unconverged labelling).
+    Returns a lazy ``(url, component)`` Dataset, component = the
+    lexicographic-min url of the component (ASCII urls, so Python and
+    SQL string ordering agree)."""
+    from ferenda_ray.util import bucket_keys
+
+    und = _canon_edges(edges_ds)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "component": pa.array([], pa.string())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+
+    root = _graph_stage_root()
+    try:
+        os.makedirs(root, exist_ok=True)
+
+        def halves(b: pa.Table) -> pa.Table:
+            u = pa.concat_arrays([
+                b.column("a").combine_chunks().cast(pa.string()),
+                b.column("b").combine_chunks().cast(pa.string())])
+            v = pa.concat_arrays([
+                b.column("b").combine_chunks().cast(pa.string()),
+                b.column("a").combine_chunks().cast(pa.string())])
+            return pa.table({
+                "u": u, "v": v,
+                "ub": pa.array(bucket_keys(u, num_buckets), pa.int32()),
+            })
+
+        (und.map_batches(halves, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "halfedges"),
+                        partition_cols=["ub"]))
+
+        @ray.remote
+        def init_labels(b: int) -> None:
+            from ferenda_ray.bsp import read_hive_bucket
+
+            he = read_hive_bucket(root, "halfedges", "ub", b, ["u"])
+            if he is None:
+                nd = pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                   "lbl": pd.Series([], dtype="object")})
+            else:
+                urls = he.to_pandas()["u"].drop_duplicates().sort_values()
+                nd = pd.DataFrame({"url": urls.to_numpy(),
+                                   "lbl": urls.to_numpy()})
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"lbl0-{b:05d}.parquet"))
+
+        ray.get([init_labels.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def lp_map(b: int, r: int) -> None:
+            """Mail each neighbor the sender's current label,
+            pre-minimized per destination node."""
+            from ferenda_ray.bsp import read_hive_bucket
+
+            lbl = pq.read_table(
+                os.path.join(root, f"lbl{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            if not len(lbl):
+                return
+            he = read_hive_bucket(root, "halfedges", "ub", b,
+                                  ["u", "v"]).to_pandas()
+            j = he.merge(lbl, left_on="u", right_on="url")
+            part = (j.groupby("v", sort=True)["lbl"].min()
+                    .reset_index().rename(columns={"v": "url"}))
+            part["vb"] = bucket_keys(part.url.to_numpy(), num_buckets)
+            _write_partials(root, f"cand{r}", b, part, "vb")
+
+        @ray.remote
+        def lp_reduce(b: int, r: int) -> int:
+            prev = pq.read_table(
+                os.path.join(root, f"lbl{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            cand = _read_partials(root, f"cand{r}", b)
+            if cand is None or not len(prev):
+                nd = prev
+                changed = 0
+            else:
+                got = cand.groupby("url", sort=True)["lbl"].min()
+                incoming = got.reindex(prev.url).to_numpy()
+                old = prev["lbl"].to_numpy()
+                mask = pd.notna(incoming) & (incoming < old)
+                nd = prev.copy()
+                nd.loc[mask, "lbl"] = incoming[mask]
+                changed = int(mask.sum())
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"lbl{r}-{b:05d}.parquet"))
+            return changed
+
+        final = 0
+        for r in range(1, max_rounds + 1):
+            ray.get([lp_map.remote(b, r) for b in range(num_buckets)])
+            changed = sum(ray.get(
+                [lp_reduce.remote(b, r) for b in range(num_buckets)]))
+            final = r
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"components did not converge in {max_rounds} rounds")
+
+        from ferenda_ray.bsp import publish_dataset
+
+        @ray.remote
+        def finalize(b: int) -> str:
+            t = pq.read_table(
+                os.path.join(root, f"lbl{final}-{b:05d}.parquet"))
+            out = pa.table({
+                "url": t.column("url").cast(pa.string()),
+                "component": t.column("lbl").cast(pa.string())})
+            path = os.path.join(root, f"comp-{b:05d}.parquet")
+            _atomic_write_table(out, path)
+            return path
+
+        files = ray.get([finalize.remote(b) for b in range(num_buckets)])
+        return publish_dataset(root, files, "ferenda_graph_cc",
+                               columns=["url", "component"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

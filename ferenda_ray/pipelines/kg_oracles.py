@@ -167,6 +167,30 @@ def _coreness_sql(tri: str, n_rounds: int = 12) -> str:
             + f"\nSELECT u AS url, est AS coreness FROM est{n_rounds}")
 
 
+def _components_sql(tri: str) -> str:
+    """Weakly-connected components recomputed as a recursive-CTE
+    transitive closure (the ``dedup.DUP_CLUSTERS_SQL`` pattern on
+    string urls): component = min(url) reachable. Fine at gate scale;
+    the operator's label propagation is the 100 TB path."""
+    edges = (f"SELECT DISTINCT least(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS a, "
+             f"greatest(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS b FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}' "
+             f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)")
+    return f"""
+WITH RECURSIVE e AS ({edges}),
+sym AS (SELECT a AS src, b AS dst FROM e
+        UNION SELECT b, a FROM e),
+reach(node, peer) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.peer
+)
+SELECT node AS url, min(peer) AS component FROM reach GROUP BY node
+"""
+
+
 def _hits_sql(tri: str, n_iter: int = 5) -> str:
     """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
     implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
@@ -405,6 +429,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
         "kg_coreness": _coreness_sql(tri),
+        "kg_components": _components_sql(tri),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

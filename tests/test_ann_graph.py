@@ -474,3 +474,54 @@ def test_core_numbers_vs_exact_and_truncated(ray_session):
                 if v in alive:
                     deg[v] -= 1
         assert _hindex_reference(edges, 60) == core
+
+
+def test_components_vs_union_find(ray_session):
+    """Label propagation equals union-find components (min-url label)
+    on seeded random graphs plus a long chain (diameter stress)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for u in list(parent):
+            groups.setdefault(find(u), []).append(u)
+        return {u: min(g) for g in groups.values() for u in g}
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(2):
+        n, m = int(rng.integers(20, 50)), int(rng.integers(15, 60))
+        cases.append([(f"v{int(a)}", f"v{int(b)}")
+                      for a, b in zip(rng.integers(0, n, m),
+                                      rng.integers(0, n, m))])
+    cases.append([(f"c{i:02d}", f"c{i + 1:02d}") for i in range(25)])
+    for edges in cases:
+        ds = rd.from_pandas(pd.DataFrame(edges,
+                                         columns=["src", "dst"]))
+        got = components(ds, num_buckets=4).to_pandas()
+        assert dict(zip(got.url, got.component)) == uf_components(edges)
+
+    # bounded rounds: a 25-hop chain cannot converge in 3 rounds
+    ds = rd.from_pandas(pd.DataFrame(cases[-1],
+                                     columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components(ds, num_buckets=4, max_rounds=3)
