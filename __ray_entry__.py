@@ -457,6 +457,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return components(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_cocitations(sf_dir: str):
+        """Co-citation pairs (≥2 shared citing sources; late-r5, past
+        the window edge — local gate + pytest verified)."""
+        from ferenda_ray.ops.graph import cocitations, edges_from_triples
+
+        return cocitations(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": kg_kcore,
         "kg_coreness": kg_coreness,
         "kg_components": kg_components,
+        "kg_cocitations": kg_cocitations,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

@@ -1228,3 +1228,58 @@ def components(edges_ds, num_buckets: int = 16, max_rounds: int = 64):
                                columns=["url", "component"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def cocitations(edges_ds, min_count: int = 2, num_buckets: int = 16):
+    """Co-citation analysis (Small 1973; the bibliometrics member of
+    the graphanalyze report family): pairs of documents cited TOGETHER
+    by at least ``min_count`` distinct sources, with the co-citation
+    count. Two bucketed exchanges:
+
+    1. distinct edges grouped by ``hash(src)`` — one vectorized
+       self-merge per bucket emits each source's citation pairs
+       (``dst_a < dst_b``) pre-counted per (pair, bucket task);
+    2. pair-hash buckets sum the partials and apply the threshold.
+
+    Scale note: pair volume is Σ C(outdeg_s, 2) — the same wedge
+    volume as triangle counting, but the apex is FIXED by the
+    semantics (the citing source), so degree-orienting it away is not
+    an option. At web scale the standard mitigations are an outdeg cap
+    on pathological hub sources and pushing ``min_count`` down into
+    the pair buckets (done here — partials are pre-aggregated per
+    bucket task and the threshold drops the long singleton tail before
+    it ever leaves the second exchange)."""
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        m = g.merge(g, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        out = (m.groupby(["dst_x", "dst_y"], sort=True).size()
+               .rename("n").reset_index()
+               .rename(columns={"dst_x": "a", "dst_y": "b"}))
+        return out.astype({"n": "int64"})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], as_index=False, sort=True)["n"]
+               .sum())
+        out = out[out["n"] >= min_count]
+        return pd.DataFrame({
+            "a": out["a"].astype("object"),
+            "b": out["b"].astype("object"),
+            "n_cocited": out["n"].astype("int64")})
+
+    def drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(pc.equal(b.column("src"),
+                                           b.column("dst"))))
+
+    return (edges_ds.map_batches(drop_self, batch_format="pyarrow")
+            .map_batches(lambda t: _pl_bucket(t, ["src"], num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket").map_groups(wedge_pairs,
+                                          batch_format="pandas")
+            .map_batches(lambda t: _pl_bucket(t, ["a", "b"],
+                                              num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket").map_groups(close, batch_format="pandas"))

@@ -525,3 +525,36 @@ def test_components_vs_union_find(ray_session):
                                      columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="did not converge"):
         components(ds, num_buckets=4, max_rounds=3)
+
+
+def test_cocitations_vs_bruteforce(ray_session):
+    """Bucketed co-citation counting equals brute force, including
+    duplicate-edge collapse and the min_count threshold."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import cocitations
+
+    rng = np.random.default_rng(17)
+    edges = [(f"s{int(a)}", f"t{int(b)}")
+             for a, b in zip(rng.integers(0, 12, 150),
+                             rng.integers(0, 18, 150))]
+    edges += edges[:20]  # duplicate rows must not inflate counts
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    cites = {}
+    for s, t in set(edges):
+        if s != t:
+            cites.setdefault(s, set()).add(t)
+    brute = {}
+    for s, ts in cites.items():
+        for a, b in itertools.combinations(sorted(ts), 2):
+            brute[(a, b)] = brute.get((a, b), 0) + 1
+    for mc in (1, 2, 3):
+        got = cocitations(ds, min_count=mc, num_buckets=5).to_pandas()
+        got_map = (dict(zip(zip(got.a, got.b), got.n_cocited))
+                   if len(got) else {})
+        assert got_map == {k: v for k, v in brute.items() if v >= mc}, mc
