@@ -465,6 +465,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cocitations(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_coupling(sf_dir: str):
+        """Bibliographic-coupling pairs (≥2 shared cited targets;
+        late-r5, past the window edge)."""
+        from ferenda_ray.ops.graph import coupling, edges_from_triples
+
+        return coupling(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -628,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coreness": kg_coreness,
         "kg_components": kg_components,
         "kg_cocitations": kg_cocitations,
+        "kg_coupling": kg_coupling,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

@@ -1283,3 +1283,24 @@ def cocitations(edges_ds, min_count: int = 2, num_buckets: int = 16):
                                               num_buckets),
                          batch_format="pyarrow")
             .groupby("bucket").map_groups(close, batch_format="pandas"))
+
+
+def coupling(edges_ds, min_count: int = 2, num_buckets: int = 16):
+    """Bibliographic coupling (Kessler 1963) — the symmetric twin of
+    :func:`cocitations`: pairs of CITING documents that share at least
+    ``min_count`` cited targets. Same two-exchange shape with the edge
+    roles swapped (the apex of each wedge is the shared TARGET), so
+    the implementation is the co-citation engine over reversed
+    edges."""
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("dst"), "dst": b.column("src")})
+
+    out = cocitations(edges_ds.map_batches(swap, batch_format="pyarrow"),
+                      min_count=min_count, num_buckets=num_buckets)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "n_coupled": t.column("n_cocited")})
+
+    return out.map_batches(rename, batch_format="pyarrow")

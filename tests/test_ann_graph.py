@@ -558,3 +558,33 @@ def test_cocitations_vs_bruteforce(ray_session):
         got_map = (dict(zip(zip(got.a, got.b), got.n_cocited))
                    if len(got) else {})
         assert got_map == {k: v for k, v in brute.items() if v >= mc}, mc
+
+
+def test_coupling_vs_bruteforce(ray_session):
+    """Bibliographic coupling equals brute force and is exactly
+    co-citation over reversed edges."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import coupling
+
+    rng = np.random.default_rng(23)
+    edges = [(f"s{int(a)}", f"t{int(b)}")
+             for a, b in zip(rng.integers(0, 18, 150),
+                             rng.integers(0, 10, 150))]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    refs = {}
+    for s, t in set(edges):
+        refs.setdefault(t, set()).add(s)
+    brute = {}
+    for t, ss in refs.items():
+        for a, b in itertools.combinations(sorted(ss), 2):
+            brute[(a, b)] = brute.get((a, b), 0) + 1
+    got = coupling(ds, min_count=2, num_buckets=5).to_pandas()
+    got_map = (dict(zip(zip(got.a, got.b), got.n_coupled))
+               if len(got) else {})
+    assert got_map == {k: v for k, v in brute.items() if v >= 2}
