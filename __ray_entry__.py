@@ -473,6 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return coupling(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_adamic_adar(sf_dir: str):
+        """Adamic–Adar link-prediction scores over co-cited pairs
+        (int64 micro-unit weights; late-r5, past the window edge)."""
+        from ferenda_ray.ops.graph import adamic_adar, edges_from_triples
+
+        return adamic_adar(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -496,6 +504,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ferenda_ray.ops.dedup import page_near_dups
 
         return page_near_dups(_pages_path(_n_pages(sf_dir)), threshold=0.5)
+
+    def kg_host_stats(sf_dir: str):
+        """Host-level corpus statistics (C4/RefinedWeb-style host
+        curation primitive; late-r5, past the window edge)."""
+        from ferenda_ray.ops.web import host_stats
+
+        return host_stats(_pages_path(_n_pages(sf_dir)))
 
     def kg_triple_counts(sf_dir: str):
         """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
@@ -637,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": kg_components,
         "kg_cocitations": kg_cocitations,
         "kg_coupling": kg_coupling,
+        "kg_adamic_adar": kg_adamic_adar,
+        "kg_host_stats": kg_host_stats,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -966,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ft_search_boosted": _kg_ft_boosted_sql(),
         "kg_page_near_dups": dedup.page_near_dups_sql(_pages_path(300),
                                                       0.5),
+        "kg_host_stats": _host_stats_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1001,6 +1019,12 @@ def _kg_oracles() -> dict[str, str]:
     except Exception:
         pass  # queries() will (re)build them; never fail oracle listing
     return kg_oracle_sql(300, _src_rev())
+
+
+def _host_stats_sql() -> str:
+    from ferenda_ray.ops.web import host_stats_sql
+
+    return host_stats_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

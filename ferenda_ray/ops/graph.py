@@ -1304,3 +1304,75 @@ def coupling(edges_ds, min_count: int = 2, num_buckets: int = 16):
                          "n_coupled": t.column("n_cocited")})
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def aa_weight_micro(outdeg: np.ndarray) -> np.ndarray:
+    """Adamic–Adar wedge weight ``1/ln(outdeg)`` in exact integer
+    micro-units: ``floor(1e6 / ln(d))`` as int64. Integerizing per
+    TERM (not per sum) makes the pair scores exact under any partial-
+    sum order — the same float-determinism rule as the int-cent money
+    aggregates (``ops/relational.py``). ``d >= 2`` is guaranteed by
+    construction (a wedge needs two distinct endpoints).
+    DuckDB-parity (``FLOOR(1000000.0 / LN(d))``) is pinned by a pytest
+    sweep over d in 2..5000: both sides call the platform libm on the
+    same doubles."""
+    return np.floor(1_000_000.0 / np.log(outdeg.astype("float64"))
+                    ).astype("int64")
+
+
+def adamic_adar(edges_ds, min_count: int = 2, num_buckets: int = 16):
+    """Adamic–Adar link prediction (Adamic & Adar 2003) on the
+    citation graph: for each candidate pair of documents co-cited by
+    at least ``min_count`` distinct sources, the score
+    ``Σ_s 1/ln(outdeg(s))`` over the shared citing sources — frequent
+    citers count less. Same two-exchange shape as :func:`cocitations`
+    (the apex is the citing source); outdeg is exact within the first
+    exchange because edges are grouped by ``hash(src)``, so a source's
+    full (distinct) out-neighbourhood is co-located. Scores travel as
+    int64 micro-units (:func:`aa_weight_micro`) so partials sum
+    exactly in any order."""
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        od = g.groupby("src")["src"].transform("size")
+        g = g[od >= 2]
+        if not len(g):
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "aa": pd.Series([], dtype="int64")})
+        wt = g.groupby("src").size().to_frame("od")
+        wt["wt"] = aa_weight_micro(wt["od"].to_numpy())
+        m = g.merge(g, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        m = m.merge(wt[["wt"]], left_on="src", right_index=True)
+        out = (m.groupby(["dst_x", "dst_y"], sort=True)
+               .agg(n=("src", "size"), aa=("wt", "sum")).reset_index()
+               .rename(columns={"dst_x": "a", "dst_y": "b"}))
+        return out.astype({"n": "int64", "aa": "int64"})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], as_index=False, sort=True)
+               .agg(n=("n", "sum"), aa=("aa", "sum")))
+        out = out[out["n"] >= min_count]
+        return pd.DataFrame({
+            "a": out["a"].astype("object"),
+            "b": out["b"].astype("object"),
+            "n_common": out["n"].astype("int64"),
+            "aa_micro": out["aa"].astype("int64")})
+
+    def drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(pc.equal(b.column("src"),
+                                           b.column("dst"))))
+
+    return (edges_ds.map_batches(drop_self, batch_format="pyarrow")
+            .map_batches(lambda t: _pl_bucket(t, ["src"], num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket").map_groups(wedge_pairs,
+                                          batch_format="pandas")
+            .map_batches(lambda t: _pl_bucket(t, ["a", "b"],
+                                              num_buckets),
+                         batch_format="pyarrow")
+            .groupby("bucket").map_groups(close, batch_format="pandas"))

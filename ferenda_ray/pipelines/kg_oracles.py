@@ -446,6 +446,21 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"SELECT x.s AS a, y.s AS b, count(*) AS n_coupled "
             f"FROM e x JOIN e y ON x.t = y.t AND x.s < y.s "
             f"GROUP BY x.s, y.s HAVING count(*) >= 2"),
+        "kg_adamic_adar": (
+            # per-TERM integer micro-weights (floor(1e6/ln(outdeg)))
+            # so the pair scores sum exactly in any order — the same
+            # float-determinism rule as the int-cent money oracles
+            f"WITH e AS (SELECT DISTINCT split_part(subj, '#', 1) AS s, "
+            f"split_part(obj, '#', 1) AS t FROM {tri} "
+            f"WHERE pred = '{S.DCT_REFERENCES}' "
+            f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)), "
+            f"w AS (SELECT s, CAST(FLOOR(1000000.0 / LN(count(*))) "
+            f"AS BIGINT) AS wt FROM e GROUP BY s HAVING count(*) >= 2) "
+            f"SELECT x.t AS a, y.t AS b, count(*) AS n_common, "
+            f"CAST(sum(w.wt) AS BIGINT) AS aa_micro "
+            f"FROM e x JOIN e y ON x.s = y.s AND x.t < y.t "
+            f"JOIN w ON w.s = x.s "
+            f"GROUP BY x.t, y.t HAVING count(*) >= 2"),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

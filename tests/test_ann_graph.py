@@ -588,3 +588,65 @@ def test_coupling_vs_bruteforce(ray_session):
     got_map = (dict(zip(zip(got.a, got.b), got.n_coupled))
                if len(got) else {})
     assert got_map == {k: v for k, v in brute.items() if v >= 2}
+
+def test_adamic_adar_vs_bruteforce(ray_session):
+    """Bucketed Adamic–Adar equals brute force (counts AND int64
+    micro-unit scores), including duplicate-edge collapse, self-loop
+    drop, and the min_count threshold."""
+    import itertools
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import adamic_adar
+
+    rng = np.random.default_rng(31)
+    edges = [(f"s{int(a)}", f"t{int(b)}")
+             for a, b in zip(rng.integers(0, 12, 160),
+                             rng.integers(0, 18, 160))]
+    edges += edges[:25]          # duplicates must not inflate outdeg
+    edges += [("t3", "t3")]      # self-loop must be dropped
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    cites = {}
+    for s, t in set(edges):
+        if s != t:
+            cites.setdefault(s, set()).add(t)
+    brute_n, brute_aa = {}, {}
+    for s, ts in cites.items():
+        if len(ts) < 2:
+            continue
+        wt = int(math.floor(1_000_000.0 / math.log(len(ts))))
+        for a, b in itertools.combinations(sorted(ts), 2):
+            brute_n[(a, b)] = brute_n.get((a, b), 0) + 1
+            brute_aa[(a, b)] = brute_aa.get((a, b), 0) + wt
+    for mc in (1, 2, 3):
+        got = adamic_adar(ds, min_count=mc, num_buckets=5).to_pandas()
+        got_n = (dict(zip(zip(got.a, got.b), got.n_common))
+                 if len(got) else {})
+        got_aa = (dict(zip(zip(got.a, got.b), got.aa_micro))
+                  if len(got) else {})
+        assert got_n == {k: v for k, v in brute_n.items() if v >= mc}, mc
+        assert got_aa == {k: brute_aa[k] for k in got_n}, mc
+
+
+def test_aa_weight_micro_duckdb_parity():
+    """The per-term integer weight floor(1e6/ln(d)) matches DuckDB's
+    FLOOR(1000000.0 / LN(d)) for every outdeg the synthetic corpora
+    can produce (both sides call the platform libm on the same
+    doubles — this sweep pins the oracle contract)."""
+    import duckdb
+    import numpy as np
+
+    from ferenda_ray.ops.graph import aa_weight_micro
+
+    d = np.arange(2, 5001, dtype="int64")
+    ours = aa_weight_micro(d)
+    theirs = duckdb.sql(
+        "SELECT CAST(FLOOR(1000000.0 / LN(d)) AS BIGINT) "
+        "FROM (SELECT unnest(generate_series(2, 5000)) AS d)"
+    ).fetchnumpy()
+    key = next(iter(theirs))
+    assert (ours == theirs[key].astype("int64")).all()
