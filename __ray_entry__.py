@@ -473,6 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return coupling(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_local_triangles(sf_dir: str):
+        """Per-node triangle counts + integer-micro local clustering
+        coefficient (late-r5, past the window edge)."""
+        from ferenda_ray.ops.graph import edges_from_triples, local_triangles
+
+        return local_triangles(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_adamic_adar(sf_dir: str):
         """Adamic–Adar link-prediction scores over co-cited pairs
         (int64 micro-unit weights; late-r5, past the window edge)."""
@@ -654,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coupling": kg_coupling,
         "kg_adamic_adar": kg_adamic_adar,
         "kg_host_stats": kg_host_stats,
+        "kg_local_triangles": kg_local_triangles,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

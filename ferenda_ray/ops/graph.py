@@ -687,8 +687,12 @@ def _edge_degrees(und, num_buckets: int):
     return attach("b", "deg_b")(attach("a", "deg_a")(und))
 
 
-def _wedge_rows(und, num_buckets: int, orient: str = "degree"):
-    """Wedge rows (wa, wb, side=0) of the canonicalized graph.
+def _wedge_rows(und, num_buckets: int, orient: str = "degree",
+                with_apex: bool = False):
+    """Wedge rows (wa, wb, side=0) of the canonicalized graph;
+    ``with_apex`` adds the apex column ``x`` (needed when closed
+    wedges must be attributed back to all three triangle vertices,
+    e.g. per-node triangle counts).
 
     ``orient="degree"``: edges oriented low→high in the total order
     (degree, url); the apex of each wedge is the edge SOURCE. Every
@@ -708,9 +712,11 @@ def _wedge_rows(und, num_buckets: int, orient: str = "degree"):
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="x")
         m = m[m["y_x"] < m["y_y"]]
-        return pd.DataFrame({"wa": m["y_x"].to_numpy(),
-                             "wb": m["y_y"].to_numpy(),
-                             "side": np.zeros(len(m), dtype=np.int8)})
+        out = {"wa": m["y_x"].to_numpy(), "wb": m["y_y"].to_numpy(),
+               "side": np.zeros(len(m), dtype=np.int8)}
+        if with_apex:
+            out = {"x": m["x"].to_numpy(), **out}
+        return pd.DataFrame(out)
 
     if orient == "id":
         def orient_b(b: pa.Table) -> pa.Table:
@@ -784,6 +790,91 @@ def triangle_count(edges_ds, num_buckets: int = 16,
     val = agg["n_triangles"]
     return pd.DataFrame({"n_triangles": [int(val) if val is not None
                                          else 0]})
+
+
+def local_triangles(edges_ds, num_buckets: int = 16):
+    """Per-node triangle counts + local clustering coefficient over
+    the canonical undirected graph. Same degree-ordered wedge-close as
+    :func:`triangle_count` (O(m^1.5) wedge volume), but wedges carry
+    their apex so each closed wedge credits all THREE triangle
+    vertices; one node-keyed exchange then sums the credits and joins
+    the degree table. The coefficient ``2T / (d(d-1))`` is emitted in
+    exact integer micro-units (``(2_000_000 * T) // (d * (d-1))``) so
+    query and SQL oracle agree bit-for-bit (int floordiv both sides).
+
+    Output: ``(url, degree, n_triangles, lcc_micro)`` — one row per
+    node of the edge set."""
+    import numpy as np
+
+    und = _canon_edges(edges_ds)
+    empty = pd.DataFrame({"url": pd.Series([], dtype="object"),
+                          "degree": pd.Series([], dtype="int64"),
+                          "n_triangles": pd.Series([], dtype="int64"),
+                          "lcc_micro": pd.Series([], dtype="int64")})
+    if und.count() == 0:
+        return empty
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"x": pa.nulls(n, pa.string()),
+                         "wa": b.column("a"), "wb": b.column("b"),
+                         "side": pa.array([1] * n, pa.int8())})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 1][["wa", "wb"]].drop_duplicates()
+        w = g[g["side"] == 0]
+        hit = w.merge(e, on=["wa", "wb"])
+        u = pd.concat([hit["x"], hit["wa"], hit["wb"]],
+                      ignore_index=True)
+        out = u.value_counts().rename_axis("url").rename("v")
+        out = out.reset_index()
+        return pd.DataFrame({"url": out["url"].astype("object"),
+                             "v": out["v"].astype("int64"),
+                             "tri": np.ones(len(out), dtype=np.int8)})
+
+    tri_partials = (_wedge_rows(und, num_buckets, "degree",
+                                with_apex=True)
+                    .union(und.map_batches(edge_rows,
+                                           batch_format="pyarrow"))
+                    .map_batches(lambda t: _pl_bucket(t, ["wa", "wb"],
+                                                      num_buckets),
+                                 batch_format="pyarrow")
+                    .groupby("bucket")
+                    .map_groups(close, batch_format="pandas"))
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        urls = pa.chunked_array(b.column("a").chunks
+                                + b.column("b").chunks)
+        n = len(urls)
+        return pa.table({"url": urls,
+                         "v": pa.array(np.ones(n, dtype=np.int64)),
+                         "tri": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["url", "tri"], sort=True)["v"].sum()
+               .unstack("tri", fill_value=0))
+        deg = agg[0] if 0 in agg.columns else pd.Series(0, agg.index)
+        tri = agg[1] if 1 in agg.columns else pd.Series(0, agg.index)
+        deg = deg.astype("int64")
+        tri = tri.astype("int64")
+        keep = deg > 0  # triangle credits always ride on a node w/ deg
+        deg, tri = deg[keep], tri[keep]
+        denom = (deg * (deg - 1)).to_numpy()
+        lcc = np.zeros(len(deg), dtype=np.int64)
+        mask = denom > 0
+        lcc[mask] = (2_000_000 * tri.to_numpy()[mask]) // denom[mask]
+        return pd.DataFrame({"url": deg.index.astype("object"),
+                             "degree": deg.to_numpy(),
+                             "n_triangles": tri.to_numpy(),
+                             "lcc_micro": lcc})
+
+    out = (tri_partials
+           .union(und.map_batches(endpoints, batch_format="pyarrow"))
+           .map_batches(lambda t: _pl_bucket(t, ["url"], num_buckets),
+                        batch_format="pyarrow")
+           .groupby("bucket").map_groups(finalize,
+                                         batch_format="pandas"))
+    return out
 
 
 # -- k-core decomposition (iterative peel, BSP) -----------------------------

@@ -100,6 +100,36 @@ def _pagerank_sql(tri: str, n_iter: int = 5, d: float = 0.85) -> str:
             + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
 
 
+def _local_triangles_sql(tri: str) -> str:
+    """Per-node triangle counts + local clustering coefficient: the
+    id-ordered three-way join enumerates each triangle once as
+    ``x < y < z``; each contributes to all three vertices. The
+    coefficient is integer micro-units via ``//`` (floordiv), matching
+    ``ops/graph.py:local_triangles`` bit-for-bit — no float anywhere."""
+    edges = (f"SELECT DISTINCT least(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS a, "
+             f"greatest(split_part(subj, '#', 1), "
+             f"split_part(obj, '#', 1)) AS b FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}' "
+             f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)")
+    return (
+        f"WITH e0 AS MATERIALIZED ({edges}), "
+        f"deg AS (SELECT u AS url, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM (SELECT a AS u FROM e0 UNION ALL SELECT b AS u FROM e0) "
+        f"GROUP BY u), "
+        f"tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b "
+        f"JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        f"pern AS (SELECT u AS url, CAST(count(*) AS BIGINT) AS t "
+        f"FROM (SELECT x AS u FROM tri3 UNION ALL SELECT y AS u "
+        f"FROM tri3 UNION ALL SELECT z AS u FROM tri3) GROUP BY u) "
+        f"SELECT deg.url AS url, deg.degree AS degree, "
+        f"COALESCE(pern.t, 0) AS n_triangles, "
+        f"CASE WHEN deg.degree >= 2 THEN (2000000 * COALESCE(pern.t, 0)) "
+        f"// (deg.degree * (deg.degree - 1)) ELSE 0 END AS lcc_micro "
+        f"FROM deg LEFT JOIN pern ON pern.url = deg.url")
+
+
 def _kcore_sql(tri: str, k: int = 3, n_rounds: int = 8) -> str:
     """k-core peel unrolled to ``n_rounds`` CTE rounds — the exact
     synchronous (Jacobi) semantics of ``ops/graph.py:kcore``: round i
@@ -428,6 +458,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(tri),
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
+        "kg_local_triangles": _local_triangles_sql(tri),
         "kg_coreness": _coreness_sql(tri),
         "kg_components": _components_sql(tri),
         "kg_cocitations": (

@@ -650,3 +650,48 @@ def test_aa_weight_micro_duckdb_parity():
     ).fetchnumpy()
     key = next(iter(theirs))
     assert (ours == theirs[key].astype("int64")).all()
+
+def test_local_triangles_vs_bruteforce(ray_session):
+    """Per-node triangle counts + integer-micro clustering coefficient
+    equal brute force on random graphs, a star (0 triangles at every
+    node), and a clique; the per-node sum is 3x the global count."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import local_triangles, triangle_count
+
+    rng = np.random.default_rng(41)
+    cases = []
+    for _ in range(2):
+        n, m = int(rng.integers(10, 25)), int(rng.integers(20, 70))
+        cases.append([(f"v{int(a)}", f"v{int(b)}")
+                      for a, b in zip(rng.integers(0, n, m),
+                                      rng.integers(0, n, m))])
+    cases.append([("hub", f"leaf{i}") for i in range(30)])      # star
+    cases.append(list(itertools.combinations(
+        [f"k{i}" for i in range(6)], 2)))                       # K6
+    for edges in cases:
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        brute = {}
+        for u, nb in adj.items():
+            t = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                    if y in adj.get(x, ()))
+            d = len(nb)
+            lcc = (2_000_000 * t) // (d * (d - 1)) if d >= 2 else 0
+            brute[u] = (d, t, lcc)
+
+        ds = rd.from_pandas(pd.DataFrame(list(edges),
+                                         columns=["src", "dst"]))
+        got = local_triangles(ds, num_buckets=5).to_pandas()
+        got_map = {r.url: (r.degree, r.n_triangles, r.lcc_micro)
+                   for r in got.itertuples()}
+        assert got_map == brute
+        total = triangle_count(ds, num_buckets=5)["n_triangles"][0]
+        assert got["n_triangles"].sum() == 3 * total
