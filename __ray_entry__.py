@@ -473,6 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return coupling(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_host_graph(sf_dir: str):
+        """Host-level (domain) citation graph — coarsened link
+        structure (late-r5, past the window edge)."""
+        from ferenda_ray.ops.graph import edges_from_triples, host_graph
+
+        return host_graph(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_local_triangles(sf_dir: str):
         """Per-node triangle counts + integer-micro local clustering
         coefficient (late-r5, past the window edge)."""
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coupling": kg_coupling,
         "kg_adamic_adar": kg_adamic_adar,
         "kg_host_stats": kg_host_stats,
+        "kg_host_graph": kg_host_graph,
         "kg_local_triangles": kg_local_triangles,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,

@@ -1397,6 +1397,38 @@ def coupling(edges_ds, min_count: int = 2, num_buckets: int = 16):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def host_graph(edges_ds, num_buckets: int = 16):
+    """Coarsen the page-level citation graph to the HOST level — the
+    standard web-scale summary product (domain graphs are how crawl
+    link structure is actually consumed at 10^12 pages; the page-level
+    graph is too big to hand to anything downstream). Per-batch
+    combiner pre-counts (src_host, dst_host) pairs so the single
+    pair-keyed exchange carries one partial row per distinct host pair
+    per batch, not one row per link."""
+    from ferenda_ray.ops.web import host_of
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"src_host": host_of(b.column("src")),
+                      "dst_host": host_of(b.column("dst"))})
+        df = (t.to_pandas()
+              .groupby(["src_host", "dst_host"], as_index=False,
+                       sort=False).size().rename(columns={"size": "n"}))
+        df["n"] = df["n"].astype("int64")
+        return _pl_bucket(pa.Table.from_pandas(df, preserve_index=False),
+                          ["src_host", "dst_host"], num_buckets)
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["src_host", "dst_host"], as_index=False,
+                         sort=True)["n"].sum())
+        return pd.DataFrame({
+            "src_host": out["src_host"].astype("object"),
+            "dst_host": out["dst_host"].astype("object"),
+            "n_links": out["n"].astype("int64")})
+
+    return (edges_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket").map_groups(close, batch_format="pandas"))
+
+
 def aa_weight_micro(outdeg: np.ndarray) -> np.ndarray:
     """Adamic–Adar wedge weight ``1/ln(outdeg)`` in exact integer
     micro-units: ``floor(1e6 / ln(d))`` as int64. Integerizing per

@@ -459,6 +459,11 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
         "kg_local_triangles": _local_triangles_sql(tri),
+        "kg_host_graph": (
+            f"SELECT split_part(src, '/', 3) AS src_host, "
+            f"split_part(dst, '/', 3) AS dst_host, "
+            f"count(*) AS n_links FROM ({edges}) "
+            f"GROUP BY src_host, dst_host"),
         "kg_coreness": _coreness_sql(tri),
         "kg_components": _components_sql(tri),
         "kg_cocitations": (

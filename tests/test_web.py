@@ -41,3 +41,30 @@ def test_host_stats_vs_duckdb(ray_session, tmp_path):
     want = want.astype({c: "int64" for c in
                         ("n_snapshots", "n_urls", "sum_text_chars")})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_host_graph_vs_bruteforce(ray_session):
+    """Host-level graph coarsening equals a brute-force pair count,
+    including multi-batch partial merging."""
+    import numpy as np
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import host_graph
+
+    rng = np.random.default_rng(7)
+    edges = [(f"https://h{int(a)}.org/p/{int(i)}",
+              f"https://h{int(b)}.org/p/{int(j)}")
+             for a, b, i, j in zip(rng.integers(0, 5, 300),
+                                   rng.integers(0, 5, 300),
+                                   rng.integers(0, 40, 300),
+                                   rng.integers(0, 40, 300))]
+    ds = rd.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])).repartition(7)
+
+    brute = {}
+    for s, d in edges:
+        k = (s.split("/")[2], d.split("/")[2])
+        brute[k] = brute.get(k, 0) + 1
+    got = host_graph(ds, num_buckets=4).to_pandas()
+    got_map = dict(zip(zip(got.src_host, got.dst_host), got.n_links))
+    assert got_map == brute
