@@ -262,6 +262,39 @@ def cmd_kcore(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Pairwise / per-node citation-graph reports over a materialized
+    triples dir: co-citation, bibliographic coupling, Adamic–Adar,
+    per-node triangles + clustering coefficient, domain-graph
+    coarsening."""
+    from ferenda_ray.ops import graph as G
+    from ferenda_ray.stages import materialize as mat
+
+    edges = G.edges_from_triples(mat.read_triples(args.triples))
+    fn = {"cocitations": G.cocitations, "coupling": G.coupling,
+          "adamic-adar": G.adamic_adar,
+          "triangles": G.local_triangles,
+          "host-graph": G.host_graph}[args.what]
+    fn(edges).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_hoststats(args) -> int:
+    """Host-level corpus statistics over a raw pages parquet."""
+    from ferenda_ray.ops.web import host_stats
+
+    host_stats(args.pages).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_collocations(args) -> int:
     """Corpus collocations (bigram PMI) over a documents table."""
     import os
@@ -371,6 +404,17 @@ def main(argv=None) -> int:
     sp.add_argument("--rounds", type=int, default=16)
     sp.add_argument("--coreness", action="store_true")
     sp.set_defaults(fn=cmd_kcore)
+    sp = sub.add_parser("graph")
+    sp.add_argument("--triples", required=True)
+    sp.add_argument("--what", required=True,
+                    choices=["cocitations", "coupling", "adamic-adar",
+                             "triangles", "host-graph"])
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_graph)
+    sp = sub.add_parser("hoststats")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_hoststats)
     sp = sub.add_parser("collocations")
     sp.add_argument("--documents", required=True)
     sp.add_argument("--out", required=True)

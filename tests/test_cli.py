@@ -111,3 +111,25 @@ def test_cli_kcore_and_collocations(tmp_path):
         str(tmp_path / "documents.parquet"),
         "--out", str(tmp_path / "pmi"))[-1])
     assert res["rows"] == 900
+
+
+def test_cli_graph_and_hoststats(tmp_path):
+    """Final-session CLI surface: pairwise/per-node graph reports and
+    host-level corpus stats."""
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.sources.pages import corpus_table
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(corpus_table(30), pages)
+    out = str(tmp_path / "kg")
+    run_cli("run", "--pages", pages, "--out", out, "--buckets", "4")
+    for what in ("cocitations", "adamic-adar", "triangles",
+                 "host-graph"):
+        res = json.loads(run_cli(
+            "graph", "--triples", out, "--what", what,
+            "--out", str(tmp_path / f"g_{what}"))[-1])
+        assert res["rows"] > 0, what
+    res = json.loads(run_cli("hoststats", "--pages", pages,
+                             "--out", str(tmp_path / "hs"))[-1])
+    assert res["rows"] > 0
