@@ -594,22 +594,36 @@ def _pl_bucket(tab: pa.Table, cols, mod: int) -> pa.Table:
     return tab.append_column("bucket", h.to_arrow())
 
 
-def _canon_edges(edges_ds):
+def _canon_edges(edges_ds, num_buckets: int = 64):
     """Canonical distinct undirected edges ``(a < b)``, self-loops
-    dropped; vectorized (element-wise string min/max, no row loop)."""
+    dropped; vectorized (element-wise string min/max, no row loop).
+
+    Dedup is a coarse-bucket exchange (pair-hash to ``num_buckets``
+    groups, vectorized drop_duplicates per bucket task) — NOT
+    ``groupby(a, b)``: Ray's sort exchange with group count ∝ edge
+    count is the measured many-groups pathology (BASELINE.md §4 /
+    memory pitfall #0; at the 200 k-page bench graph, 1.3 M edges,
+    the fine groupby stalled for minutes where the bucketed dedup
+    takes seconds). Each pair lands in exactly one bucket, so
+    per-bucket distinct == global distinct."""
     import pyarrow.compute as pc
 
     def canon(b: pa.Table) -> pa.Table:
         keep = pc.invert(pc.equal(b.column("src"), b.column("dst")))
         b = b.filter(keep)
-        return pa.table({
+        return _pl_bucket(pa.table({
             "a": pc.min_element_wise(b.column("src"), b.column("dst")),
             "b": pc.max_element_wise(b.column("src"), b.column("dst")),
-        })
+        }), ["a", "b"], num_buckets)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["a", "b"]].drop_duplicates()
+        return pd.DataFrame({"a": out["a"].astype("object"),
+                             "b": out["b"].astype("object")})
 
     return (edges_ds.map_batches(canon, batch_format="pyarrow")
-            .groupby(["a", "b"]).aggregate(Count())
-            .select_columns(["a", "b"]).materialize())
+            .groupby("bucket").map_groups(dedup, batch_format="pandas")
+            .materialize())
 
 
 def _edge_degrees(und, num_buckets: int):
