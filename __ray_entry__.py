@@ -497,6 +497,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return adamic_adar(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_link_prediction(sf_dir: str):
+        """Common-neighbours / Jaccard / preferential-attachment link
+        prediction over co-cited pairs (int64 micro Jaccard; late-r5
+        final session, past the window edge)."""
+        from ferenda_ray.ops.graph import edges_from_triples, link_prediction
+
+        return link_prediction(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_stats": kg_host_stats,
         "kg_host_graph": kg_host_graph,
         "kg_local_triangles": kg_local_triangles,
+        "kg_link_prediction": kg_link_prediction,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

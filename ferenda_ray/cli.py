@@ -273,6 +273,7 @@ def cmd_graph(args) -> int:
     edges = G.edges_from_triples(mat.read_triples(args.triples))
     fn = {"cocitations": G.cocitations, "coupling": G.coupling,
           "adamic-adar": G.adamic_adar,
+          "link-prediction": G.link_prediction,
           "triangles": G.local_triangles,
           "host-graph": G.host_graph}[args.what]
     fn(edges).write_parquet(args.out)
@@ -408,7 +409,8 @@ def main(argv=None) -> int:
     sp.add_argument("--triples", required=True)
     sp.add_argument("--what", required=True,
                     choices=["cocitations", "coupling", "adamic-adar",
-                             "triangles", "host-graph"])
+                             "link-prediction", "triangles",
+                             "host-graph"])
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_graph)
     sp = sub.add_parser("hoststats")

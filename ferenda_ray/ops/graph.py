@@ -1513,3 +1513,150 @@ def adamic_adar(edges_ds, min_count: int = 2, num_buckets: int = 16):
                                               num_buckets),
                          batch_format="pyarrow")
             .groupby("bucket").map_groups(close, batch_format="pandas"))
+
+
+def link_prediction(edges_ds, min_count: int = 2, num_buckets: int = 16):
+    """Neighborhood link-prediction suite (Liben-Nowell & Kleinberg
+    2003; completes the :func:`adamic_adar` family) over the citation
+    graph's IN-neighbourhoods. For every pair of documents co-cited by
+    at least ``min_count`` distinct sources:
+
+    - ``n_common``       |Γin(a) ∩ Γin(b)| (common neighbours)
+    - ``deg_a, deg_b``   distinct in-degrees
+    - ``jaccard_micro``  floor(1e6·n / (deg_a + deg_b − n)) — exact
+      int64 floordiv AFTER exact integer sums, so the score is
+      deterministic under any partial-sum order (the int-cent rule)
+    - ``pref_attach``    deg_a · deg_b (preferential attachment)
+
+    Shape: the cocitation wedge engine (pairs pre-counted per
+    ``hash(src)`` bucket, summed per pair bucket) plus one
+    ``hash(dst)``-bucketed distinct in-degree count and two indicator
+    cogroups attaching the degrees to the pair rows — every exchange
+    is coarse-bucketed, nothing concentrates on the driver. Candidate
+    volume is Σ C(outdeg_s, 2), bounded exactly as in
+    :func:`cocitations` (see its scale note)."""
+
+    def drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(pc.equal(b.column("src"),
+                                           b.column("dst"))))
+
+    clean = edges_ds.map_batches(drop_self, batch_format="pyarrow")
+
+    # exact distinct in-degree: all edges of a target share its bucket
+    def indeg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        out = g.groupby("dst", sort=True).size().rename("deg")
+        return out.reset_index().rename(columns={"dst": "url"}).astype(
+            {"deg": "int64"})
+
+    # materialized: both attach passes consume it (the _edge_degrees
+    # pattern) — without this the count exchange would execute twice
+    deg = (clean.map_batches(
+               lambda t: _pl_bucket(t, ["dst"], num_buckets),
+               batch_format="pyarrow")
+           .groupby("bucket").map_groups(indeg, batch_format="pandas")
+           .materialize())
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        m = g.merge(g, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        out = (m.groupby(["dst_x", "dst_y"], sort=True).size()
+               .rename("n").reset_index()
+               .rename(columns={"dst_x": "a", "dst_y": "b"}))
+        return out.astype({"n": "int64"})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], as_index=False, sort=True)["n"]
+               .sum())
+        out = out[out["n"] >= min_count]
+        return pd.DataFrame({
+            "a": out["a"].astype("object"),
+            "b": out["b"].astype("object"),
+            "n_common": out["n"].astype("int64")})
+
+    pairs = (clean
+             .map_batches(lambda t: _pl_bucket(t, ["src"], num_buckets),
+                          batch_format="pyarrow")
+             .groupby("bucket").map_groups(wedge_pairs,
+                                           batch_format="pandas")
+             .map_batches(lambda t: _pl_bucket(t, ["a", "b"],
+                                               num_buckets),
+                          batch_format="pyarrow")
+             .groupby("bucket").map_groups(close,
+                                           batch_format="pandas"))
+
+    def attach(key_col: str, out_col: str):
+        """pairs ∪ degree rows → bucketed cogroup on ``key_col`` →
+        pairs gain ``out_col`` (in-degree of that endpoint)."""
+
+        def deg_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "k": b.column("url"), "a": pa.nulls(n, pa.string()),
+                "b": pa.nulls(n, pa.string()),
+                "n_common": pa.nulls(n, pa.int64()),
+                "deg_a": pa.nulls(n, pa.int64()),
+                "payload": b.column("deg").cast(pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+            })
+
+        def pair_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            dega = (b.column("deg_a") if "deg_a" in b.column_names
+                    else pa.nulls(n, pa.int64()))
+            return pa.table({
+                "k": b.column(key_col), "a": b.column("a"),
+                "b": b.column("b"), "n_common": b.column("n_common"),
+                "deg_a": dega,
+                "payload": pa.nulls(n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+            })
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            lut = g[g["side"] == 0].set_index("k")["payload"]
+            e = g[g["side"] == 1]
+            out = pd.DataFrame({
+                "a": pd.Series(e["a"].values, dtype="object"),
+                "b": pd.Series(e["b"].values, dtype="object"),
+                "n_common": pd.Series(e["n_common"].values,
+                                      dtype="int64")})
+            if out_col != "deg_a":
+                out["deg_a"] = pd.Series(e["deg_a"].values).astype(
+                    "int64")
+            out[out_col] = pd.Series(
+                lut.reindex(e["k"]).values).astype("int64")
+            return out
+
+        def run(ds):
+            both = (ds.map_batches(pair_side, batch_format="pyarrow")
+                    .union(deg.map_batches(deg_side,
+                                           batch_format="pyarrow"))
+                    .map_batches(lambda t: _pl_bucket(t, ["k"],
+                                                      num_buckets),
+                                 batch_format="pyarrow"))
+            return both.groupby("bucket").map_groups(
+                join, batch_format="pandas")
+
+        return run
+
+    scored = attach("b", "deg_b")(attach("a", "deg_a")(pairs))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n_common")
+        da, db = b.column("deg_a"), b.column("deg_b")
+        denom = pc.subtract(pc.add(da, db), n)
+        return pa.table({
+            "a": b.column("a"), "b": b.column("b"), "n_common": n,
+            "deg_a": da, "deg_b": db,
+            "jaccard_micro": pc.divide(
+                pc.multiply(n, pa.scalar(1_000_000, pa.int64())),
+                denom),
+            "pref_attach": pc.multiply(da, db),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")

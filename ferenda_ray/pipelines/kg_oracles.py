@@ -497,6 +497,28 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"FROM e x JOIN e y ON x.s = y.s AND x.t < y.t "
             f"JOIN w ON w.s = x.s "
             f"GROUP BY x.t, y.t HAVING count(*) >= 2"),
+        "kg_link_prediction": (
+            # common-neighbours / Jaccard / preferential-attachment
+            # over in-neighbourhoods; jaccard is integer-micro
+            # floordiv AFTER the exact integer sums (the int-cent
+            # determinism rule), so both sides hash identically
+            f"WITH e AS (SELECT DISTINCT split_part(subj, '#', 1) AS s, "
+            f"split_part(obj, '#', 1) AS t FROM {tri} "
+            f"WHERE pred = '{S.DCT_REFERENCES}' "
+            f"AND split_part(subj, '#', 1) <> split_part(obj, '#', 1)), "
+            f"d AS (SELECT t, CAST(count(*) AS BIGINT) AS deg "
+            f"FROM e GROUP BY t), "
+            f"p AS (SELECT x.t AS a, y.t AS b, "
+            f"CAST(count(*) AS BIGINT) AS n_common "
+            f"FROM e x JOIN e y ON x.s = y.s AND x.t < y.t "
+            f"GROUP BY x.t, y.t HAVING count(*) >= 2) "
+            f"SELECT p.a, p.b, p.n_common, "
+            f"da.deg AS deg_a, db.deg AS deg_b, "
+            f"CAST((1000000 * p.n_common) "
+            f"// (da.deg + db.deg - p.n_common) AS BIGINT) "
+            f"AS jaccard_micro, "
+            f"CAST(da.deg * db.deg AS BIGINT) AS pref_attach "
+            f"FROM p JOIN d da ON da.t = p.a JOIN d db ON db.t = p.b"),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

@@ -695,3 +695,47 @@ def test_local_triangles_vs_bruteforce(ray_session):
         assert got_map == brute
         total = triangle_count(ds, num_buckets=5)["n_triangles"][0]
         assert got["n_triangles"].sum() == 3 * total
+
+
+def test_link_prediction_vs_bruteforce(ray_session):
+    """Bucketed link-prediction suite equals brute force (common
+    neighbours, distinct in-degrees, integer-micro Jaccard,
+    preferential attachment), including duplicate-edge collapse,
+    self-loop drop, and the min_count threshold."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import link_prediction
+
+    rng = np.random.default_rng(47)
+    edges = [(f"s{int(a)}", f"t{int(b)}")
+             for a, b in zip(rng.integers(0, 12, 160),
+                             rng.integers(0, 18, 160))]
+    edges += edges[:25]          # duplicates must not inflate degrees
+    edges += [("t5", "t5")]      # self-loop must be dropped
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    cites, indeg = {}, {}
+    for s, t in set(edges):
+        if s != t:
+            cites.setdefault(s, set()).add(t)
+            indeg[t] = indeg.get(t, 0) + 1
+    brute = {}
+    for s, ts in cites.items():
+        for a, b in itertools.combinations(sorted(ts), 2):
+            brute[(a, b)] = brute.get((a, b), 0) + 1
+    for mc in (1, 2, 3):
+        got = link_prediction(ds, min_count=mc, num_buckets=5).to_pandas()
+        want = {k: v for k, v in brute.items() if v >= mc}
+        got_n = (dict(zip(zip(got.a, got.b), got.n_common))
+                 if len(got) else {})
+        assert got_n == want, mc
+        for row in got.itertuples():
+            da, db = indeg[row.a], indeg[row.b]
+            assert row.deg_a == da and row.deg_b == db
+            assert row.pref_attach == da * db
+            assert row.jaccard_micro == (
+                1_000_000 * row.n_common) // (da + db - row.n_common)

@@ -124,8 +124,8 @@ def test_cli_graph_and_hoststats(tmp_path):
     pq.write_table(corpus_table(30), pages)
     out = str(tmp_path / "kg")
     run_cli("run", "--pages", pages, "--out", out, "--buckets", "4")
-    for what in ("cocitations", "adamic-adar", "triangles",
-                 "host-graph"):
+    for what in ("cocitations", "adamic-adar", "link-prediction",
+                 "triangles", "host-graph"):
         res = json.loads(run_cli(
             "graph", "--triples", out, "--what", what,
             "--out", str(tmp_path / f"g_{what}"))[-1])
