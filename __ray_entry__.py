@@ -506,6 +506,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return link_prediction(
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
 
+    def kg_assortativity(sf_dir: str):
+        """Newman degree assortativity of the undirected citation
+        graph — exact int64 sums + trunc-toward-zero micro coefficient
+        (late-r5 final session, past the window edge)."""
+        from ferenda_ray.ops.graph import assortativity, edges_from_triples
+
+        return assortativity(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))))
+
     def kg_degree_histogram(sf_dir: str):
         from ferenda_ray.ops.graph import degree_histogram, edges_from_triples
 
@@ -682,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_graph": kg_host_graph,
         "kg_local_triangles": kg_local_triangles,
         "kg_link_prediction": kg_link_prediction,
+        "kg_assortativity": kg_assortativity,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

@@ -1660,3 +1660,61 @@ def link_prediction(edges_ds, min_count: int = 2, num_buckets: int = 16):
         })
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def _tz_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which diverges for negative
+    numerators; assortativity is routinely negative on web graphs)."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def assortativity(edges_ds, num_buckets: int = 16):
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected citation graph — one summary row:
+
+    - ``n_edges``  canonical distinct undirected edges m
+    - ``sum_deg``  S1 = Σ(deg_a + deg_b) over edges
+    - ``sum_sq``   S2 = Σ(deg_a² + deg_b²)
+    - ``sum_prod`` Sp = Σ 2·deg_a·deg_b (both directions)
+    - ``r_micro``  trunc(1e6 · (M·Sp − S1²) / (M·S2 − S1²)), M = 2m —
+      the Pearson correlation of degrees at edge endpoints in exact
+      integer micro-units (both marginals are identical on the
+      symmetrized edge list, so one S1/S2 pair suffices)
+
+    Everything that crosses the cluster is an int64 partial sum; the
+    driver holds five scalars and the final floordiv is exact, so the
+    row hashes identically to the SQL recompute. Degenerate (regular)
+    graphs have an undefined coefficient → ``r_micro`` is null."""
+    from ray.data.aggregate import Sum
+
+    wd = _edge_degrees(_canon_edges(edges_ds), num_buckets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        da = b.column("deg_a").to_numpy().astype("int64")
+        db_ = b.column("deg_b").to_numpy().astype("int64")
+        return pa.table({
+            "m": pa.array([len(da)], pa.int64()),
+            "s1": pa.array([int((da + db_).sum())], pa.int64()),
+            "s2": pa.array([int((da * da + db_ * db_).sum())],
+                           pa.int64()),
+            "sp": pa.array([int((2 * da * db_).sum())], pa.int64()),
+        })
+
+    agg = (wd.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("m", alias_name="m"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"),
+                      Sum("sp", alias_name="sp")))
+    m = int(agg["m"] or 0)
+    s1, s2, sp = (int(agg[k] or 0) for k in ("s1", "s2", "sp"))
+    bigm = 2 * m
+    den = bigm * s2 - s1 * s1
+    r = _tz_div(1_000_000 * (bigm * sp - s1 * s1), den) if den else None
+    return pd.DataFrame({
+        "n_edges": pd.array([m], dtype="int64"),
+        "sum_deg": pd.array([s1], dtype="int64"),
+        "sum_sq": pd.array([s2], dtype="int64"),
+        "sum_prod": pd.array([sp], dtype="int64"),
+        "r_micro": pd.array([r], dtype="Int64"),
+    })

@@ -519,6 +519,26 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"AS jaccard_micro, "
             f"CAST(da.deg * db.deg AS BIGINT) AS pref_attach "
             f"FROM p JOIN d da ON da.t = p.a JOIN d db ON db.t = p.b"),
+        "kg_assortativity": (
+            # Newman degree assortativity as exact int64 sums + one
+            # trunc-toward-zero micro floordiv (DuckDB // semantics,
+            # matched by graph._tz_div on the Ray side)
+            f"WITH e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM ({edges}) WHERE src <> dst), "
+            f"deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM "
+            f"(SELECT a AS u FROM e0 UNION ALL SELECT b AS u FROM e0) "
+            f"GROUP BY u), "
+            f"ed AS (SELECT da.deg AS dx, db.deg AS dy FROM e0 "
+            f"JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b), "
+            f"s AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+            f"CAST(sum(dx + dy) AS BIGINT) AS s1, "
+            f"CAST(sum(dx*dx + dy*dy) AS BIGINT) AS s2, "
+            f"CAST(sum(2*dx*dy) AS BIGINT) AS sp FROM ed) "
+            f"SELECT m AS n_edges, s1 AS sum_deg, s2 AS sum_sq, "
+            f"sp AS sum_prod, "
+            f"CAST((1000000 * (2*m*sp - s1*s1)) "
+            f"// NULLIF(2*m*s2 - s1*s1, 0) AS BIGINT) AS r_micro "
+            f"FROM s"),
         "kg_sections": (
             # self-consistency (like kg_triples): live extract+FSM
             # rerun vs the materialized deterministic sections cache

@@ -739,3 +739,47 @@ def test_link_prediction_vs_bruteforce(ray_session):
             assert row.pref_attach == da * db
             assert row.jaccard_micro == (
                 1_000_000 * row.n_common) // (da + db - row.n_common)
+
+
+def test_assortativity_vs_bruteforce(ray_session):
+    """Distributed assortativity sums equal brute force, and r_micro
+    uses DuckDB's trunc-toward-zero // (a star graph is maximally
+    disassortative: r = -1 exactly → r_micro = -1000000)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import assortativity, _tz_div
+
+    # star: every edge joins deg-8 hub to a deg-1 leaf → r = -1
+    star = pd.DataFrame({"src": ["h"] * 8,
+                         "dst": [f"l{i}" for i in range(8)]})
+    got = assortativity(rd.from_pandas(star), num_buckets=3)
+    assert got.n_edges[0] == 8 and got.r_micro[0] == -1_000_000
+
+    rng = np.random.default_rng(53)
+    edges = [(f"n{int(a)}", f"n{int(b)}")
+             for a, b in zip(rng.integers(0, 25, 120),
+                             rng.integers(0, 25, 120))]
+    edges += edges[:10] + [("n3", "n3")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    canon = {(min(a, b), max(a, b)) for a, b in set(edges) if a != b}
+    deg = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(canon)
+    s1 = sum(deg[a] + deg[b] for a, b in canon)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in canon)
+    sp = sum(2 * deg[a] * deg[b] for a, b in canon)
+    got = assortativity(ds, num_buckets=4)
+    assert (int(got.n_edges[0]), int(got.sum_deg[0]),
+            int(got.sum_sq[0]), int(got.sum_prod[0])) == (m, s1, s2, sp)
+    assert got.r_micro[0] == _tz_div(
+        1_000_000 * (2 * m * sp - s1 * s1), 2 * m * s2 - s1 * s1)
+
+    # duckdb // parity on the negative quotient path
+    import duckdb
+    num, den = 1_000_000 * (2 * m * sp - s1 * s1), 2 * m * s2 - s1 * s1
+    assert duckdb.sql(f"SELECT {num} // {den}").fetchone()[0] == \
+        _tz_div(num, den)
