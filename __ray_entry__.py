@@ -546,6 +546,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_stats(_pages_path(_n_pages(sf_dir)))
 
+    def kg_url_canonical(sf_dir: str):
+        """Canonical-url variant groups over the raw pages table
+        (crawl-side URL canonicalization: fragments, case, ports,
+        tracking params, index.html/slash folding; late-r5 final
+        session, past the window edge)."""
+        from ferenda_ray.ops.web import url_canonical_groups
+
+        return url_canonical_groups(_pages_path(_n_pages(sf_dir)))
+
     def kg_triple_counts(sf_dir: str):
         """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
         from ray.data.aggregate import Count
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_local_triangles": kg_local_triangles,
         "kg_link_prediction": kg_link_prediction,
         "kg_assortativity": kg_assortativity,
+        "kg_url_canonical": kg_url_canonical,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -1022,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_page_near_dups": dedup.page_near_dups_sql(_pages_path(300),
                                                       0.5),
         "kg_host_stats": _host_stats_sql(),
+        "kg_url_canonical": _url_canonical_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1063,6 +1074,12 @@ def _host_stats_sql() -> str:
     from ferenda_ray.ops.web import host_stats_sql
 
     return host_stats_sql(_pages_path(300))
+
+
+def _url_canonical_sql() -> str:
+    from ferenda_ray.ops.web import url_canonical_sql
+
+    return url_canonical_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

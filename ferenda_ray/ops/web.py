@@ -89,3 +89,112 @@ def host_stats_sql(pages_path: str) -> str:
         f"count(DISTINCT url) AS n_urls, "
         f"CAST(sum(length(text)) AS BIGINT) AS sum_text_chars "
         f"FROM read_parquet('{pages_path}') GROUP BY host")
+
+
+# --- URL canonicalization ------------------------------------------
+# Crawl-side variant collapse (the WARC/CDX "canonical URL" pass every
+# large crawl pipeline runs before dedup): fragment dropped, scheme +
+# authority lowercased, default ports stripped, /index.html and
+# trailing-slash folded, tracking parameters removed, surviving query
+# parameters byte-sorted. The spec is frozen by the twin SQL
+# expression below; differential fuzz pins the two engines together.
+
+_TRACK_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+
+def canon_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized canonicalization of a url column (one polars
+    expression chain, no Python per-row loop). Byte-identical to
+    :func:`canon_url_sql_expr` — polars' Rust regex and DuckDB's RE2
+    share semantics for every pattern used here."""
+    import polars as pl
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    df = pl.DataFrame({"u": pl.Series("u", urls)})
+    u = pl.col("u").str.split("#").list.first()
+    head = (u.str.extract(r"^([^:/?#]+://[^/?]*)", 1)
+            .fill_null("").str.to_lowercase()
+            .str.replace(r":(80|443)$", ""))
+    tail = u.str.replace(r"^[^:/?#]+://[^/?]*", "")
+    path = tail.str.splitn("?", 2).struct.field("field_0")
+    q = (tail.str.splitn("?", 2).struct.field("field_1")
+         .fill_null(""))
+    path = path.str.replace(r"/index\.html$", "/")
+    path = (pl.when((path.str.len_chars() > 1)
+                    & path.str.ends_with("/"))
+            .then(path.str.head(-1)).otherwise(path))
+    path = pl.when(path == "").then(pl.lit("/")).otherwise(path)
+    qn = (q.str.split("&")
+          .list.eval(pl.element().filter(
+              (pl.element() != "")
+              & ~pl.element().str.contains(_TRACK_RE)))
+          .list.sort().list.join("&"))
+    norm = head + path + pl.when(qn != "").then(
+        pl.lit("?") + qn).otherwise(pl.lit(""))
+    return df.select(norm.alias("n"))["n"].to_arrow().cast(pa.string())
+
+
+def canon_url_sql_expr(col: str) -> str:
+    """The same canonicalization as one DuckDB expression over
+    ``col`` (RE2; the twin of :func:`canon_urls`)."""
+    u = f"split_part({col}, '#', 1)"
+    head = (f"regexp_replace(lower(coalesce(regexp_extract("
+            f"{u}, '^([^:/?#]+://[^/?]*)', 1), '')), ':(80|443)$', '')")
+    tail = f"regexp_replace({u}, '^[^:/?#]+://[^/?]*', '')"
+    path0 = f"split_part({tail}, '?', 1)"
+    q = (f"(CASE WHEN strpos({tail}, '?') > 0 "
+         f"THEN substr({tail}, strpos({tail}, '?') + 1) ELSE '' END)")
+    path1 = f"regexp_replace({path0}, '/index\\.html$', '/')"
+    path2 = (f"(CASE WHEN length({path1}) > 1 AND {path1} LIKE '%/' "
+             f"THEN substr({path1}, 1, length({path1}) - 1) "
+             f"ELSE {path1} END)")
+    path = f"(CASE WHEN {path2} = '' THEN '/' ELSE {path2} END)"
+    qn = (f"array_to_string(list_sort(list_filter(string_split({q}, "
+          f"'&'), x -> x <> '' AND NOT regexp_matches(x, "
+          f"'{_TRACK_RE}'))), '&')")
+    return (f"({head} || {path} || (CASE WHEN {qn} <> '' "
+            f"THEN '?' || {qn} ELSE '' END))")
+
+
+def url_canonical_groups(pages_path: str,
+                         num_buckets: int = _N_BUCKETS):
+    """Canonical-url variant groups over the raw pages table: per
+    canonical url, the snapshot count and the number of distinct raw
+    variants that collapsed into it. Same shape as :func:`host_stats`
+    — pruned read (only ``url`` leaves storage), per-batch combiner to
+    one partial row per (canonical, raw) pair, ONE skinny exchange
+    keyed by ``hash(canonical)``."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"norm_url": canon_urls(b.column("url")),
+                      "url": b.column("url")})
+        out = (t.to_pandas()
+               .groupby(["norm_url", "url"], as_index=False,
+                        sort=False).size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = bucket_keys(out["norm_url"].to_numpy(),
+                                    num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("norm_url", sort=True)
+               .agg(n_snapshots=("n", "sum"),
+                    n_variants=("url", "nunique"))
+               .reset_index())
+        return out.astype({"n_snapshots": "int64",
+                           "n_variants": "int64"})
+
+    return (rd.read_parquet(pages_path, columns=["url"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finals, batch_format="pandas"))
+
+
+def url_canonical_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`url_canonical_groups`."""
+    return (
+        f"SELECT {canon_url_sql_expr('url')} AS norm_url, "
+        f"count(*) AS n_snapshots, "
+        f"count(DISTINCT url) AS n_variants "
+        f"FROM read_parquet('{pages_path}') GROUP BY norm_url")

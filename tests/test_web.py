@@ -68,3 +68,88 @@ def test_host_graph_vs_bruteforce(ray_session):
     got = host_graph(ds, num_buckets=4).to_pandas()
     got_map = dict(zip(zip(got.src_host, got.dst_host), got.n_links))
     assert got_map == brute
+
+
+def test_canon_urls_hand_cases():
+    from ferenda_ray.ops.web import canon_urls
+
+    got = canon_urls(pa.array([
+        "HTTPS://WWW.Ex.COM:443/a/index.html?utm_source=x&z=1&a=2#f",
+        "http://site.org:80/", "http://site.org",
+        "https://h.net/p/?fbclid=abc",
+        "https://h.net/p?b=2&a=1&a=0",
+    ], pa.string())).to_pylist()
+    assert got == [
+        "https://www.ex.com/a?a=2&z=1",
+        "http://site.org/", "http://site.org/",
+        "https://h.net/p",
+        "https://h.net/p?a=0&a=1&b=2",
+    ]
+
+
+def test_canon_urls_fuzz_vs_duckdb():
+    """Differential fuzz: the polars canonicalization chain and the
+    DuckDB SQL expression are the same function over adversarial URL
+    shapes (case, ports, fragments, tracking params, duplicate and
+    empty params, index.html, missing scheme, multiple '?')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ferenda_ray.ops.web import canon_url_sql_expr, canon_urls
+
+    seg = st.text(
+        alphabet="aBc0._-~%", min_size=0, max_size=6)
+    param = st.one_of(
+        st.just(""), st.just("utm_x=1"), st.just("fbclid"),
+        st.just("ref=tw"), st.just("gclid=z"),
+        st.tuples(seg, seg).map(lambda kv: f"{kv[0]}={kv[1]}"))
+    url = st.builds(
+        lambda scheme, host, port, path, idx, slash, params, frag:
+        (scheme + host + port + "/" + "/".join(path)
+         + ("/index.html" if idx else "/" if slash else "")
+         + ("?" + "&".join(params) if params is not None else "")
+         + ("#" + frag if frag else "")),
+        st.sampled_from(["https://", "HTTP://", "ftp://", ""]),
+        st.sampled_from(["Ex.COM", "a.b.ORG", "h", ""]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(seg, max_size=3),
+        st.booleans(), st.booleans(),
+        st.one_of(st.none(), st.lists(param, max_size=4)),
+        st.sampled_from(["", "sec2", "?x=1"]))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=8))
+    def check(urls):
+        got = canon_urls(pa.array(urls, pa.string())).to_pylist()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (url VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)",
+                        [(u,) for u in urls])
+        want = [r[0] for r in con.sql(
+            f"SELECT {canon_url_sql_expr('url')} FROM t").fetchall()]
+        assert got == want
+
+    check()
+
+
+def test_url_canonical_groups_vs_duckdb(ray_session, tmp_path):
+    """Distributed variant-group counts equal the SQL recompute on a
+    corpus with engineered variant collisions."""
+    from ferenda_ray.ops.web import url_canonical_groups, url_canonical_sql
+
+    rows = []
+    for i in range(30):
+        base = f"https://Site{i % 5}.example.org/doc/{i}"
+        rows += [{"url": base + "/index.html?utm_source=a"},
+                 {"url": base + "/"},
+                 {"url": base.lower() + f"?b={i}&a={i}"},
+                 {"url": base + f"?a={i}&b={i}#frag"}]
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+
+    got = (url_canonical_groups(path, num_buckets=4).to_pandas()
+           .sort_values("norm_url").reset_index(drop=True))
+    want = (duckdb.sql(url_canonical_sql(path)).df()
+            .sort_values("norm_url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
