@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": kg_link_prediction,
         "kg_assortativity": kg_assortativity,
         "kg_url_canonical": kg_url_canonical,
+        "gopher_rules": text.gopher_rules,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -1006,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dsir_scores": text.DSIR_SCORES_SQL,
         "bigram_pmi": text.BIGRAM_PMI_SQL,
+        "gopher_rules": text.GOPHER_RULES_SQL,
         "paragraph_dup_stats": dedup.PARAGRAPH_DUP_SQL,
         "windowed_topk_users": win.WINDOWED_TOPK_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,

@@ -1848,3 +1848,114 @@ SELECT cnt.w1, cnt.w2, CAST(cnt.c AS BIGINT) AS n_pair,
 FROM cnt JOIN m1 USING (w1) JOIN m2 USING (w2)
 WHERE cnt.c >= 5
 """
+
+
+# -- Gopher quality rules (Rae et al. 2021) ---------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(sf_dir: str):
+    """Gopher-style repetition-free quality heuristics per document
+    (Rae et al. 2021 §A1.1), the rule pack most large-corpus curation
+    stacks start from. Every rule is evaluated in EXACT integer
+    arithmetic (threshold ratios become cross-multiplications), so the
+    row hashes identically to the SQL recompute:
+
+    - ``rule_len``        50 ≤ n_tokens ≤ 100 000
+    - ``rule_mean_wlen``  3 ≤ mean word length ≤ 10
+                          (3·n_tokens ≤ nospace_chars ≤ 10·n_tokens)
+    - ``rule_symbol``     (#-chars + ellipses) / words ≤ 0.1
+    - ``rule_bullet``     ≤ 90% of lines start with a bullet
+    - ``rule_ellipsis``   ≤ 30% of lines end with an ellipsis
+    - ``rule_alpha``      ≥ 80% of words contain an alphabetic char
+    - ``rule_stopwords``  ≥ 2 distinct Gopher stop words appear as
+                          whole tokens (exact token equality, not \\b —
+                          RE2's ASCII \\b and Rust's Unicode \\b
+                          diverge on accented neighbours)
+    - ``keep``            conjunction of all seven
+
+    Stateless vectorized batch map over a pruned two-column read; at
+    100 TB this is embarrassingly parallel with zero exchanges."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rules(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        t = pl.col("text")
+        n_tok = t.str.count_matches(r"\S+").cast(pl.Int64)
+        nosp = (t.str.len_chars()
+                - t.str.count_matches(r"\s")).cast(pl.Int64)
+        n_sym = (t.str.count_matches("#", literal=True)
+                 + t.str.count_matches(r"\.\.\.|…")).cast(pl.Int64)
+        n_lines = (t.str.count_matches("\n", literal=True)
+                   + 1).cast(pl.Int64)
+        n_bullet = t.str.count_matches(
+            r"(?m)^[ \t]*[-*•]").cast(pl.Int64)
+        n_ellend = t.str.count_matches(
+            r"(?m)(\.\.\.|…)$").cast(pl.Int64)
+        n_alpha = t.str.count_matches(
+            r"\S*[A-Za-z]\S*").cast(pl.Int64)
+        toks = t.str.to_lowercase().str.extract_all(r"\S+")
+        n_stop = sum(
+            toks.list.contains(w).cast(pl.Int64)
+            for w in _GOPHER_STOPS).cast(pl.Int64)
+        out = df.select(
+            pl.col("doc_id"),
+            n_tok.alias("n_tokens"),
+            n_lines.alias("n_lines"),
+            ((n_tok >= 50) & (n_tok <= 100_000)).alias("rule_len"),
+            ((3 * n_tok <= nosp)
+             & (nosp <= 10 * n_tok)).alias("rule_mean_wlen"),
+            (10 * n_sym <= n_tok).alias("rule_symbol"),
+            (10 * n_bullet <= 9 * n_lines).alias("rule_bullet"),
+            (10 * n_ellend <= 3 * n_lines).alias("rule_ellipsis"),
+            (10 * n_alpha >= 8 * n_tok).alias("rule_alpha"),
+            (n_stop >= 2).alias("rule_stopwords"),
+        )
+        out = out.with_columns(
+            (pl.col("rule_len") & pl.col("rule_mean_wlen")
+             & pl.col("rule_symbol") & pl.col("rule_bullet")
+             & pl.col("rule_ellipsis") & pl.col("rule_alpha")
+             & pl.col("rule_stopwords")).alias("keep"))
+        return out.to_arrow()
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def _gopher_stop_sql(w: str) -> str:
+    return (f"CAST(len(list_filter(regexp_extract_all(lower(text), "
+            f"'\\S+'), x -> x = '{w}')) > 0 AS BIGINT)")
+
+
+GOPHER_RULES_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+    length(regexp_replace(text, '\\s', '', 'g')) AS nosp,
+    (length(text) - length(replace(text, '#', ''))
+     + len(regexp_extract_all(text, '\\.\\.\\.|…'))) AS n_sym,
+    (1 + length(text) - length(replace(text, chr(10), ''))) AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
+    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS n_ellend,
+    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+    ({' + '.join(_gopher_stop_sql(w) for w in _GOPHER_STOPS)}) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  (n_tok >= 50 AND n_tok <= 100000) AS rule_len,
+  (3 * n_tok <= nosp AND nosp <= 10 * n_tok) AS rule_mean_wlen,
+  (10 * n_sym <= n_tok) AS rule_symbol,
+  (10 * n_bullet <= 9 * n_lines) AS rule_bullet,
+  (10 * n_ellend <= 3 * n_lines) AS rule_ellipsis,
+  (10 * n_alpha >= 8 * n_tok) AS rule_alpha,
+  (n_stop >= 2) AS rule_stopwords,
+  (n_tok >= 50 AND n_tok <= 100000
+   AND 3 * n_tok <= nosp AND nosp <= 10 * n_tok
+   AND 10 * n_sym <= n_tok
+   AND 10 * n_bullet <= 9 * n_lines
+   AND 10 * n_ellend <= 3 * n_lines
+   AND 10 * n_alpha >= 8 * n_tok
+   AND n_stop >= 2) AS keep
+FROM f
+"""

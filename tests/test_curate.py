@@ -188,3 +188,52 @@ def test_benchmark_rows_no_seam_grams(ray_session, tmp_path):
         benchmark_parquet=str(tmp_path / "benchmark.parquet")
     ).to_pandas()
     assert int(got.n_docs.sum()) == 1  # seam gram is phantom: doc kept
+
+
+def test_gopher_rules_each_rule_flips(ray_session, tmp_path):
+    """Crafted docs: one passing all Gopher rules, then one violating
+    each rule in isolation; distributed result == DuckDB recompute ==
+    hand expectation."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import GOPHER_RULES_SQL, gopher_rules
+
+    good = ("the cat sat with the dog and that was fine to see "
+            "because both of them have been friendly today indeed "
+            * 5)  # 100 tokens, sane lengths, stopwords present
+    docs = {
+        0: good,
+        1: "the of and short",                        # rule_len (<50)
+        2: ("ab " * 30 + "the of and that have with " 
+            + "a " * 40).strip(),                     # mean wlen < 3
+        3: good + " " + "# " * 30,                    # symbol ratio
+        4: "\n".join(["- the of item and that"] * 60),  # bullets
+        5: "\n".join(["the of and that more..."] * 60),  # ellipsis ends
+        6: good + " " + "123 456 " * 40,              # alpha < 80%
+        7: " ".join(["word"] * 80),                   # no stopwords
+    }
+    tab = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in docs], pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    got = (gopher_rules(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.sql(GOPHER_RULES_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    assert bool(got.keep[0]) is True
+    assert got.keep[1:].sum() == 0
+    flipped = {1: "rule_len", 2: "rule_mean_wlen", 3: "rule_symbol",
+               4: "rule_bullet", 5: "rule_ellipsis", 6: "rule_alpha",
+               7: "rule_stopwords"}
+    for i, rule in flipped.items():
+        assert not got.loc[i, rule], (i, rule)
