@@ -302,6 +302,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
             n_iter=5)
 
+    def kg_ppr(sf_dir: str):
+        """Personalized (host-seeded) PageRank on the BSP tier
+        (late-r5 final session, past the window edge)."""
+        from ferenda_ray.ops.graph import edges_from_triples
+        from ferenda_ray.ops.graph import personalized_pagerank
+
+        return personalized_pagerank(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
+            seed_host="www.site000.example.org", n_iter=5)
+
     def kg_sections(sf_dir: str):
         from ferenda_ray.pipelines.kg import build_sections_ds
 
@@ -703,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": kg_assortativity,
         "kg_url_canonical": kg_url_canonical,
         "gopher_rules": text.gopher_rules,
+        "kg_ppr": kg_ppr,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

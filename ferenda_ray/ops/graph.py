@@ -1718,3 +1718,138 @@ def assortativity(edges_ds, num_buckets: int = 16):
         "sum_prod": pd.array([sp], dtype="int64"),
         "r_micro": pd.array([r], dtype="Int64"),
     })
+
+
+def personalized_pagerank(edges_ds, seed_host: str,
+                          damping: float = 0.85, n_iter: int = 10,
+                          num_buckets: int = 16,
+                          resume_root: str | None = None):
+    """Personalized PageRank (topic-sensitive: Haveliwala 2002) on the
+    same BSP tier as :func:`pagerank` — the teleport vector is uniform
+    over the SEED SET (here: all nodes on ``seed_host``, the host-
+    anchored personalization a web crawl actually uses) instead of
+    uniform over all nodes, and the dangling mass is returned to the
+    seeds. rank0 = 1/|S| on seeds, 0 elsewhere;
+    rank_{k+1}(v) = [v ∈ S]·((1−d)/|S| + d·dangling/|S|) + d·Σ r/deg.
+
+    Identical staging, exchange, crash-atomic resume and
+    publish-as-Dataset mechanics as :func:`pagerank`; per-round driver
+    state is one scalar. Empty seed set raises (the personalization
+    would be the zero vector)."""
+    import json as _json
+
+    from ferenda_ray.bsp import publish_dataset
+    from ferenda_ray.ops.web import host_of
+
+    root = resume_root or _graph_stage_root()
+    marker = os.path.join(root, "_staged.json")
+    done = False
+    try:
+        if resume_root and os.path.exists(marker):
+            meta = _json.load(open(marker))
+            _check_staged_params(meta, {"num_buckets": num_buckets,
+                                        "damping": damping,
+                                        "n_iter": n_iter,
+                                        "seed_host": seed_host,
+                                        "bucket_fn": _bucket_fn()})
+            n = meta["n"]
+        else:
+            if resume_root and os.path.isdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            n = _stage_graph(edges_ds, root, num_buckets)
+            _atomic_write_json({"n": n, "num_buckets": num_buckets,
+                                "damping": damping, "n_iter": n_iter,
+                                "seed_host": seed_host,
+                                "bucket_fn": _bucket_fn()},
+                               marker)
+        if n == 0:
+            done = True
+            return rd.from_arrow(pa.table(
+                {"url": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.float64())}))
+
+        from ferenda_ray.util import bucket_keys
+
+        @ray.remote
+        def count_seeds(b: int) -> int:
+            nd = _nodes_df(root, b)
+            if not len(nd):
+                return 0
+            h = host_of(pa.array(nd["url"], pa.string()))
+            return int((np.asarray(h) == seed_host).sum())
+
+        n_s = int(sum(ray.get([count_seeds.remote(b)
+                               for b in range(num_buckets)])))
+        if n_s == 0:
+            raise ValueError(
+                f"seed host {seed_host!r} matches no node")
+
+        @ray.remote
+        def init_rank(b: int) -> None:
+            nd = _nodes_df(root, b)
+            if len(nd):
+                h = np.asarray(host_of(pa.array(nd["url"], pa.string())))
+                nd["rank"] = np.where(h == seed_host, 1.0 / n_s, 0.0)
+            else:
+                nd["rank"] = np.zeros(0)
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"rank0-{b:05d}.parquet"))
+
+        r_start = (_resume_round(root, num_buckets, n_iter)
+                   if resume_root else 0)
+        if r_start == 0:
+            ray.get([init_rank.remote(b) for b in range(num_buckets)])
+
+        @ray.remote
+        def ppr_map(b: int, r: int) -> float:
+            rank = pq.read_table(
+                os.path.join(root, f"rank{r}-{b:05d}.parquet")).to_pandas()
+            edges = _bucket_edges(root, "edges_by_src", b)
+            if len(edges):
+                j = edges.merge(rank, left_on="src", right_on="url")
+                j["c"] = j["rank"] / j["outdeg"]
+                part = (j.groupby("dst", sort=True)["c"].sum()
+                        .reset_index().rename(columns={"dst": "url"}))
+                part["db"] = bucket_keys(part.url.to_numpy(), num_buckets)
+                _write_partials(root, f"contrib{r}", b, part, "db")
+            return float(rank.loc[rank.outdeg == 0, "rank"].sum())
+
+        @ray.remote
+        def ppr_reduce(b: int, r: int, seed_base: float) -> None:
+            nd = _nodes_df(root, b)
+            partials = _read_partials(root, f"contrib{r}", b)
+            if partials is not None:
+                got = partials.groupby("url", sort=True)["c"].sum()
+                c = got.reindex(nd.url).fillna(0.0).values
+            else:
+                c = np.zeros(len(nd))
+            if len(nd):
+                h = np.asarray(host_of(pa.array(nd["url"], pa.string())))
+                is_seed = (h == seed_host)
+            else:
+                is_seed = np.zeros(0, dtype=bool)
+            nd["rank"] = np.where(is_seed, seed_base, 0.0) + damping * c
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"rank{r + 1}-{b:05d}.parquet"))
+
+        for r in range(r_start, n_iter):
+            dangling = sum(ray.get(
+                [ppr_map.remote(b, r) for b in range(num_buckets)]))
+            seed_base = ((1.0 - damping) / n_s
+                         + damping * dangling / n_s)
+            ray.get([ppr_reduce.remote(b, r, seed_base)
+                     for b in range(num_buckets)])
+
+        out = publish_dataset(
+            root,
+            [os.path.join(root, f"rank{n_iter}-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_graph_ppr", columns=["url", "rank"])
+        done = True
+        return out
+    finally:
+        if not resume_root or done:
+            shutil.rmtree(root, ignore_errors=True)

@@ -100,6 +100,50 @@ def _pagerank_sql(tri: str, n_iter: int = 5, d: float = 0.85) -> str:
             + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
 
 
+def _ppr_sql(tri: str, seed_host: str, n_iter: int = 5,
+             d: float = 0.85) -> str:
+    """Personalized PageRank unrolled to ``n_iter`` CTE rounds — the
+    seed-teleport / seed-dangling semantics of
+    ``graph.personalized_pagerank`` (rank0 = 1/|S| on the seed host's
+    nodes, 0 elsewhere; the (1−d) reset AND the dangling mass return
+    to the seeds). Float association-order caveat as in
+    :func:`_pagerank_sql`."""
+    edges = (f"SELECT split_part(subj, '#', 1) AS s, "
+             f"split_part(obj, '#', 1) AS t FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}'")
+    M = "AS MATERIALIZED"
+    parts = [
+        f"edges {M} ({edges})",
+        f"nodes {M} (SELECT DISTINCT u FROM (SELECT s AS u FROM edges "
+        "UNION ALL SELECT t AS u FROM edges))",
+        f"odeg {M} (SELECT s, count(*) AS deg FROM edges GROUP BY s)",
+        f"seeds {M} (SELECT u FROM nodes "
+        f"WHERE split_part(u, '/', 3) = '{seed_host}')",
+        f"ss {M} (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds)",
+        f"r0 {M} (SELECT n.u, CASE WHEN se.u IS NOT NULL "
+        f"THEN 1.0 / ss.ns ELSE 0.0 END AS r "
+        f"FROM nodes n CROSS JOIN ss LEFT JOIN seeds se ON se.u = n.u)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"d{k} {M} (SELECT coalesce(sum(r{k}.r), 0) AS dang FROM r{k} "
+            f"LEFT JOIN odeg ON odeg.s = r{k}.u WHERE odeg.s IS NULL)")
+        parts.append(
+            f"c{k} {M} (SELECT e.t AS u, sum(r{k}.r / odeg.deg) AS c "
+            f"FROM edges e JOIN r{k} ON r{k}.u = e.s "
+            f"JOIN odeg ON odeg.s = e.s GROUP BY e.t)")
+        parts.append(
+            f"r{k + 1} {M} (SELECT n.u, "
+            f"(CASE WHEN se.u IS NOT NULL THEN (1 - {d}) / ss.ns "
+            f"+ {d} * d{k}.dang / ss.ns ELSE 0.0 END) "
+            f"+ {d} * coalesce(c{k}.c, 0) AS r "
+            f"FROM nodes n CROSS JOIN ss CROSS JOIN d{k} "
+            f"LEFT JOIN seeds se ON se.u = n.u "
+            f"LEFT JOIN c{k} ON c{k}.u = n.u)")
+    return ("WITH " + ",\n".join(parts)
+            + f'\nSELECT u AS url, r AS "rank" FROM r{n_iter}')
+
+
 def _local_triangles_sql(tri: str) -> str:
     """Per-node triangle counts + local clustering coefficient: the
     id-ordered three-way join enumerates each triangle once as
@@ -456,6 +500,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_eulaw_refs": _eulaw_refs_sql(
             f"/tmp/ferenda_ray_corpus/pages_{n_pages}{rev}.parquet"),
         "kg_pagerank": _pagerank_sql(tri),
+        "kg_ppr": _ppr_sql(tri, "www.site000.example.org"),
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
         "kg_local_triangles": _local_triangles_sql(tri),

@@ -783,3 +783,49 @@ def test_assortativity_vs_bruteforce(ray_session):
     num, den = 1_000_000 * (2 * m * sp - s1 * s1), 2 * m * s2 - s1 * s1
     assert duckdb.sql(f"SELECT {num} // {den}").fetchone()[0] == \
         _tz_div(num, den)
+
+
+def test_personalized_pagerank_vs_dense(ray_session):
+    """BSP personalized PageRank equals a dense numpy power iteration
+    with the same seed-teleport / seed-dangling semantics; mass is
+    conserved and non-seed source-only nodes decay to zero."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import personalized_pagerank
+
+    rng = np.random.default_rng(61)
+    hosts = [f"h{i}.org" for i in range(4)]
+    nodes = [f"https://{hosts[i % 4]}/p{i}" for i in range(20)]
+    pairs = rng.integers(0, 20, size=(60, 2))
+    edges = pd.DataFrame({"src": [nodes[a] for a, _ in pairs],
+                          "dst": [nodes[b] for _, b in pairs]})
+    seed_host = "h1.org"
+
+    got = personalized_pagerank(
+        rd.from_pandas(edges), seed_host=seed_host, n_iter=7,
+        num_buckets=4).to_pandas().set_index("url")["rank"]
+
+    # dense reference with identical semantics (edge ROWS, not
+    # distinct edges, define outdeg and contributions — as in the BSP)
+    urls = sorted(set(edges.src) | set(edges.dst))
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    outdeg = np.zeros(n)
+    for s in edges.src:
+        outdeg[idx[s]] += 1
+    seed = np.array([u.split("/")[2] == seed_host for u in urls])
+    r = np.where(seed, 1.0 / seed.sum(), 0.0)
+    d = 0.85
+    for _ in range(7):
+        dang = r[outdeg == 0].sum()
+        c = np.zeros(n)
+        for s, t in edges.itertuples(index=False):
+            c[idx[t]] += r[idx[s]] / outdeg[idx[s]]
+        r = np.where(seed, (1 - d) / seed.sum()
+                     + d * dang / seed.sum(), 0.0) + d * c
+    want = pd.Series(r, index=urls)
+    assert np.allclose(got.reindex(urls).values, want.values,
+                       atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
