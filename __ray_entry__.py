@@ -312,6 +312,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
             seed_host="www.site000.example.org", n_iter=5)
 
+    def kg_bfs_hops(sf_dir: str):
+        """Crawl-frontier hop distance from the seed host (directed
+        BFS, frontier-mail BSP; late-r5 final session, past the
+        window edge)."""
+        from ferenda_ray.ops.graph import bfs_hops, edges_from_triples
+
+        return bfs_hops(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
+            seed_host="www.site000.example.org")
+
     def kg_sections(sf_dir: str):
         from ferenda_ray.pipelines.kg import build_sections_ds
 
@@ -714,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_url_canonical": kg_url_canonical,
         "gopher_rules": text.gopher_rules,
         "kg_ppr": kg_ppr,
+        "kg_bfs_hops": kg_bfs_hops,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

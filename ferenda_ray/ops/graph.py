@@ -1853,3 +1853,141 @@ def personalized_pagerank(edges_ds, seed_host: str,
     finally:
         if not resume_root or done:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def bfs_hops(edges_ds, seed_host: str, num_buckets: int = 16,
+             max_rounds: int = 64):
+    """Directed BFS hop distance from a seed host — the crawl-frontier
+    depth report (how many link hops each page sits from the seed
+    domain). Frontier-mail BSP on the stage tier: directed edges
+    hive-staged once by ``bucket(src)``; round r mails ``dist+1`` only
+    from the nodes SETTLED in round r−1 (the BFS frontier — a node's
+    distance is final the first time it is reached, so mail volume is
+    Σ outdeg(frontier), not rounds × edges); the reduce wave appends
+    newly reached nodes. Per-bucket state holds ONLY reached nodes
+    ``(url, dist)`` — unreached pages never materialize anywhere.
+    Converges in O(eccentricity) rounds and raises if ``max_rounds``
+    is exhausted (never returns silently-truncated distances).
+    Returns a lazy ``(url, dist)`` Dataset of reached nodes."""
+    from ferenda_ray.bsp import publish_dataset, read_hive_bucket
+    from ferenda_ray.ops.web import host_of
+    from ferenda_ray.util import bucket_keys
+
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.int64())})
+    root = _graph_stage_root()
+    try:
+        os.makedirs(root, exist_ok=True)
+
+        def tag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": b.column("src"), "dst": b.column("dst"),
+                "sb": pa.array(bucket_keys(b.column("src"),
+                                           num_buckets), pa.int32()),
+            })
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            u = pa.concat_arrays([
+                b.column("src").combine_chunks().cast(pa.string()),
+                b.column("dst").combine_chunks().cast(pa.string())])
+            return pa.table({
+                "url": u,
+                "nb": pa.array(bucket_keys(u, num_buckets), pa.int32()),
+            })
+
+        staged = edges_ds.map_batches(tag, batch_format="pyarrow"
+                                      ).materialize()
+        if staged.count() == 0:
+            return rd.from_arrow(empty)
+        staged.write_parquet(os.path.join(root, "diredges"),
+                             partition_cols=["sb"])
+        (staged.select_columns(["src", "dst"])
+         .map_batches(endpoints, batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "nodes_raw"),
+                        partition_cols=["nb"]))
+
+        @ray.remote
+        def init_dist(b: int) -> int:
+            t = read_hive_bucket(root, "nodes_raw", "nb", b, ["url"])
+            if t is None:
+                seeds = pd.Series([], dtype="object")
+            else:
+                urls = t.to_pandas()["url"].drop_duplicates()
+                h = np.asarray(host_of(pa.array(urls, pa.string())))
+                seeds = urls[h == seed_host].sort_values()
+            nd = pd.DataFrame({
+                "url": seeds.to_numpy(),
+                "dist": np.zeros(len(seeds), dtype="int64")})
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"dist0-{b:05d}.parquet"))
+            return len(nd)
+
+        n_seed = sum(ray.get([init_dist.remote(b)
+                              for b in range(num_buckets)]))
+        if n_seed == 0:
+            raise ValueError(
+                f"seed host {seed_host!r} matches no node")
+
+        @ray.remote
+        def bfs_map(b: int, r: int) -> None:
+            dist = pq.read_table(
+                os.path.join(root, f"dist{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            frontier = dist[dist["dist"] == r - 1]
+            if not len(frontier):
+                return
+            he = read_hive_bucket(root, "diredges", "sb", b,
+                                  ["src", "dst"])
+            if he is None:
+                return
+            j = he.to_pandas().merge(frontier, left_on="src",
+                                     right_on="url")
+            if not len(j):
+                return
+            part = pd.DataFrame(
+                {"url": j["dst"].drop_duplicates().sort_values()
+                 .to_numpy()})
+            part["vb"] = bucket_keys(part.url.to_numpy(), num_buckets)
+            _write_partials(root, f"reach{r}", b, part, "vb")
+
+        @ray.remote
+        def bfs_reduce(b: int, r: int) -> int:
+            prev = pq.read_table(
+                os.path.join(root, f"dist{r - 1}-{b:05d}.parquet")
+            ).to_pandas()
+            cand = _read_partials(root, f"reach{r}", b)
+            if cand is None:
+                nd, new_n = prev, 0
+            else:
+                fresh = (cand["url"].drop_duplicates().sort_values())
+                fresh = fresh[~fresh.isin(prev["url"])]
+                nd = pd.concat([prev, pd.DataFrame({
+                    "url": fresh.to_numpy(),
+                    "dist": np.full(len(fresh), r, dtype="int64")})],
+                    ignore_index=True)
+                new_n = len(fresh)
+            _atomic_write_table(
+                pa.Table.from_pandas(nd, preserve_index=False),
+                os.path.join(root, f"dist{r}-{b:05d}.parquet"))
+            return new_n
+
+        final = 0
+        for r in range(1, max_rounds + 1):
+            ray.get([bfs_map.remote(b, r) for b in range(num_buckets)])
+            new_n = sum(ray.get(
+                [bfs_reduce.remote(b, r) for b in range(num_buckets)]))
+            final = r
+            if new_n == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"bfs_hops did not converge in {max_rounds} rounds")
+
+        return publish_dataset(
+            root,
+            [os.path.join(root, f"dist{final}-{b:05d}.parquet")
+             for b in range(num_buckets)],
+            "ferenda_graph_bfs", columns=["url", "dist"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

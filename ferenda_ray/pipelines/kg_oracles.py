@@ -265,6 +265,29 @@ SELECT node AS url, min(peer) AS component FROM reach GROUP BY node
 """
 
 
+def _bfs_hops_sql(tri: str, seed_host: str, bound: int = 64) -> str:
+    """Directed BFS hop distance recomputed as a recursive-CTE walk
+    (dist-bounded so cycles terminate; the operator raises before the
+    bound can ever truncate — ``graph.bfs_hops`` max_rounds equals
+    ``bound``). Fine at gate scale; the frontier-mail BSP is the
+    100 TB path."""
+    edges = (f"SELECT split_part(subj, '#', 1) AS s, "
+             f"split_part(obj, '#', 1) AS t FROM {tri} "
+             f"WHERE pred = '{S.DCT_REFERENCES}'")
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges}),
+nodes AS MATERIALIZED (SELECT DISTINCT u FROM
+    (SELECT s AS u FROM e UNION ALL SELECT t AS u FROM e)),
+walk(u, dist) AS (
+    SELECT u, 0 FROM nodes WHERE split_part(u, '/', 3) = '{seed_host}'
+    UNION
+    SELECT e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.u
+    WHERE w.dist < {bound}
+)
+SELECT u AS url, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY u
+"""
+
+
 def _hits_sql(tri: str, n_iter: int = 5) -> str:
     """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
     implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
@@ -501,6 +524,7 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
             f"/tmp/ferenda_ray_corpus/pages_{n_pages}{rev}.parquet"),
         "kg_pagerank": _pagerank_sql(tri),
         "kg_ppr": _ppr_sql(tri, "www.site000.example.org"),
+        "kg_bfs_hops": _bfs_hops_sql(tri, "www.site000.example.org"),
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
         "kg_local_triangles": _local_triangles_sql(tri),

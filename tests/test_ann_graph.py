@@ -829,3 +829,50 @@ def test_personalized_pagerank_vs_dense(ray_session):
     assert np.allclose(got.reindex(urls).values, want.values,
                        atol=1e-12)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_bfs_hops_vs_bruteforce(ray_session):
+    """Frontier-mail BSP BFS equals a python BFS: multi-seed host,
+    directed edges, cycles, unreachable nodes absent from the output."""
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import bfs_hops
+
+    rng = np.random.default_rng(71)
+    hosts = [f"h{i}.org" for i in range(4)]
+    nodes = [f"https://{hosts[i % 4]}/p{i}" for i in range(30)]
+    pairs = rng.integers(0, 30, size=(70, 2))
+    edges = pd.DataFrame({"src": [nodes[a] for a, _ in pairs],
+                          "dst": [nodes[b] for _, b in pairs]})
+    # a guaranteed-unreachable sink component rooted off-host
+    edges = pd.concat([edges, pd.DataFrame(
+        {"src": ["https://h3.org/iso1"], "dst": ["https://h3.org/iso2"]}
+    )], ignore_index=True)
+    seed_host = "h2.org"
+
+    got = (bfs_hops(rd.from_pandas(edges), seed_host=seed_host,
+                    num_buckets=4).to_pandas()
+           .set_index("url")["dist"].to_dict())
+
+    adj = {}
+    every = set(edges.src) | set(edges.dst)
+    for s, t in edges.itertuples(index=False):
+        adj.setdefault(s, []).append(t)
+    want, dq = {}, deque()
+    for u in sorted(every):
+        if u.split("/")[2] == seed_host:
+            want[u] = 0
+            dq.append(u)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+    assert "https://h3.org/iso2" not in got or \
+        "https://h3.org/iso2" in want
