@@ -271,11 +271,21 @@ def cmd_graph(args) -> int:
     from ferenda_ray.stages import materialize as mat
 
     edges = G.edges_from_triples(mat.read_triples(args.triples))
-    fn = {"cocitations": G.cocitations, "coupling": G.coupling,
-          "adamic-adar": G.adamic_adar,
-          "link-prediction": G.link_prediction,
-          "triangles": G.local_triangles,
-          "host-graph": G.host_graph}[args.what]
+    seeded = {
+        "ppr": lambda e: G.personalized_pagerank(
+            e, seed_host=args.seed_host, n_iter=5),
+        "bfs-hops": lambda e: G.bfs_hops(e, seed_host=args.seed_host),
+    }
+    if args.what in seeded:
+        if not args.seed_host:
+            raise SystemExit(f"--seed-host is required for {args.what}")
+        fn = seeded[args.what]
+    else:
+        fn = {"cocitations": G.cocitations, "coupling": G.coupling,
+              "adamic-adar": G.adamic_adar,
+              "link-prediction": G.link_prediction,
+              "triangles": G.local_triangles,
+              "host-graph": G.host_graph}[args.what]
     fn(edges).write_parquet(args.out)
     import ray.data as rd
 
@@ -410,7 +420,8 @@ def main(argv=None) -> int:
     sp.add_argument("--what", required=True,
                     choices=["cocitations", "coupling", "adamic-adar",
                              "link-prediction", "triangles",
-                             "host-graph"])
+                             "host-graph", "ppr", "bfs-hops"])
+    sp.add_argument("--seed-host", default=None)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_graph)
     sp = sub.add_parser("hoststats")

@@ -130,6 +130,12 @@ def test_cli_graph_and_hoststats(tmp_path):
             "graph", "--triples", out, "--what", what,
             "--out", str(tmp_path / f"g_{what}"))[-1])
         assert res["rows"] > 0, what
+    for what in ("ppr", "bfs-hops"):
+        res = json.loads(run_cli(
+            "graph", "--triples", out, "--what", what,
+            "--seed-host", "www.site000.example.org",
+            "--out", str(tmp_path / f"g_{what}"))[-1])
+        assert res["rows"] > 0, what
     res = json.loads(run_cli("hoststats", "--pages", pages,
                              "--out", str(tmp_path / "hs"))[-1])
     assert res["rows"] > 0
