@@ -575,6 +575,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return url_canonical_groups(_pages_path(_n_pages(sf_dir)))
 
+    def kg_c4_rules(sf_dir: str):
+        """C4-style line-level cleaning rules per page snapshot
+        (Raffel et al. 2020 §2.2) over the extracted text — the
+        line-keyed companion to the token-keyed Gopher pack; late-r5
+        final session, past the window edge."""
+        from ferenda_ray.ops.web import c4_line_rules
+
+        return c4_line_rules(_pages_path(_n_pages(sf_dir)))
+
+    def kg_host_langs(sf_dir: str):
+        """Per-host language distribution with majority language
+        (CCNet/RefinedWeb host-routing primitive); late-r5 final
+        session, past the window edge."""
+        from ferenda_ray.ops.web import host_lang_stats
+
+        return host_lang_stats(_pages_path(_n_pages(sf_dir)))
+
     def kg_triple_counts(sf_dir: str):
         """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
         from ray.data.aggregate import Count
@@ -722,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": kg_link_prediction,
         "kg_assortativity": kg_assortativity,
         "kg_url_canonical": kg_url_canonical,
+        "kg_c4_rules": kg_c4_rules,
+        "kg_host_langs": kg_host_langs,
         "gopher_rules": text.gopher_rules,
         "kg_ppr": kg_ppr,
         "kg_bfs_hops": kg_bfs_hops,
@@ -1057,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
                                                       0.5),
         "kg_host_stats": _host_stats_sql(),
         "kg_url_canonical": _url_canonical_sql(),
+        "kg_c4_rules": _c4_rules_sql(),
+        "kg_host_langs": _host_langs_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1104,6 +1125,18 @@ def _url_canonical_sql() -> str:
     from ferenda_ray.ops.web import url_canonical_sql
 
     return url_canonical_sql(_pages_path(300))
+
+
+def _c4_rules_sql() -> str:
+    from ferenda_ray.ops.web import c4_line_rules_sql
+
+    return c4_line_rules_sql(_pages_path(300))
+
+
+def _host_langs_sql() -> str:
+    from ferenda_ray.ops.web import host_lang_stats_sql
+
+    return host_lang_stats_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

@@ -306,6 +306,31 @@ def cmd_hoststats(args) -> int:
     return 0
 
 
+def cmd_c4(args) -> int:
+    """C4 line-level cleaning stats and keep flags over a raw pages
+    parquet."""
+    from ferenda_ray.ops.web import c4_line_rules
+
+    c4_line_rules(args.pages).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_hostlangs(args) -> int:
+    """Per-host language distribution over a raw pages parquet."""
+    from ferenda_ray.ops.web import host_lang_stats
+
+    host_lang_stats(args.pages).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_collocations(args) -> int:
     """Corpus collocations (bigram PMI) over a documents table."""
     import os
@@ -428,6 +453,14 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_hoststats)
+    sp = sub.add_parser("c4")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_c4)
+    sp = sub.add_parser("hostlangs")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_hostlangs)
     sp = sub.add_parser("collocations")
     sp.add_argument("--documents", required=True)
     sp.add_argument("--out", required=True)

@@ -198,3 +198,172 @@ def url_canonical_sql(pages_path: str) -> str:
         f"count(*) AS n_snapshots, "
         f"count(DISTINCT url) AS n_variants "
         f"FROM read_parquet('{pages_path}') GROUP BY norm_url")
+
+
+# --- C4-style line-level cleaning rules ------------------------------
+# Raffel et al. 2020 §2.2 ("C4"): retain only lines that end in a
+# terminal punctuation mark, have ≥5 words and don't mention
+# "javascript"; drop pages with <3 sentences, any "lorem ipsum", or a
+# curly brace. Evaluated per page snapshot over the EXTRACTED text —
+# the natural companion to the Gopher pack (``ops/text.py``), but
+# line-keyed where Gopher is token-keyed. All counters are exact
+# integers, so rows hash identically to the SQL recompute.
+
+def c4_line_rules(pages_path: str):
+    """Per-snapshot C4 line statistics and keep flags over the pages
+    table. Stateless vectorized batch map on a pruned three-column
+    read — zero exchanges at any corpus size; at 100 TB this is
+    embarrassingly parallel and IO-bound by design.
+
+    A line is RETAINED iff (after stripping trailing blanks) it ends
+    in ``.``/``!``/``?``/``"``, has ≥5 whitespace tokens, and does not
+    contain "javascript" (case-insensitive). ``n_sentences`` counts
+    terminal marks within retained lines. Keyed by (url, ts_s) since
+    one url has several WARC snapshots."""
+    import polars as pl
+
+    _kept = (pl.element().str.strip_chars_end(" \t\r")
+             .str.contains(r'[.!?"]$')
+             & (pl.element().str.count_matches(r"\S+") >= 5)
+             & ~pl.element().str.to_lowercase()
+             .str.contains("javascript", literal=True))
+
+    def rules(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(
+            pc.cast(pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    pa.int64()),
+            1_000_000)
+        df = pl.from_arrow(pa.table({"url": b.column("url"),
+                                     "ts_s": ts_s,
+                                     "text": b.column("text")}))
+        t = pl.col("text")
+        lines = t.str.split("\n")
+        kept = lines.list.eval(pl.element().filter(_kept))
+        n_lines = lines.list.len().cast(pl.Int64)
+        n_kept = kept.list.len().cast(pl.Int64)
+        n_sent = (kept.list.eval(
+            pl.element().str.count_matches(r"[.!?]").cast(pl.Int64))
+            .list.sum().fill_null(0).cast(pl.Int64))
+        out = df.select(
+            pl.col("url"), pl.col("ts_s"),
+            n_lines.alias("n_lines"),
+            n_kept.alias("n_kept_lines"),
+            n_sent.alias("n_sentences"),
+            (n_kept >= 1).alias("rule_line"),
+            (n_sent >= 3).alias("rule_sentences"),
+            (~t.str.to_lowercase()
+             .str.contains("lorem ipsum", literal=True))
+            .alias("rule_lorem"),
+            (~t.str.contains("{", literal=True)).alias("rule_brace"),
+        )
+        out = out.with_columns(
+            (pl.col("rule_line") & pl.col("rule_sentences")
+             & pl.col("rule_lorem") & pl.col("rule_brace"))
+            .alias("keep"))
+        return out.to_arrow()
+
+    return (rd.read_parquet(pages_path,
+                            columns=["url", "warc_ts", "text"])
+            .map_batches(rules, batch_format="pyarrow"))
+
+
+def c4_line_rules_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`c4_line_rules` (RE2 twin of the polars
+    Rust-regex predicates; ``rtrim`` charset is explicit because plain
+    ``trim`` strips only spaces)."""
+    return f"""
+WITH f AS (
+  SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_s, text,
+         string_split(text, chr(10)) AS lines
+  FROM read_parquet('{pages_path}')),
+g AS (
+  SELECT url, ts_s, text, len(lines) AS n_lines,
+    list_filter(lines, x ->
+      regexp_matches(rtrim(x, ' ' || chr(9) || chr(13)), '[.!?"]$')
+      AND len(regexp_extract_all(x, '\\S+')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM f),
+h AS (
+  SELECT url, ts_s, text, n_lines, len(kept) AS n_kept,
+    coalesce(list_sum(list_transform(kept,
+      x -> len(regexp_extract_all(x, '[.!?]')))), 0) AS n_sent
+  FROM g)
+SELECT url, ts_s,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept AS BIGINT) AS n_kept_lines,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  n_kept >= 1 AS rule_line,
+  n_sent >= 3 AS rule_sentences,
+  NOT contains(lower(text), 'lorem ipsum') AS rule_lorem,
+  NOT contains(text, '{{') AS rule_brace,
+  (n_kept >= 1 AND n_sent >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep
+FROM h
+"""
+
+
+# --- Per-host language distribution ----------------------------------
+
+def host_lang_stats(pages_path: str, num_buckets: int = _N_BUCKETS):
+    """Per-host language distribution: page count, distinct-language
+    count, and the majority language with its page count (ties broken
+    by language ascending; the empty string is a real "undetected"
+    class). Same shape as :func:`host_stats` — pruned two-column read,
+    per-batch (host, lang) combiner, ONE skinny counter exchange keyed
+    by ``hash(host)``. This is the CCNet/RefinedWeb host-routing
+    primitive: decide per host which language pipeline its pages
+    enter."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": host_of(b.column("url")),
+                      "lang": b.column("lang")})
+        out = (t.to_pandas()
+               .groupby(["host", "lang"], as_index=False, sort=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["host", "lang"], as_index=False, sort=False)
+               ["n"].sum())
+        tot = (agg.groupby("host", sort=True)
+               .agg(n_pages=("n", "sum"), n_langs=("lang", "nunique")))
+        top = (agg.sort_values(["host", "n", "lang"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+               .groupby("host", sort=True).first())
+        out = tot.join(top.rename(
+            columns={"lang": "top_lang", "n": "top_lang_pages"}))
+        return out.reset_index().astype(
+            {"n_pages": "int64", "n_langs": "int64",
+             "top_lang_pages": "int64"})
+
+    return (rd.read_parquet(pages_path, columns=["url", "lang"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finals, batch_format="pandas"))
+
+
+def host_lang_stats_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`host_lang_stats`."""
+    return f"""
+WITH c AS (
+  SELECT split_part(url, '/', 3) AS host, lang, count(*) AS n
+  FROM read_parquet('{pages_path}') GROUP BY host, lang),
+r AS (
+  SELECT host, lang, n,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n DESC, lang ASC) AS rn
+  FROM c),
+t AS (
+  SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM c GROUP BY host)
+SELECT t.host, t.n_pages, t.n_langs,
+       r.lang AS top_lang, CAST(r.n AS BIGINT) AS top_lang_pages
+FROM t JOIN r ON t.host = r.host AND r.rn = 1
+"""

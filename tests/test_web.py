@@ -132,6 +132,141 @@ def test_canon_urls_fuzz_vs_duckdb():
     check()
 
 
+def test_c4_line_rules_hand_cases(ray_session, tmp_path):
+    """Engineered line shapes: trailing blanks before the terminal
+    mark, the 5-word floor, the javascript line drop, quote-terminated
+    lines, lorem-ipsum and brace page drops, and the empty page."""
+    import datetime
+
+    from ferenda_ray.ops.web import c4_line_rules, c4_line_rules_sql
+
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    texts = {
+        "a": ("This is a good long sentence. And another one here.\n"
+              "Too short.\n"
+              "Five words ending in period.   \n"
+              "this menu uses JavaScript everywhere sadly.\n"
+              "no terminal punctuation on this line"),
+        "b": ("Lorem Ipsum filler text goes right here.\n"
+              "A perfectly fine second sentence follows. Third one too."),
+        "c": "Only one good sentence lives here.",
+        "d": 'He said "this quoted line has enough words."\n'
+             "Another full sentence sits here! Did a question fit here?",
+        "e": "",
+        "f": "Config follows with a { brace token inside it. "
+             "More sentences here. And here.",
+    }
+    rows = [{"url": f"https://h.org/{k}", "warc_ts": ts, "text": v}
+            for k, v in texts.items()]
+    path = str(tmp_path / "pages.parquet")
+    tab = pa.Table.from_pydict({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            pa.timestamp("us")),
+        "text": [r["text"] for r in rows]})
+    pq.write_table(tab, path)
+
+    got = (c4_line_rules(path).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    by = dict(zip(got.url, got.itertuples()))
+    a = by["https://h.org/a"]
+    assert (a.n_lines, a.n_kept_lines, a.n_sentences) == (5, 2, 3)
+    assert bool(a.keep) is True
+    b = by["https://h.org/b"]
+    assert not b.rule_lorem and bool(b.keep) is False
+    c = by["https://h.org/c"]
+    assert c.n_sentences == 1 and not c.rule_sentences
+    d = by["https://h.org/d"]
+    assert d.n_kept_lines == 2 and d.n_sentences == 3 and bool(d.keep)
+    e = by["https://h.org/e"]
+    assert (e.n_lines, e.n_kept_lines) == (1, 0) and not e.rule_line
+    f = by["https://h.org/f"]
+    assert not f.rule_brace and bool(f.keep) is False
+
+    want = (duckdb.sql(c4_line_rules_sql(path)).df()
+            .sort_values("url").reset_index(drop=True))
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(
+        {c_: "int64" for c_ in ("ts_s", "n_lines", "n_kept_lines",
+                                "n_sentences")})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_c4_line_rules_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Differential fuzz over adversarial line soup: the polars batch
+    map and the DuckDB recompute are the same function."""
+    import datetime
+    import random
+
+    from ferenda_ray.ops.web import c4_line_rules, c4_line_rules_sql
+
+    rng = random.Random(99)
+    frag = ["word", "JavaScript", "lorem", "ipsum", "lorem ipsum", "{",
+            ".", "!", "?", '"', "...", "two words", "\t", "  ", "…"]
+    texts = []
+    for _ in range(60):
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            lines.append(" ".join(rng.choice(frag)
+                                  for _ in range(rng.randint(0, 9)))
+                         + rng.choice(["", " ", "\t", ".", '."', "!  "]))
+        texts.append("\n".join(lines))
+    ts0 = datetime.datetime(2024, 1, 1)
+    tab = pa.Table.from_pydict({
+        "url": [f"https://z.org/{i}" for i in range(len(texts))],
+        "warc_ts": pa.array(
+            [ts0 + datetime.timedelta(seconds=i) for i in
+             range(len(texts))], pa.timestamp("us")),
+        "text": texts})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    got = (c4_line_rules(path).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = (duckdb.sql(c4_line_rules_sql(path)).df()
+            .sort_values("url").reset_index(drop=True))
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(
+        {c_: "int64" for c_ in ("ts_s", "n_lines", "n_kept_lines",
+                                "n_sentences")})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_host_lang_stats_ties_and_merge(ray_session, tmp_path):
+    """Majority-language tie breaks by language ascending; the empty
+    string is a real class; partials merge across batches."""
+    from ferenda_ray.ops.web import host_lang_stats, host_lang_stats_sql
+
+    rows = []
+    # host t: en==sv tie -> 'en'; host u: '' majority; host v: sv wins
+    for lang, n in (("en", 3), ("sv", 3)):
+        rows += [{"url": f"https://t.org/{lang}{i}", "lang": lang}
+                 for i in range(n)]
+    for lang, n in (("", 4), ("en", 1)):
+        rows += [{"url": f"https://u.org/{lang}{i}", "lang": lang}
+                 for i in range(n)]
+    for lang, n in (("sv", 5), ("en", 2), ("de", 2)):
+        rows += [{"url": f"https://v.org/{lang}{i}", "lang": lang}
+                 for i in range(n)]
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+
+    got = (host_lang_stats(path, num_buckets=4).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    by = dict(zip(got.host, got.itertuples()))
+    assert by["t.org"].top_lang == "en" and by["t.org"].top_lang_pages == 3
+    assert by["u.org"].top_lang == "" and by["u.org"].n_langs == 2
+    assert by["v.org"].top_lang == "sv" and by["v.org"].n_pages == 9
+
+    want = (duckdb.sql(host_lang_stats_sql(path)).df()
+            .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(
+            {c_: "int64" for c_ in ("n_pages", "n_langs",
+                                    "top_lang_pages")}))
+
+
 def test_url_canonical_groups_vs_duckdb(ray_session, tmp_path):
     """Distributed variant-group counts equal the SQL recompute on a
     corpus with engineered variant collisions."""
