@@ -592,6 +592,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_lang_stats(_pages_path(_n_pages(sf_dir)))
 
+    def kg_host_quality(sf_dir: str):
+        """Host-level rollup of the C4 keep bits (RefinedWeb host
+        curation gate, exact integer permille); late-r5 final session,
+        past the window edge."""
+        from ferenda_ray.ops.web import host_quality
+
+        return host_quality(_pages_path(_n_pages(sf_dir)))
+
     def kg_triple_counts(sf_dir: str):
         """Per-doc triple counts sorted desc (reference A7 W3C stats)."""
         from ray.data.aggregate import Count
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_url_canonical": kg_url_canonical,
         "kg_c4_rules": kg_c4_rules,
         "kg_host_langs": kg_host_langs,
+        "kg_host_quality": kg_host_quality,
         "gopher_rules": text.gopher_rules,
         "kg_ppr": kg_ppr,
         "kg_bfs_hops": kg_bfs_hops,
@@ -1078,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_url_canonical": _url_canonical_sql(),
         "kg_c4_rules": _c4_rules_sql(),
         "kg_host_langs": _host_langs_sql(),
+        "kg_host_quality": _host_quality_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1137,6 +1147,12 @@ def _host_langs_sql() -> str:
     from ferenda_ray.ops.web import host_lang_stats_sql
 
     return host_lang_stats_sql(_pages_path(300))
+
+
+def _host_quality_sql() -> str:
+    from ferenda_ray.ops.web import host_quality_sql
+
+    return host_quality_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

@@ -308,10 +308,14 @@ def cmd_hoststats(args) -> int:
 
 def cmd_c4(args) -> int:
     """C4 line-level cleaning stats and keep flags over a raw pages
-    parquet."""
-    from ferenda_ray.ops.web import c4_line_rules
+    parquet (``--by-host`` rolls the keep bits up to a host-level
+    quality gate)."""
+    from ferenda_ray.ops.web import c4_line_rules, host_quality
 
-    c4_line_rules(args.pages).write_parquet(args.out)
+    if args.by_host:
+        host_quality(args.pages).write_parquet(args.out)
+    else:
+        c4_line_rules(args.pages).write_parquet(args.out)
     import ray.data as rd
 
     print(json.dumps({"out": args.out,
@@ -456,6 +460,7 @@ def main(argv=None) -> int:
     sp = sub.add_parser("c4")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--by-host", dest="by_host", action="store_true")
     sp.set_defaults(fn=cmd_c4)
     sp = sub.add_parser("hostlangs")
     sp.add_argument("--pages", required=True)

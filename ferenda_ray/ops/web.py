@@ -33,6 +33,10 @@ def host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     as split_part does."""
     import pyarrow.compute as pc
 
+    # polars-produced batches carry large_string; the slice/join kernel
+    # chain below wants utf8 — normalize first (zero-copy when already
+    # utf8)
+    urls = pc.cast(urls, pa.string())
     parts = pc.split_pattern(urls, "/")
     # slice to the single field then join: a 0-element slice (url has
     # fewer than 3 fields) joins to "", exactly split_part's missing-
@@ -302,6 +306,59 @@ SELECT url, ts_s,
    AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, '{{')) AS keep
 FROM h
+"""
+
+
+# --- Per-host quality rollup ------------------------------------------
+
+def host_quality(pages_path: str, num_buckets: int = _N_BUCKETS):
+    """RefinedWeb-style host-level curation gate: roll the per-snapshot
+    C4 ``keep`` bits up to each host — snapshot count, kept count, and
+    the kept rate in exact integer permille (``1000 * kept // total``,
+    DuckDB ``//`` parity). Hosts whose keep rate collapses are what a
+    crawl blocklist is made of; at 10^12 pages the exchange carries two
+    counters per (host, batch), nothing else."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({
+            "host": host_of(b.column("url")),
+            "keep": pc.cast(b.column("keep"), pa.int64()),
+        })
+        out = (t.to_pandas()
+               .groupby("host", as_index=False, sort=False)
+               .agg(n=("keep", "size"), n_kept=("keep", "sum")))
+        out = out.astype({"n": "int64", "n_kept": "int64"})
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("host", sort=True)
+               .agg(n_snapshots=("n", "sum"), n_kept=("n_kept", "sum"))
+               .reset_index())
+        out = out.astype({"n_snapshots": "int64", "n_kept": "int64"})
+        out["kept_permille"] = (
+            1000 * out["n_kept"] // out["n_snapshots"]).astype("int64")
+        return out
+
+    return (c4_line_rules(pages_path)
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finals, batch_format="pandas"))
+
+
+def host_quality_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`host_quality` — the C4 recompute as a
+    CTE, rolled up by host."""
+    return f"""
+WITH c4 AS ({c4_line_rules_sql(pages_path)})
+SELECT split_part(url, '/', 3) AS host,
+  count(*) AS n_snapshots,
+  CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+  CAST(1000 * sum(CAST(keep AS BIGINT)) // count(*) AS BIGINT)
+    AS kept_permille
+FROM c4 GROUP BY host
 """
 
 

@@ -142,6 +142,9 @@ def test_cli_graph_and_hoststats(tmp_path):
     res = json.loads(run_cli("c4", "--pages", pages,
                              "--out", str(tmp_path / "c4"))[-1])
     assert res["rows"] > 0
+    res = json.loads(run_cli("c4", "--pages", pages, "--by-host",
+                             "--out", str(tmp_path / "c4h"))[-1])
+    assert res["rows"] > 0
     res = json.loads(run_cli("hostlangs", "--pages", pages,
                              "--out", str(tmp_path / "hl"))[-1])
     assert res["rows"] > 0

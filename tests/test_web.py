@@ -232,6 +232,47 @@ def test_c4_line_rules_fuzz_vs_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_host_quality_rollup(ray_session, tmp_path):
+    """Host rollup of the C4 keep bits: exact integer permille (floor
+    division), mixed keep/drop hosts, all-drop host."""
+    import datetime
+
+    from ferenda_ray.ops.web import host_quality, host_quality_sql
+
+    good = ("A proper first sentence sits here. A second one follows "
+            "naturally. And a third one closes it out.")
+    bad = "no terminal punctuation and { a brace"
+    rows = []
+    # host g: 3 good; host m: 2 good + 1 bad (666 permille); host z: all bad
+    for i in range(3):
+        rows.append(("https://g.org/p%d" % i, good))
+    rows += [("https://m.org/p0", good), ("https://m.org/p1", good),
+             ("https://m.org/p2", bad)]
+    rows += [("https://z.org/p%d" % i, bad) for i in range(2)]
+    ts = datetime.datetime(2024, 1, 1)
+    tab = pa.Table.from_pydict({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+        "text": [r[1] for r in rows]})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    got = (host_quality(path, num_buckets=4).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    by = dict(zip(got.host, got.itertuples()))
+    assert by["g.org"].kept_permille == 1000
+    assert (by["m.org"].n_kept, by["m.org"].kept_permille) == (2, 666)
+    assert (by["z.org"].n_kept, by["z.org"].kept_permille) == (0, 0)
+
+    want = (duckdb.sql(host_quality_sql(path)).df()
+            .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(
+            {c_: "int64" for c_ in ("n_snapshots", "n_kept",
+                                    "kept_permille")}))
+
+
 def test_host_lang_stats_ties_and_merge(ray_session, tmp_path):
     """Majority-language tie breaks by language ascending; the empty
     string is a real class; partials merge across batches."""
