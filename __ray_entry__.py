@@ -592,6 +592,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_lang_stats(_pages_path(_n_pages(sf_dir)))
 
+    def kg_host_crawl(sf_dir: str):
+        """Per-host recrawl statistics (crawl-scheduler view); late-r5
+        final session, past the window edge."""
+        from ferenda_ray.ops.web import host_crawl_stats
+
+        return host_crawl_stats(_pages_path(_n_pages(sf_dir)))
+
+    def kg_canonical_latest(sf_dir: str):
+        """Latest snapshot per CANONICAL url (variant-folding D4
+        twin); late-r5 final session, past the window edge."""
+        from ferenda_ray.ops.web import canonical_latest
+
+        return canonical_latest(_pages_path(_n_pages(sf_dir)))
+
     def kg_host_quality(sf_dir: str):
         """Host-level rollup of the C4 keep bits (RefinedWeb host
         curation gate, exact integer permille); late-r5 final session,
@@ -750,7 +764,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_c4_rules": kg_c4_rules,
         "kg_host_langs": kg_host_langs,
         "kg_host_quality": kg_host_quality,
+        "kg_host_crawl": kg_host_crawl,
+        "kg_canonical_latest": kg_canonical_latest,
         "gopher_rules": text.gopher_rules,
+        "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
         "kg_bfs_hops": kg_bfs_hops,
         "bigram_pmi": text.bigram_pmi,
@@ -1058,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": text.DSIR_SCORES_SQL,
         "bigram_pmi": text.BIGRAM_PMI_SQL,
         "gopher_rules": text.GOPHER_RULES_SQL,
+        "normalize_text": text.NORMALIZE_DOCS_SQL,
         "paragraph_dup_stats": dedup.PARAGRAPH_DUP_SQL,
         "windowed_topk_users": win.WINDOWED_TOPK_SQL,
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
@@ -1088,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_c4_rules": _c4_rules_sql(),
         "kg_host_langs": _host_langs_sql(),
         "kg_host_quality": _host_quality_sql(),
+        "kg_host_crawl": _host_crawl_sql(),
+        "kg_canonical_latest": _canonical_latest_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1153,6 +1173,18 @@ def _host_quality_sql() -> str:
     from ferenda_ray.ops.web import host_quality_sql
 
     return host_quality_sql(_pages_path(300))
+
+
+def _host_crawl_sql() -> str:
+    from ferenda_ray.ops.web import host_crawl_stats_sql
+
+    return host_crawl_stats_sql(_pages_path(300))
+
+
+def _canonical_latest_sql() -> str:
+    from ferenda_ray.ops.web import canonical_latest_sql
+
+    return canonical_latest_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

@@ -295,10 +295,12 @@ def cmd_graph(args) -> int:
 
 
 def cmd_hoststats(args) -> int:
-    """Host-level corpus statistics over a raw pages parquet."""
-    from ferenda_ray.ops.web import host_stats
+    """Host-level corpus statistics over a raw pages parquet
+    (``--crawl`` reports recrawl-scheduler stats instead)."""
+    from ferenda_ray.ops.web import host_crawl_stats, host_stats
 
-    host_stats(args.pages).write_parquet(args.out)
+    (host_crawl_stats if args.crawl else host_stats)(
+        args.pages).write_parquet(args.out)
     import ray.data as rd
 
     print(json.dumps({"out": args.out,
@@ -328,6 +330,33 @@ def cmd_hostlangs(args) -> int:
     from ferenda_ray.ops.web import host_lang_stats
 
     host_lang_stats(args.pages).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_canonlatest(args) -> int:
+    """Latest snapshot per canonical url over a raw pages parquet."""
+    from ferenda_ray.ops.web import canonical_latest
+
+    canonical_latest(args.pages).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
+def cmd_normalize(args) -> int:
+    """Unicode + whitespace normalization over a documents table."""
+    import os
+
+    from ferenda_ray.ops.text import normalize_docs
+
+    sf_dir = os.path.dirname(args.documents) or "."
+    normalize_docs(sf_dir).write_parquet(args.out)
     import ray.data as rd
 
     print(json.dumps({"out": args.out,
@@ -456,7 +485,12 @@ def main(argv=None) -> int:
     sp = sub.add_parser("hoststats")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--crawl", action="store_true")
     sp.set_defaults(fn=cmd_hoststats)
+    sp = sub.add_parser("canonlatest")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_canonlatest)
     sp = sub.add_parser("c4")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)
@@ -471,6 +505,10 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--min-count", dest="min_count", type=int, default=5)
     sp.set_defaults(fn=cmd_collocations)
+    sp = sub.add_parser("normalize")
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_normalize)
     sp = sub.add_parser("gen-corpus")
     sp.add_argument("--out", required=True)
     sp.add_argument("--pages-count", type=int, required=True)

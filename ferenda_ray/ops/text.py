@@ -1855,6 +1855,91 @@ WHERE cnt.c >= 5
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def normalize_docs(sf_dir: str):
+    """Unicode + whitespace normalization per document — the CCNet/C4
+    pre-pass every corpus pipeline runs before tokenization. The spec
+    is frozen by the twin RE2 recompute in :data:`NORMALIZE_DOCS_SQL`
+    (applied in the SAME rule order):
+
+    1. delete C0 controls + DEL (TAB/LF/CR excluded: TAB is consumed
+       by rule 4, CR by rule 3). This runs FIRST because DuckDB's
+       ``nfc_normalize`` C-string-truncates at an embedded NUL;
+       controls are canonically inert, so the order doesn't change
+       the NFC result
+    2. NFC normalization
+    3. CR and CRLF → LF
+    4. runs of spaces/tabs → one space
+    5. blanks around newlines stripped
+    6. leading/trailing whitespace trimmed
+
+    Rules 2-6 are vectorized Arrow kernels (``replace_substring_
+    regex``) — zero exchanges, zero Python rows. Rule 1 cannot be:
+    pyarrow 16's ``utf8_normalize(form="NFC")`` decomposes but never
+    COMPOSES (verified: e+U+0301 stays decomposed while DuckDB's
+    ``nfc_normalize`` composes), so NFC takes a two-tier path — a
+    vectorized ``string_is_ascii`` mask skips the (overwhelming at
+    web scale) ASCII rows, and only the non-ASCII minority pays one
+    ``unicodedata.normalize`` C call each. Still an embarrassingly
+    parallel streaming map at 100 TB."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        import unicodedata
+
+        import pyarrow.compute as pc
+
+        raw = b.column("text")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        x = pc.replace_substring_regex(
+            raw, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]",
+            replacement="")
+        nonascii = pc.fill_null(
+            pc.invert(pc.string_is_ascii(x)), False)
+        if pc.any(nonascii).as_py():
+            s = x.to_pandas()
+            m = nonascii.to_pandas()
+            s.loc[m] = s.loc[m].map(
+                lambda v: unicodedata.normalize("NFC", v))
+            x = pa.array(s, pa.string())
+        x = pc.replace_substring_regex(x, pattern=r"\r\n?",
+                                       replacement="\n")
+        x = pc.replace_substring_regex(x, pattern=r"[ \t]+",
+                                       replacement=" ")
+        x = pc.replace_substring_regex(x, pattern=r"[ ]*\n[ ]*",
+                                       replacement="\n")
+        x = pc.replace_substring_regex(x, pattern=r"^[ \n]+|[ \n]+$",
+                                       replacement="")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": x,
+            "changed": pc.invert(pc.equal(x, raw)),
+            "n_chars": pc.cast(pc.utf8_length(x), pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_DOCS_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text AS raw,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            nfc_normalize(regexp_replace(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+            '\r\n?', chr(10), 'g'),
+          '[ \t]+', ' ', 'g'),
+        '[ ]*\n[ ]*', chr(10), 'g'),
+      '^[ \n]+|[ \n]+$', '', 'g') AS norm
+  FROM documents)
+SELECT doc_id, norm AS text, (norm <> raw) AS changed,
+  CAST(length(norm) AS BIGINT) AS n_chars
+FROM n
+"""
+
+
 def gopher_rules(sf_dir: str):
     """Gopher-style repetition-free quality heuristics per document
     (Rae et al. 2021 §A1.1), the rule pack most large-corpus curation

@@ -309,6 +309,117 @@ FROM h
 """
 
 
+# --- Per-host recrawl statistics --------------------------------------
+
+def host_crawl_stats(pages_path: str, num_buckets: int = _N_BUCKETS):
+    """Crawl-scheduler view of each host: how many distinct urls, how
+    many snapshots, how many urls were re-crawled (≥2 snapshots) and
+    the deepest snapshot chain. Combiner-first like :func:`host_stats`
+    — per-batch (host, url) counts, one hash(host) exchange, exact
+    finals after per-url re-summing (a url's snapshots may straddle
+    batches)."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": host_of(b.column("url")),
+                      "url": b.column("url")})
+        out = (t.to_pandas()
+               .groupby(["host", "url"], as_index=False, sort=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.groupby(["host", "url"], as_index=False, sort=False)
+             ["n"].sum())
+        out = (u.groupby("host", sort=True)
+               .agg(n_urls=("url", "size"), n_snapshots=("n", "sum"),
+                    n_recrawled=("n", lambda s: int((s >= 2).sum())),
+                    max_snapshots=("n", "max"))
+               .reset_index())
+        return out.astype({"n_urls": "int64", "n_snapshots": "int64",
+                           "n_recrawled": "int64",
+                           "max_snapshots": "int64"})
+
+    return (rd.read_parquet(pages_path, columns=["url"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finals, batch_format="pandas"))
+
+
+def host_crawl_stats_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`host_crawl_stats`."""
+    return f"""
+WITH u AS (
+  SELECT split_part(url, '/', 3) AS host, url, count(*) AS n
+  FROM read_parquet('{pages_path}') GROUP BY host, url)
+SELECT host, count(*) AS n_urls,
+  CAST(sum(n) AS BIGINT) AS n_snapshots,
+  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_recrawled,
+  CAST(max(n) AS BIGINT) AS max_snapshots
+FROM u GROUP BY host
+"""
+
+
+# --- Latest snapshot per CANONICAL url ---------------------------------
+
+def canonical_latest(pages_path: str, num_buckets: int = _N_BUCKETS):
+    """Latest-per-canonical-url dedup: collapse every canonicalization
+    variant group to its newest snapshot — the crawl-side D4 twin (the
+    kg pipeline's latest_filter dedups by RAW url; this one first folds
+    variants via :func:`canon_urls`). Deterministic winner: max
+    ``warc_ts``, ties by raw url ascending. The per-batch combiner
+    keeps one candidate row per canonical url, so the exchange carries
+    ≤ #distinct-canonicals rows per batch, never page payloads."""
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["norm_url", "ts_s", "url"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("norm_url", as_index=False, sort=True).first())
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(
+            pc.cast(pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    pa.int64()),
+            1_000_000)
+        t = pa.table({"norm_url": canon_urls(b.column("url")),
+                      "url": b.column("url"), "ts_s": ts_s})
+        out = _best(t.to_pandas())
+        out["ts_s"] = out["ts_s"].astype("int64")
+        out["bucket"] = bucket_keys(out["norm_url"].to_numpy(),
+                                    num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        out = _best(g[["norm_url", "url", "ts_s"]])
+        return out.astype({"ts_s": "int64"})
+
+    return (rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finals, batch_format="pandas"))
+
+
+def canonical_latest_sql(pages_path: str) -> str:
+    """DuckDB oracle for :func:`canonical_latest`."""
+    return f"""
+WITH c AS (
+  SELECT {canon_url_sql_expr('url')} AS norm_url, url,
+         CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+  FROM read_parquet('{pages_path}')),
+r AS (
+  SELECT norm_url, url, ts_s,
+         row_number() OVER (PARTITION BY norm_url
+                            ORDER BY ts_s DESC, url ASC) AS rn
+  FROM c)
+SELECT norm_url, url, ts_s FROM r WHERE rn = 1
+"""
+
+
 # --- Per-host quality rollup ------------------------------------------
 
 def host_quality(pages_path: str, num_buckets: int = _N_BUCKETS):

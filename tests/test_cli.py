@@ -111,6 +111,11 @@ def test_cli_kcore_and_collocations(tmp_path):
         str(tmp_path / "documents.parquet"),
         "--out", str(tmp_path / "pmi"))[-1])
     assert res["rows"] == 900
+    res = json.loads(run_cli(
+        "normalize", "--documents",
+        str(tmp_path / "documents.parquet"),
+        "--out", str(tmp_path / "norm"))[-1])
+    assert res["rows"] == 500
 
 
 def test_cli_graph_and_hoststats(tmp_path):
@@ -147,4 +152,10 @@ def test_cli_graph_and_hoststats(tmp_path):
     assert res["rows"] > 0
     res = json.loads(run_cli("hostlangs", "--pages", pages,
                              "--out", str(tmp_path / "hl"))[-1])
+    assert res["rows"] > 0
+    res = json.loads(run_cli("hoststats", "--pages", pages, "--crawl",
+                             "--out", str(tmp_path / "hc"))[-1])
+    assert res["rows"] > 0
+    res = json.loads(run_cli("canonlatest", "--pages", pages,
+                             "--out", str(tmp_path / "cl"))[-1])
     assert res["rows"] > 0

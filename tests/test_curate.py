@@ -237,3 +237,59 @@ def test_gopher_rules_each_rule_flips(ray_session, tmp_path):
                7: "rule_stopwords"}
     for i, rule in flipped.items():
         assert not got.loc[i, rule], (i, rule)
+
+
+def test_normalize_docs_hand_and_fuzz(ray_session, tmp_path):
+    """Unicode + whitespace normalization: hand cases pin each rule
+    (NFC composition, CRLF, C0 deletion, blank collapse, newline
+    blank-stripping, trim), then unicode-soup fuzz proves the Arrow
+    kernel chain and the DuckDB recompute are the same function."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import NORMALIZE_DOCS_SQL, normalize_docs
+
+    hand = [
+        "école",                      # NFC: e + combining acute
+        "a\r\nb\rc",                        # CRLF / CR → LF
+        "x\x00y\x07z\x7fw",                 # C0 + DEL deleted
+        "a \t  b\tc",                       # blank runs → one space
+        "  a  \n   b  \n\nc  ",             # newline blank-strip + trim
+        "", " ", "\n\n", "already clean",
+    ]
+    rng = random.Random(4242)
+    soup_chars = ["a", "b", " ", "\t", "\r", "\n", "\r\n", "\x00",
+                  "\x1f", "\x7f", "é", "é", "…", "ﬁ", " ",
+                  "中", "\x0b", "\x0c"]
+    fuzz = ["".join(rng.choice(soup_chars)
+                    for _ in range(rng.randint(0, 40)))
+            for _ in range(120)]
+    docs = hand + fuzz
+    tab = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    got = (normalize_docs(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.sql(NORMALIZE_DOCS_SQL).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    want["n_chars"] = want["n_chars"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    texts = dict(zip(got.doc_id, got.text))
+    assert texts[0] == "école" and bool(got.changed[0])
+    assert texts[1] == "a\nb\nc"
+    assert texts[2] == "xyzw"
+    assert texts[3] == "a b c"
+    assert texts[4] == "a\nb\n\nc"
+    assert texts[5] == "" and texts[6] == "" and texts[7] == ""
+    assert texts[8] == "already clean" and not bool(got.changed[8])

@@ -232,6 +232,77 @@ def test_c4_line_rules_fuzz_vs_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_host_crawl_stats_vs_duckdb(ray_session, tmp_path):
+    """Recrawl stats: per-url snapshot chains straddling batches must
+    re-sum before the ≥2 recrawl test and the max."""
+    from ferenda_ray.ops.web import host_crawl_stats, host_crawl_stats_sql
+
+    rows = []
+    for h in range(5):
+        for i in range(h + 1):
+            url = f"https://s{h}.org/p{i}"
+            rows += [{"url": url}] * ((i % 4) + 1)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+
+    got = (host_crawl_stats(path, num_buckets=4).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    by = dict(zip(got.host, got.itertuples()))
+    assert by["s0.org"].n_recrawled == 0 and by["s0.org"].max_snapshots == 1
+    assert by["s4.org"].n_urls == 5 and by["s4.org"].max_snapshots == 4
+
+    want = (duckdb.sql(host_crawl_stats_sql(path)).df()
+            .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(
+            {c_: "int64" for c_ in ("n_urls", "n_snapshots",
+                                    "n_recrawled", "max_snapshots")}))
+
+
+def test_canonical_latest_vs_duckdb(ray_session, tmp_path):
+    """Latest-per-canonical: variant folding + (ts desc, url asc)
+    winner, including an exact-ts tie between two raw variants."""
+    import datetime
+
+    from ferenda_ray.ops.web import canonical_latest, canonical_latest_sql
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(k):
+        return t0 + datetime.timedelta(hours=k)
+
+    rows = [
+        # one canonical group, three variants, newest wins
+        ("https://A.org/x/index.html", ts(1)),
+        ("https://a.org/x/", ts(5)),
+        ("https://a.org/x?utm_source=z", ts(3)),
+        # tie on ts: url ascending wins
+        ("https://b.org/y?b=1&a=1", ts(2)),
+        ("https://b.org/y?a=1&b=1", ts(2)),
+        # plain singleton
+        ("https://c.org/z", ts(9)),
+    ]
+    tab = pa.Table.from_pydict({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    got = (canonical_latest(path, num_buckets=4).to_pandas()
+           .sort_values("norm_url").reset_index(drop=True))
+    by = dict(zip(got.norm_url, got.itertuples()))
+    assert by["https://a.org/x"].url == "https://a.org/x/"
+    assert by["https://b.org/y?a=1&b=1"].url == "https://b.org/y?a=1&b=1"
+    assert len(got) == 3
+
+    want = (duckdb.sql(canonical_latest_sql(path)).df()
+            .sort_values("norm_url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype({"ts_s": "int64"}))
+
+
 def test_host_quality_rollup(ray_session, tmp_path):
     """Host rollup of the C4 keep bits: exact integer permille (floor
     division), mixed keep/drop hosts, all-drop host."""
