@@ -592,6 +592,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_lang_stats(_pages_path(_n_pages(sf_dir)))
 
+    def kg_gated_pages(sf_dir: str):
+        """Apply the host-quality gate to the crawl (blocklist
+        semi-join, broadcast/bucketed auto-switch); late-r5 final
+        session, past the window edge."""
+        from ferenda_ray.ops.web import gated_pages
+
+        return gated_pages(_pages_path(_n_pages(sf_dir)))
+
     def kg_host_crawl(sf_dir: str):
         """Per-host recrawl statistics (crawl-scheduler view); late-r5
         final session, past the window edge."""
@@ -766,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_quality": kg_host_quality,
         "kg_host_crawl": kg_host_crawl,
         "kg_canonical_latest": kg_canonical_latest,
+        "kg_gated_pages": kg_gated_pages,
         "gopher_rules": text.gopher_rules,
         "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
@@ -1108,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_host_quality": _host_quality_sql(),
         "kg_host_crawl": _host_crawl_sql(),
         "kg_canonical_latest": _canonical_latest_sql(),
+        "kg_gated_pages": _gated_pages_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1185,6 +1195,12 @@ def _canonical_latest_sql() -> str:
     from ferenda_ray.ops.web import canonical_latest_sql
 
     return canonical_latest_sql(_pages_path(300))
+
+
+def _gated_pages_sql() -> str:
+    from ferenda_ray.ops.web import gated_pages_sql
+
+    return gated_pages_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

@@ -337,6 +337,19 @@ def cmd_hostlangs(args) -> int:
     return 0
 
 
+def cmd_gate(args) -> int:
+    """Apply the host-quality gate: surviving (host, url, ts_s)."""
+    from ferenda_ray.ops.web import gated_pages
+
+    gated_pages(args.pages,
+                min_permille=args.min_permille).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_canonlatest(args) -> int:
     """Latest snapshot per canonical url over a raw pages parquet."""
     from ferenda_ray.ops.web import canonical_latest
@@ -491,6 +504,12 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_canonlatest)
+    sp = sub.add_parser("gate")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--min-permille", dest="min_permille", type=int,
+                    default=900)
+    sp.set_defaults(fn=cmd_gate)
     sp = sub.add_parser("c4")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)

@@ -473,6 +473,108 @@ FROM c4 GROUP BY host
 """
 
 
+# --- Apply the host gate (blocklist semi-join) -------------------------
+
+HOST_BROADCAST_LIMIT = int(__import__("os").environ.get(
+    "FERENDA_RAY_HOST_BROADCAST_LIMIT", "5000000"))
+
+
+def gated_pages(pages_path: str, min_permille: int = 900,
+                num_buckets: int = _N_BUCKETS,
+                broadcast_limit: int | None = None):
+    """Apply the :func:`host_quality` gate to the crawl: the snapshot
+    list ``(host, url, ts_s)`` of every page whose host clears
+    ``min_permille`` — i.e. the blocklist-application pass every
+    C4/RefinedWeb pipeline runs after host scoring. Only the skinny
+    key columns ever move; page payloads stay in storage.
+
+    Two paths, auto-selected by host count (the repo's broadcast-vs-
+    join convention, cf. ``kg.SNAPSHOT_BROADCAST_LIMIT``): below
+    ``HOST_BROADCAST_LIMIT`` the passing-host set is one ``ray.put``
+    broadcast read by every filter task; above it, pages and the
+    quality table meet in schema-aligned hash(host)-bucketed cogroups
+    (an indicator semi-join — no driver host set at any size). Both
+    paths are bit-equality tested."""
+    import numpy as np
+    import ray
+
+    hq = host_quality(pages_path, num_buckets)
+    limit = (HOST_BROADCAST_LIMIT if broadcast_limit is None
+             else broadcast_limit)
+
+    def page_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(
+            pc.cast(pc.cast(b.column("warc_ts"), pa.timestamp("us")),
+                    pa.int64()),
+            1_000_000)
+        return pa.table({"host": host_of(b.column("url")),
+                         "url": b.column("url"), "ts_s": ts_s})
+
+    pages = rd.read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    # the quality table is one row per host — counting it is cheap and
+    # the result is reused by whichever path wins
+    if hq.count() <= limit:
+        good = pa.array(
+            sorted(r["host"] for r in
+                   hq.filter(lambda r: r["kept_permille"]
+                             >= min_permille)
+                   .select_columns(["host"]).take_all()),
+            pa.string())
+        ref = ray.put(good)
+
+        def keep(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from ferenda_ray.state import fetch
+
+            t = page_rows(b)
+            mask = pc.is_in(t.column("host"), value_set=fetch(ref))
+            return t.filter(mask)
+
+        return pages.map_batches(keep, batch_format="pyarrow")
+
+    # join path: schema-aligned indicator cogroups, no driver state
+    def page_side(b: pa.Table) -> pa.Table:
+        t = page_rows(b)
+        out = t.to_pandas()
+        out["is_page"] = np.int8(1)
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def gate_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["kept_permille"] >= min_permille]
+        out = pd.DataFrame({"host": df["host"],
+                            "url": "", "ts_s": np.int64(0)})
+        out["is_page"] = np.int8(0)
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        passing = set(g.loc[g["is_page"] == 0, "host"])
+        out = g[(g["is_page"] == 1) & g["host"].isin(passing)]
+        return out[["host", "url", "ts_s"]].astype({"ts_s": "int64"})
+
+    both = (pages.map_batches(page_side, batch_format="pyarrow")
+            .union(hq.map_batches(gate_side, batch_format="pyarrow")))
+    return both.groupby("bucket").map_groups(semi, batch_format="pandas")
+
+
+def gated_pages_sql(pages_path: str, min_permille: int = 900) -> str:
+    """DuckDB oracle for :func:`gated_pages`."""
+    return f"""
+WITH hq AS ({host_quality_sql(pages_path)})
+SELECT split_part(url, '/', 3) AS host, url,
+       CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+FROM read_parquet('{pages_path}')
+WHERE split_part(url, '/', 3) IN
+      (SELECT host FROM hq WHERE kept_permille >= {min_permille})
+"""
+
+
 # --- Per-host language distribution ----------------------------------
 
 def host_lang_stats(pages_path: str, num_buckets: int = _N_BUCKETS):

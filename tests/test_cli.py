@@ -159,3 +159,6 @@ def test_cli_graph_and_hoststats(tmp_path):
     res = json.loads(run_cli("canonlatest", "--pages", pages,
                              "--out", str(tmp_path / "cl"))[-1])
     assert res["rows"] > 0
+    res = json.loads(run_cli("gate", "--pages", pages,
+                             "--out", str(tmp_path / "gated"))[-1])
+    assert res["rows"] > 0

@@ -344,6 +344,45 @@ def test_host_quality_rollup(ray_session, tmp_path):
                                     "kept_permille")}))
 
 
+def test_gated_pages_both_paths(ray_session, tmp_path):
+    """Blocklist semi-join: broadcast path == bucketed-cogroup path ==
+    DuckDB recompute; the failing host's snapshots all drop."""
+    import datetime
+
+    from ferenda_ray.ops.web import gated_pages, gated_pages_sql
+
+    good = ("A proper first sentence sits here. A second one follows "
+            "naturally. And a third one closes it out.")
+    bad = "no terminal punctuation and { a brace"
+    ts = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(4):
+        rows.append((f"https://ok.org/p{i}", good))
+    rows += [("https://mixed.org/p0", good),
+             ("https://mixed.org/p1", bad)]          # 500 < 900
+    rows += [(f"https://junk.org/p{i}", bad) for i in range(3)]
+    tab = pa.Table.from_pydict({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+        "text": [r[1] for r in rows]})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    def canon(df):
+        return (df[sorted(df.columns)]
+                .sort_values(["host", "url"]).reset_index(drop=True))
+
+    bcast = canon(gated_pages(path, num_buckets=4).to_pandas())
+    joined = canon(gated_pages(path, num_buckets=4,
+                               broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(bcast, joined)
+    assert set(bcast.host) == {"ok.org"} and len(bcast) == 4
+
+    want = canon(duckdb.sql(gated_pages_sql(path)).df()
+                 .astype({"ts_s": "int64"}))
+    pd.testing.assert_frame_equal(bcast, want)
+
+
 def test_host_lang_stats_ties_and_merge(ray_session, tmp_path):
     """Majority-language tie breaks by language ascending; the empty
     string is a real class; partials merge across batches."""
