@@ -194,6 +194,25 @@ def run_queries() -> dict[str, float]:
 
             bsp.release_spills()
         out[name] = round(best, 3)
+
+    # web-corpus slice: the crawl-side curation ops over the SAME
+    # 200k-page bench corpus the flagship consumes (added in the r5
+    # closing session; new keys only — prior keys stay comparable)
+    from ferenda_ray.ops import web
+
+    pages = corpus_path(N_PAGES.get(sf_name(), 20000))
+    for name, fn in [
+        ("c4_line_rules", web.c4_line_rules),
+        ("host_quality", web.host_quality),
+        ("canonical_latest", web.canonical_latest),
+    ]:
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _ = fn(pages).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
