@@ -600,6 +600,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gated_pages(_pages_path(_n_pages(sf_dir)))
 
+    def kg_curated_crawl(sf_dir: str):
+        """End-to-end crawl curation: canonical-latest, C4 keep, host
+        gate as one composition (ONE spilled C4 pass feeds both the
+        page bits and the host rollup); late-r5 final session, past
+        the window edge."""
+        from ferenda_ray.ops.web import curated_crawl
+
+        return curated_crawl(_pages_path(_n_pages(sf_dir)))
+
     def kg_host_crawl(sf_dir: str):
         """Per-host recrawl statistics (crawl-scheduler view); late-r5
         final session, past the window edge."""
@@ -775,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_crawl": kg_host_crawl,
         "kg_canonical_latest": kg_canonical_latest,
         "kg_gated_pages": kg_gated_pages,
+        "kg_curated_crawl": kg_curated_crawl,
         "gopher_rules": text.gopher_rules,
         "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
@@ -1118,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_host_crawl": _host_crawl_sql(),
         "kg_canonical_latest": _canonical_latest_sql(),
         "kg_gated_pages": _gated_pages_sql(),
+        "kg_curated_crawl": _curated_crawl_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these
@@ -1201,6 +1212,12 @@ def _gated_pages_sql() -> str:
     from ferenda_ray.ops.web import gated_pages_sql
 
     return gated_pages_sql(_pages_path(300))
+
+
+def _curated_crawl_sql() -> str:
+    from ferenda_ray.ops.web import curated_crawl_sql
+
+    return curated_crawl_sql(_pages_path(300))
 
 
 def _cache_sql(name: str) -> str:

@@ -350,6 +350,20 @@ def cmd_gate(args) -> int:
     return 0
 
 
+def cmd_curate_crawl(args) -> int:
+    """End-to-end crawl curation: canonical-latest + C4 keep + host
+    gate; writes the curated (host, norm_url, url, ts_s) list."""
+    from ferenda_ray.ops.web import curated_crawl
+
+    curated_crawl(args.pages,
+                  min_permille=args.min_permille).write_parquet(args.out)
+    import ray.data as rd
+
+    print(json.dumps({"out": args.out,
+                      "rows": rd.read_parquet(args.out).count()}))
+    return 0
+
+
 def cmd_canonlatest(args) -> int:
     """Latest snapshot per canonical url over a raw pages parquet."""
     from ferenda_ray.ops.web import canonical_latest
@@ -510,6 +524,12 @@ def main(argv=None) -> int:
     sp.add_argument("--min-permille", dest="min_permille", type=int,
                     default=900)
     sp.set_defaults(fn=cmd_gate)
+    sp = sub.add_parser("curate-crawl")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--min-permille", dest="min_permille", type=int,
+                    default=900)
+    sp.set_defaults(fn=cmd_curate_crawl)
     sp = sub.add_parser("c4")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--out", required=True)

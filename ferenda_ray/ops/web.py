@@ -575,6 +575,142 @@ WHERE split_part(url, '/', 3) IN
 """
 
 
+# --- Crawl-curation flagship composition -------------------------------
+
+def curated_crawl(pages_path: str, min_permille: int = 900,
+                  num_buckets: int = _N_BUCKETS):
+    """The end-to-end crawl-curation pipeline every web-corpus build
+    runs before tokenization, as ONE composition of this module's
+    operators: collapse canonicalization variants to the newest
+    snapshot (:func:`canonical_latest`), keep pages passing the C4
+    line rules (:func:`c4_line_rules`), and drop hosts whose keep rate
+    misses ``min_permille`` (the :func:`host_quality` gate). Returns
+    the curated snapshot list ``(host, norm_url, url, ts_s)``.
+
+    Scale shape: the C4 pass runs ONCE and is spilled to the stage
+    tier (``bsp.spill_dataset``) because two consumers need it (the
+    per-page keep bits and the per-host rollup) — re-executing it
+    would double the text read, and ``materialize()`` would pin a
+    corpus-scale table in the object store. Page payloads never cross
+    an exchange: stage 1 semi-joins winners⋈keep on hash(url) bucketed
+    cogroups, stage 2 semi-joins survivors⋈passing-hosts on
+    hash(host). Both sides of every union are schema-aligned skinny
+    key rows."""
+    import numpy as np
+
+    from ferenda_ray import bsp
+
+    c4 = bsp.spill_dataset(c4_line_rules(pages_path), "curated_c4",
+                           columns=["url", "ts_s", "keep"])
+
+    # per-host keep rollup over the spilled pass (host_quality shape)
+    def q_partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({"host": host_of(b.column("url")),
+                      "keep": pc.cast(b.column("keep"), pa.int64())})
+        out = (t.to_pandas()
+               .groupby("host", as_index=False, sort=False)
+               .agg(n=("keep", "size"), n_kept=("keep", "sum")))
+        out = out.astype({"n": "int64", "n_kept": "int64"})
+        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def q_finals(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("host", sort=True)
+               .agg(n=("n", "sum"), n_kept=("n_kept", "sum"))
+               .reset_index())
+        out = out[1000 * out["n_kept"] // out["n"] >= min_permille]
+        return out[["host"]]
+
+    passing = (c4.map_batches(q_partials, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(q_finals, batch_format="pandas"))
+
+    # stage 1: winners ⋈ keep-true pages, bucketed by hash(url)
+    def winner_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["norm_url", "url", "ts_s"]]
+        df["side"] = np.int8(0)
+        df["bucket"] = bucket_keys(df["url"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.loc[df["keep"], ["url", "ts_s"]].copy()
+        df.insert(0, "norm_url", "")
+        df["side"] = np.int8(1)
+        df["bucket"] = bucket_keys(df["url"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def semi_url(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.loc[g["side"] == 1, ["url", "ts_s"]].drop_duplicates()
+        w = g.loc[g["side"] == 0, ["norm_url", "url", "ts_s"]]
+        out = w.merge(k, on=["url", "ts_s"], how="inner")
+        out["host"] = out["url"].str.split("/").str[2].fillna("")
+        return out.astype({"ts_s": "int64"})
+
+    survivors = (canonical_latest(pages_path, num_buckets)
+                 .map_batches(winner_side, batch_format="pyarrow")
+                 .union(c4.map_batches(keep_side,
+                                       batch_format="pyarrow"))
+                 .groupby("bucket")
+                 .map_groups(semi_url, batch_format="pandas"))
+
+    # stage 2: survivors ⋈ passing hosts, bucketed by hash(host)
+    def surv_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["host", "norm_url", "url", "ts_s"]]
+        df["side"] = np.int8(0)
+        df["bucket"] = bucket_keys(df["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def host_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["host"]].copy()
+        df["norm_url"] = ""
+        df["url"] = ""
+        df["ts_s"] = np.int64(0)
+        df["side"] = np.int8(1)
+        df["bucket"] = bucket_keys(df["host"].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def semi_host(g: pd.DataFrame) -> pd.DataFrame:
+        ok = set(g.loc[g["side"] == 1, "host"])
+        out = g.loc[(g["side"] == 0) & g["host"].isin(ok),
+                    ["host", "norm_url", "url", "ts_s"]]
+        return out.astype({"ts_s": "int64"})
+
+    return (survivors.map_batches(surv_side, batch_format="pyarrow")
+            .union(passing.map_batches(host_side,
+                                       batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(semi_host, batch_format="pandas"))
+
+
+def curated_crawl_sql(pages_path: str, min_permille: int = 900) -> str:
+    """DuckDB oracle for :func:`curated_crawl`."""
+    return f"""
+WITH c4 AS ({c4_line_rules_sql(pages_path)}),
+hq AS (
+  SELECT split_part(url, '/', 3) AS host
+  FROM c4 GROUP BY host
+  HAVING 1000 * sum(CAST(keep AS BIGINT)) // count(*)
+         >= {min_permille}),
+c AS (
+  SELECT {canon_url_sql_expr('url')} AS norm_url, url,
+         CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+  FROM read_parquet('{pages_path}')),
+r AS (
+  SELECT norm_url, url, ts_s,
+         row_number() OVER (PARTITION BY norm_url
+                            ORDER BY ts_s DESC, url ASC) AS rn
+  FROM c)
+SELECT split_part(r.url, '/', 3) AS host, r.norm_url, r.url, r.ts_s
+FROM r
+JOIN c4 ON r.url = c4.url AND r.ts_s = c4.ts_s
+WHERE r.rn = 1 AND c4.keep
+  AND split_part(r.url, '/', 3) IN (SELECT host FROM hq)
+"""
+
+
 # --- Per-host language distribution ----------------------------------
 
 def host_lang_stats(pages_path: str, num_buckets: int = _N_BUCKETS):

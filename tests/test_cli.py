@@ -162,3 +162,6 @@ def test_cli_graph_and_hoststats(tmp_path):
     res = json.loads(run_cli("gate", "--pages", pages,
                              "--out", str(tmp_path / "gated"))[-1])
     assert res["rows"] > 0
+    res = json.loads(run_cli("curate-crawl", "--pages", pages,
+                             "--out", str(tmp_path / "curated"))[-1])
+    assert res["rows"] > 0

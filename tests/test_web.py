@@ -383,6 +383,66 @@ def test_gated_pages_both_paths(ray_session, tmp_path):
     pd.testing.assert_frame_equal(bcast, want)
 
 
+def test_curated_crawl_vs_duckdb(ray_session, tmp_path):
+    """The three-stage composition equals the SQL recompute on a
+    corpus exercising every drop reason: stale snapshot loses to a
+    newer variant, C4-failing page on a good host, and a whole bad
+    host."""
+    import datetime
+
+    from ferenda_ray.ops.web import curated_crawl, curated_crawl_sql
+
+    good = ("A proper first sentence sits here. A second one follows "
+            "naturally. And a third one closes it out.")
+    bad = "no terminal punctuation and { a brace"
+    t0 = datetime.datetime(2024, 5, 1)
+
+    def ts(k):
+        return t0 + datetime.timedelta(hours=k)
+
+    rows = [
+        # ok.org: canonical group of two variants — only the newest
+        # survives stage 1; one separate C4-failing page drops
+        ("https://ok.org/a/index.html", ts(1), good),
+        ("https://ok.org/a/", ts(2), good),
+        ("https://ok.org/b", ts(1), bad),
+        ("https://ok.org/c", ts(1), good),
+        # junk.org: all pages fail C4 → host gate also fails
+        ("https://junk.org/p0", ts(1), bad),
+        ("https://junk.org/p1", ts(1), bad),
+        # mixed.org: one good page but host keep rate 1/3 < 900
+        ("https://mixed.org/p0", ts(1), good),
+        ("https://mixed.org/p1", ts(1), bad),
+        ("https://mixed.org/p2", ts(1), bad),
+    ]
+    tab = pa.Table.from_pydict({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "text": [r[2] for r in rows]})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    # at the default 900-permille gate every host here fails (ok.org
+    # is 3/4 = 750): both engines must return the empty set (ray 2.49
+    # drops column schema on 0-row to_pandas, so compare counts)
+    got = curated_crawl(path, num_buckets=4).to_pandas()
+    want = duckdb.sql(curated_crawl_sql(path)).df()
+    assert len(got) == 0 and len(want) == 0
+
+    # with the default 900-permille gate every host here fails except
+    # none (ok.org is 3/4=750) — rerun at 600 to see survivors
+    got6 = (curated_crawl(path, min_permille=600, num_buckets=4)
+            .to_pandas()
+            .sort_values(["norm_url", "url"]).reset_index(drop=True))
+    want6 = (duckdb.sql(curated_crawl_sql(path, min_permille=600)).df()
+             .sort_values(["norm_url", "url"]).reset_index(drop=True)
+             .astype({"ts_s": "int64"}))
+    pd.testing.assert_frame_equal(
+        got6[sorted(got6.columns)], want6[sorted(want6.columns)])
+    assert set(got6.url) == {"https://ok.org/a/", "https://ok.org/c"}
+    assert "https://ok.org/a" in set(got6.norm_url)
+
+
 def test_host_lang_stats_ties_and_merge(ray_session, tmp_path):
     """Majority-language tie breaks by language ascending; the empty
     string is a real class; partials merge across batches."""
