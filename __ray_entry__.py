@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_latest": kg_canonical_latest,
         "kg_gated_pages": kg_gated_pages,
         "kg_curated_crawl": kg_curated_crawl,
+        "late_events": win.late_events,
         "gopher_rules": text.gopher_rules,
         "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
@@ -1129,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_latest": _canonical_latest_sql(),
         "kg_gated_pages": _gated_pages_sql(),
         "kg_curated_crawl": _curated_crawl_sql(),
+        "late_events": win.LATE_EVENTS_SQL,
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these

@@ -544,3 +544,119 @@ SELECT make_timestamp(wb * {TOPK_WINDOW_H * 3600} * 1000000)
 FROM c
 QUALIFY rank <= {TOPK_K}
 """
+
+
+# -- watermark / late-event accounting --------------------------------
+
+LATENESS_SEC = 300
+
+
+def late_events(sf_dir: str, lateness_sec: int = LATENESS_SEC,
+                num_buckets: int = 32):
+    """Watermark semantics over the event log (the streaming-engine
+    late-data primitive, evaluated batch-exactly): treating
+    ``event_id`` as the arrival sequence, the watermark at each
+    arrival is the running MAX event-time over all arrivals so far;
+    an event is LATE iff its own event-time trails that watermark by
+    more than ``lateness_sec``. Returns per-event-type totals
+    ``(n_events, n_late, max_lag_us)`` in exact integer microseconds.
+
+    Distributed exact prefix-MAX with no global sort and O(buckets)
+    driver state (the ``pack_sequences`` offset pattern,
+    ``ops/text.py``): bucket by ``event_id`` RANGE (order-preserving),
+    reduce each bucket's max event-time to the driver, exclusive-scan
+    those few scalars into per-bucket seeds, broadcast back; each
+    bucket then computes its inclusive running max locally. At 10^12
+    events the exchange volume is one (bucket, max) row per bucket
+    plus the final per-type counters."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def to_us(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "ts_us": us,
+                         "event_type": b.column("event_type")})
+
+    from ferenda_ray import bsp
+
+    ev = bsp.spill_dataset(
+        rd.read_parquet(_t(sf_dir, "events"),
+                        columns=["event_id", "ts", "event_type"])
+        .map_batches(to_us, batch_format="pyarrow"), "late_events")
+
+    bounds = ev.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = bounds["min(event_id)"], bounds["max(event_id)"]
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_lag_us": pa.array([], pa.int64())}))
+    span = max(1, (hi - lo + num_buckets) // num_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("event_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((d - lo) // span, pa.int32()))
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pyarrow")
+    per_bucket = {r["bucket"]: r["max(ts_us)"] for r in
+                  bucketed.groupby("bucket").aggregate(Max("ts_us"))
+                  .take_all()}
+    seeds, acc = {}, np.iinfo(np.int64).min
+    for bkt in sorted(per_bucket):
+        seeds[bkt] = acc
+        acc = max(acc, per_bucket[bkt])
+    seed_ref = ray.put(seeds)
+    late_us = int(lateness_sec) * 1_000_000
+
+    def account(g: pd.DataFrame) -> pd.DataFrame:
+        from ferenda_ray.state import fetch
+
+        seed = fetch(seed_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        wm = np.maximum(np.maximum.accumulate(ts), seed)
+        out = pd.DataFrame({"event_type": g["event_type"],
+                            "late": (ts + late_us < wm),
+                            "lag": wm - ts})
+        res = (out.groupby("event_type", sort=True)
+               .agg(n_events=("late", "size"), n_late=("late", "sum"),
+                    max_lag_us=("lag", "max")).reset_index())
+        return res.astype({"n_events": "int64", "n_late": "int64",
+                           "max_lag_us": "int64"})
+
+    partials = (bucketed.groupby("bucket")
+                .map_groups(account, batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        res = (g.groupby("event_type", sort=True)
+               .agg(n_events=("n_events", "sum"),
+                    n_late=("n_late", "sum"),
+                    max_lag_us=("max_lag_us", "max")).reset_index())
+        return res.astype({"n_events": "int64", "n_late": "int64",
+                           "max_lag_us": "int64"})
+
+    return partials.groupby("event_type").map_groups(
+        combine, batch_format="pandas")
+
+
+LATE_EVENTS_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(max(epoch_us(ts)) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS wm_us
+  FROM events)
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN ts_us + {LATENESS_SEC} * 1000000 < wm_us
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(max(wm_us - ts_us) AS BIGINT) AS max_lag_us
+FROM m GROUP BY event_type
+"""

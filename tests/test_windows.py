@@ -170,3 +170,60 @@ def test_windowed_topk_deterministic_ties(ray_session, tmp_path):
            .reset_index(drop=True))
     assert got.user_id.tolist() == [1, 2, 9]   # tie: u1 before u2; u3 cut
     assert got["rank"].tolist() == [1, 2, 1]
+
+
+def test_late_events_out_of_order(ray_session, tmp_path):
+    """Watermark accounting on an engineered out-of-order arrival
+    stream: hand-computed lates + DuckDB recompute, with the bucket
+    seeds exercised (event straggling across a range-bucket edge)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.windows import LATE_EVENTS_SQL, late_events
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # arrival order = event_id; event times jump ahead then straggle
+    rows = [
+        (0, ts(0), "a"),     # wm 0
+        (1, ts(1000), "a"),  # wm 1000
+        (2, ts(10), "b"),    # lag 990  -> late at 300s
+        (3, ts(900), "a"),   # lag 100  -> on time
+        (4, ts(2000), "b"),  # wm 2000
+        (5, ts(1500), "a"),  # lag 500  -> late
+        (6, ts(1999), "b"),  # lag 1    -> on time
+        (7, ts(100), "b"),   # lag 1900 -> late (crosses bucket seeds
+                             #             at num_buckets=4: bucket 3)
+    ]
+    tab = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    path = tmp_path / "events.parquet"
+    pq.write_table(tab, str(path))
+
+    got = (late_events(str(tmp_path), lateness_sec=300, num_buckets=4)
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    by = dict(zip(got.event_type, got.itertuples()))
+    assert (by["a"].n_events, by["a"].n_late) == (4, 1)
+    assert (by["b"].n_events, by["b"].n_late) == (4, 2)
+    assert by["b"].max_lag_us == 1900 * 1_000_000
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = (con.sql(LATE_EVENTS_SQL).df()
+            .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(
+            {c: "int64" for c in ("n_events", "n_late", "max_lag_us")}))
