@@ -443,6 +443,55 @@ def test_curated_crawl_vs_duckdb(ray_session, tmp_path):
     assert "https://ok.org/a" in set(got6.norm_url)
 
 
+def test_curated_crawl_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Randomized corpus fuzz for the full composition: random
+    variant-colliding urls × random good/bad texts × random snapshot
+    times (including exact ties) must match the SQL recompute at two
+    gate thresholds."""
+    import datetime
+    import random
+
+    from ferenda_ray.ops.web import curated_crawl, curated_crawl_sql
+
+    rng = random.Random(77)
+    good = ("One proper sentence lives right here. Another proper one "
+            "follows it closely. A third sentence then ends things.")
+    bad = "fragment without any terminal { punctuation"
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = []
+    for i in range(160):
+        h = rng.randint(0, 7)
+        doc = rng.randint(0, 12)
+        variant = rng.choice([
+            "", "/", "/index.html", "?utm_source=x", "#frag",
+            "?b=2&a=1", "?a=1&b=2"])
+        url = f"https://s{h}.org/d{doc}{variant}"
+        ts = t0 + datetime.timedelta(seconds=rng.randint(0, 5) * 60)
+        text = good if rng.random() < 0.7 else bad
+        rows.append((url, ts, text))
+    tab = pa.Table.from_pydict({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "text": [r[2] for r in rows]})
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(tab, path)
+
+    for mp in (500, 800):
+        got = curated_crawl(path, min_permille=mp,
+                            num_buckets=4).to_pandas()
+        want = (duckdb.sql(curated_crawl_sql(path, min_permille=mp))
+                .df())
+        assert len(got) == len(want), mp
+        if len(got):
+            got = (got[sorted(got.columns)]
+                   .sort_values(["norm_url", "url"])
+                   .reset_index(drop=True))
+            want = (want[sorted(want.columns)]
+                    .sort_values(["norm_url", "url"])
+                    .reset_index(drop=True).astype({"ts_s": "int64"}))
+            pd.testing.assert_frame_equal(got, want)
+
+
 def test_host_lang_stats_ties_and_merge(ray_session, tmp_path):
     """Majority-language tie breaks by language ascending; the empty
     string is a real class; partials merge across batches."""
