@@ -322,6 +322,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
             seed_host="www.site000.example.org")
 
+    def kg_seed_closeness(sf_dir: str):
+        """Harmonic closeness of the seed host (BFS rollup, exact
+        integer micro; late-r5 final session, past the window edge)."""
+        from ferenda_ray.ops.graph import edges_from_triples, seed_closeness
+
+        return seed_closeness(
+            edges_from_triples(_kg_triples_cached(_n_pages(sf_dir))),
+            seed_host="www.site000.example.org")
+
     def kg_sections(sf_dir: str):
         from ferenda_ray.pipelines.kg import build_sections_ds
 
@@ -790,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
         "kg_bfs_hops": kg_bfs_hops,
+        "kg_seed_closeness": kg_seed_closeness,
         "bigram_pmi": text.bigram_pmi,
         "media_features": media_features,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,

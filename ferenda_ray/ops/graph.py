@@ -1991,3 +1991,41 @@ def bfs_hops(edges_ds, seed_host: str, num_buckets: int = 16,
             "ferenda_graph_bfs", columns=["url", "dist"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def seed_closeness(edges_ds, seed_host: str, num_buckets: int = 16,
+                   max_rounds: int = 64):
+    """Harmonic closeness of the seed host over the directed citation
+    graph: Σ 1/dist over every node reachable from the seed set (the
+    standard seed-influence summary a crawl planner reads next to the
+    BFS depth report). Exact integer micro-units — each reached node
+    contributes ``1_000_000 // dist`` (DuckDB ``//`` parity) — so the
+    single summary row is bit-stable at any parallelism. Driver state
+    is three scalars; everything else is the :func:`bfs_hops` BSP plus
+    one partial-aggregate pass."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    hops = bfs_hops(edges_ds, seed_host, num_buckets=num_buckets,
+                    max_rounds=max_rounds)
+
+    def partials(b: pa.Table) -> pa.Table:
+        d = b.column("dist")
+        pos = pc.filter(d, pc.greater(d, 0))
+        h = (pc.sum(pc.divide(1_000_000, pos)).as_py() or 0
+             if len(pos) else 0)
+        return pa.table({
+            "h": pa.array([h], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+            "m": pa.array([pc.max(d).as_py() if len(d) else 0],
+                          pa.int64()),
+        })
+
+    agg = (hops.map_batches(partials, batch_format="pyarrow")
+           .aggregate(Sum("h"), Sum("n"), Max("m")))
+    return pd.DataFrame({
+        "harmonic_micro": [int(agg.get("sum(h)") or 0)],
+        "n_reached": [int(agg.get("sum(n)") or 0)],
+        "max_dist": [int(agg.get("max(m)") or 0)],
+    })

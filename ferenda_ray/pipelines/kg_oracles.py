@@ -288,6 +288,22 @@ SELECT u AS url, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY u
 """
 
 
+def _seed_closeness_sql(tri: str, seed_host: str) -> str:
+    """Harmonic closeness of the seed host: the BFS recursive-CTE walk
+    rolled up to one exact-integer summary row (micro-units with
+    floor division — ``graph.seed_closeness`` parity)."""
+    return f"""
+WITH b AS ({_bfs_hops_sql(tri, seed_host)})
+SELECT
+  CAST(coalesce(sum(CASE WHEN dist > 0 THEN 1000000 // dist
+                    ELSE 0 END), 0) AS BIGINT) AS harmonic_micro,
+  CAST(coalesce(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_reached,
+  CAST(coalesce(max(dist), 0) AS BIGINT) AS max_dist
+FROM b
+"""
+
+
 def _hits_sql(tri: str, n_iter: int = 5) -> str:
     """HITS unrolled to ``n_iter`` rounds of two half-steps — the BSP
     implementation's exact semantics (``ops/graph.py:hits``): hub⁰=1
@@ -525,6 +541,8 @@ def kg_oracle_sql(n_pages: int = 300, src_rev: str = "") -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(tri),
         "kg_ppr": _ppr_sql(tri, "www.site000.example.org"),
         "kg_bfs_hops": _bfs_hops_sql(tri, "www.site000.example.org"),
+        "kg_seed_closeness": _seed_closeness_sql(
+            tri, "www.site000.example.org"),
         "kg_hits": _hits_sql(tri),
         "kg_kcore": _kcore_sql(tri),
         "kg_local_triangles": _local_triangles_sql(tri),

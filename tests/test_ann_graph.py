@@ -876,3 +876,46 @@ def test_bfs_hops_vs_bruteforce(ray_session):
     assert got == want
     assert "https://h3.org/iso2" not in got or \
         "https://h3.org/iso2" in want
+
+
+def test_seed_closeness_vs_bruteforce(ray_session):
+    """Harmonic closeness rollup equals the python BFS-derived exact
+    integer sum (floor per-node micro contributions)."""
+    from collections import deque
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ferenda_ray.ops.graph import seed_closeness
+
+    rng = np.random.default_rng(72)
+    hosts = [f"h{i}.org" for i in range(4)]
+    nodes = [f"https://{hosts[i % 4]}/p{i}" for i in range(25)]
+    pairs = rng.integers(0, 25, size=(60, 2))
+    edges = pd.DataFrame({"src": [nodes[a] for a, _ in pairs],
+                          "dst": [nodes[b] for _, b in pairs]})
+    seed_host = "h1.org"
+
+    got = seed_closeness(rd.from_pandas(edges), seed_host=seed_host,
+                         num_buckets=4)
+
+    adj = {}
+    every = set(edges.src) | set(edges.dst)
+    for s, t in edges.itertuples(index=False):
+        adj.setdefault(s, []).append(t)
+    want, dq = {}, deque()
+    for u in sorted(every):
+        if u.split("/")[2] == seed_host:
+            want[u] = 0
+            dq.append(u)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    pos = [d for d in want.values() if d > 0]
+    assert got.harmonic_micro[0] == sum(1_000_000 // d for d in pos)
+    assert got.n_reached[0] == len(pos)
+    assert got.max_dist[0] == (max(want.values()) if want else 0)
