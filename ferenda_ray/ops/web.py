@@ -279,7 +279,7 @@ def c4_line_rules_sql(pages_path: str) -> str:
     ``trim`` strips only spaces)."""
     return f"""
 WITH f AS (
-  SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_s, text,
+  SELECT url, CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_s, text,
          string_split(text, chr(10)) AS lines
   FROM read_parquet('{pages_path}')),
 g AS (
@@ -409,7 +409,7 @@ def canonical_latest_sql(pages_path: str) -> str:
     return f"""
 WITH c AS (
   SELECT {canon_url_sql_expr('url')} AS norm_url, url,
-         CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+         CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_s
   FROM read_parquet('{pages_path}')),
 r AS (
   SELECT norm_url, url, ts_s,
@@ -498,7 +498,14 @@ def gated_pages(pages_path: str, min_permille: int = 900,
     import numpy as np
     import ray
 
-    hq = host_quality(pages_path, num_buckets)
+    from ferenda_ray import bsp
+
+    # spill the quality table once: the lazy Dataset is consumed twice
+    # below (host count, then the passing set / join side) and each
+    # consumption would otherwise re-run the full C4 text pass
+    hq = bsp.spill_dataset(host_quality(pages_path, num_buckets),
+                           "gate_hq",
+                           columns=["host", "kept_permille"])
     limit = (HOST_BROADCAST_LIMIT if broadcast_limit is None
              else broadcast_limit)
 
@@ -568,7 +575,7 @@ def gated_pages_sql(pages_path: str, min_permille: int = 900) -> str:
     return f"""
 WITH hq AS ({host_quality_sql(pages_path)})
 SELECT split_part(url, '/', 3) AS host, url,
-       CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+       CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_s
 FROM read_parquet('{pages_path}')
 WHERE split_part(url, '/', 3) IN
       (SELECT host FROM hq WHERE kept_permille >= {min_permille})
@@ -696,7 +703,7 @@ hq AS (
          >= {min_permille}),
 c AS (
   SELECT {canon_url_sql_expr('url')} AS norm_url, url,
-         CAST(epoch(warc_ts) AS BIGINT) AS ts_s
+         CAST(epoch_us(warc_ts) // 1000000 AS BIGINT) AS ts_s
   FROM read_parquet('{pages_path}')),
 r AS (
   SELECT norm_url, url, ts_s,
