@@ -795,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_gated_pages": kg_gated_pages,
         "kg_curated_crawl": kg_curated_crawl,
         "late_events": win.late_events,
+        "quality_budget_head": text.quality_budget_head,
         "gopher_rules": text.gopher_rules,
         "normalize_text": text.normalize_docs,
         "kg_ppr": kg_ppr,
@@ -1141,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_gated_pages": _gated_pages_sql(),
         "kg_curated_crawl": _curated_crawl_sql(),
         "late_events": win.LATE_EVENTS_SQL,
+        "quality_budget_head": text.quality_budget_head_sql(),
         "doc_pages": text.DOC_PAGES_SQL,
         # self-consistency oracles (live distributed rerun vs the
         # deterministic product cache — the kg_triples pattern; these

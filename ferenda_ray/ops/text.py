@@ -2044,3 +2044,110 @@ SELECT doc_id,
    AND n_stop >= 2) AS keep
 FROM f
 """
+
+
+def quality_budget_head(sf_dir: str, budget_tokens: int = 15_000,
+                        id_buckets: int = 16):
+    """Token-budgeted corpus selection (the "fill the training budget
+    with the best docs first" cut every mixture recipe ends with):
+    order documents by Gopher rule pass-count descending (exact 0-7
+    integer — float quality scores would make the cut order
+    hash-fragile), break ties by doc_id, and keep documents while the
+    running token total stays within ``budget_tokens``. Returns the
+    kept set with its exact cumulative position.
+
+    Distributed exact prefix-sum over a COMPOSITE order without a
+    global sort (the ``pack_sequences`` offset pattern): bucket =
+    (7 − n_pass) major × doc_id-range minor, so ascending bucket index
+    IS the (n_pass desc, doc_id asc) global order; per-bucket token
+    sums reduce to O(8 × id_buckets) driver scalars, an exclusive scan
+    seeds each bucket, and every bucket finishes locally."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ferenda_ray import bsp
+
+    _RULES = ("rule_len", "rule_mean_wlen", "rule_symbol",
+              "rule_bullet", "rule_ellipsis", "rule_alpha",
+              "rule_stopwords")
+
+    def scoreize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        npass = None
+        for r in _RULES:
+            c = pc.cast(b.column(r), pa.int64())
+            npass = c if npass is None else pc.add(npass, c)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_pass": npass,
+                         "n_tokens": b.column("n_tokens")})
+
+    scored = bsp.spill_dataset(
+        gopher_rules(sf_dir).map_batches(scoreize,
+                                         batch_format="pyarrow"),
+        "budget_head")
+
+    bounds = scored.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_pass": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64())}))
+    span = max(1, (hi - lo + id_buckets) // id_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        p = b.column("n_pass").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket",
+            pa.array((7 - p) * id_buckets + (d - lo) // span,
+                     pa.int32()))
+
+    bucketed = scored.map_batches(add_bucket, batch_format="pyarrow")
+    per_bucket = {r["bucket"]: r["sum(n_tokens)"] for r in
+                  bucketed.groupby("bucket")
+                  .aggregate(Sum("n_tokens")).take_all()}
+    offsets, acc = {}, 0
+    for bkt in sorted(per_bucket):
+        offsets[bkt] = acc
+        acc += per_bucket[bkt]
+    off_ref = ray.put(offsets)
+    budget = int(budget_tokens)
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        from ferenda_ray.state import fetch
+
+        off = fetch(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id", kind="mergesort")
+        cum = off + g["n_tokens"].cumsum()
+        out = g.loc[cum <= budget,
+                    ["doc_id", "n_pass", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[cum <= budget]
+        return out.astype({"n_pass": "int64", "cum_tokens": "int64"})
+
+    return (bucketed.groupby("bucket")
+            .map_groups(head, batch_format="pandas"))
+
+
+def quality_budget_head_sql(budget_tokens: int = 15_000) -> str:
+    """DuckDB oracle for :func:`quality_budget_head` (window cumsum
+    over the same composite order; HUGEINT-cast per the driver
+    contract)."""
+    rules = ("rule_len", "rule_mean_wlen", "rule_symbol",
+             "rule_bullet", "rule_ellipsis", "rule_alpha",
+             "rule_stopwords")
+    npass = " + ".join(f"CAST({r} AS BIGINT)" for r in rules)
+    return f"""
+WITH g AS ({GOPHER_RULES_SQL}),
+s AS (SELECT doc_id, n_tokens, ({npass}) AS n_pass FROM g),
+o AS (SELECT doc_id, n_pass, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY n_pass DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM s)
+SELECT doc_id, n_pass, n_tokens, cum_tokens
+FROM o WHERE cum_tokens <= {int(budget_tokens)}
+"""

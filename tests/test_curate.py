@@ -293,3 +293,49 @@ def test_normalize_docs_hand_and_fuzz(ray_session, tmp_path):
     assert texts[4] == "a\nb\n\nc"
     assert texts[5] == "" and texts[6] == "" and texts[7] == ""
     assert texts[8] == "already clean" and not bool(got.changed[8])
+
+
+def test_quality_budget_head_vs_duckdb(ray_session, tmp_path):
+    """Token-budget cut over the (n_pass desc, doc_id) order: hand
+    corpus with mixed rule scores and a budget that cuts inside a
+    same-score run; distributed composite-bucket prefix-sum == window
+    cumsum, and the first excluded doc would have burst the budget."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferenda_ray.ops.text import (quality_budget_head,
+                                      quality_budget_head_sql)
+
+    good = ("the cat sat with the dog and that was fine to see "
+            "because both of them have been friendly today indeed "
+            * 5)  # passes all 7 gopher rules, 100 tokens
+    soso = " ".join(["word"] * 80)          # fails stopwords: 6 rules
+    tiny = "the of and short"               # fails length too
+    docs = []
+    for i in range(9):
+        docs.append(good if i % 3 == 0 else (soso if i % 3 == 1
+                                             else tiny))
+    tab = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    budget = 260  # 3 good (300 tokens) burst it: keeps 2 good + ...
+    got = (quality_budget_head(str(tmp_path), budget_tokens=budget,
+                               id_buckets=3).to_pandas()
+           .sort_values("cum_tokens").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.sql(quality_budget_head_sql(budget)).df()
+            .sort_values("cum_tokens").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(
+            {c: "int64" for c in ("n_pass", "n_tokens",
+                                  "cum_tokens")}))
+    # the three all-rules docs are 100 tokens each: exactly two fit
+    assert got.doc_id.tolist() == [0, 3]
+    assert got.cum_tokens.max() <= budget
