@@ -216,12 +216,7 @@ def cmd_dedup_report(args) -> int:
         from ferenda_ray.ops.dedup import paragraph_dup_stats
 
         out = paragraph_dup_stats(sf_dir)
-    out.write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(out, args.out)
 
 
 def cmd_dsir(args) -> int:
@@ -233,12 +228,7 @@ def cmd_dsir(args) -> int:
 
     sf_dir = os.path.dirname(args.documents) or "."
     out = dsir_scores(sf_dir, target_source=args.target)
-    out.write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(out, args.out)
 
 
 def cmd_kcore(args) -> int:
@@ -254,12 +244,7 @@ def cmd_kcore(args) -> int:
         out = core_numbers(edges, n_rounds=args.rounds)
     else:
         out = kcore(edges, k=args.k, n_rounds=args.rounds)
-    out.write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(out, args.out)
 
 
 def cmd_graph(args) -> int:
@@ -286,11 +271,17 @@ def cmd_graph(args) -> int:
               "link-prediction": G.link_prediction,
               "triangles": G.local_triangles,
               "host-graph": G.host_graph}[args.what]
-    fn(edges).write_parquet(args.out)
+    return _write_and_report(fn(edges), args.out)
+
+
+def _write_and_report(ds, out: str) -> int:
+    """Shared tail of the report subcommands: write the result, then
+    re-read the written parquet for the row count (reading the OUTPUT
+    doubles as a sink smoke-check)."""
+    ds.write_parquet(out)
     import ray.data as rd
 
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
+    print(json.dumps({"out": out, "rows": rd.read_parquet(out).count()}))
     return 0
 
 
@@ -299,13 +290,9 @@ def cmd_hoststats(args) -> int:
     (``--crawl`` reports recrawl-scheduler stats instead)."""
     from ferenda_ray.ops.web import host_crawl_stats, host_stats
 
-    (host_crawl_stats if args.crawl else host_stats)(
-        args.pages).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(
+        (host_crawl_stats if args.crawl else host_stats)(args.pages),
+        args.out)
 
 
 def cmd_c4(args) -> int:
@@ -314,40 +301,24 @@ def cmd_c4(args) -> int:
     quality gate)."""
     from ferenda_ray.ops.web import c4_line_rules, host_quality
 
-    if args.by_host:
-        host_quality(args.pages).write_parquet(args.out)
-    else:
-        c4_line_rules(args.pages).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    fn = host_quality if args.by_host else c4_line_rules
+    return _write_and_report(fn(args.pages), args.out)
 
 
 def cmd_hostlangs(args) -> int:
     """Per-host language distribution over a raw pages parquet."""
     from ferenda_ray.ops.web import host_lang_stats
 
-    host_lang_stats(args.pages).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(host_lang_stats(args.pages), args.out)
 
 
 def cmd_gate(args) -> int:
     """Apply the host-quality gate: surviving (host, url, ts_s)."""
     from ferenda_ray.ops.web import gated_pages
 
-    gated_pages(args.pages,
-                min_permille=args.min_permille).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(
+        gated_pages(args.pages, min_permille=args.min_permille),
+        args.out)
 
 
 def cmd_curate_crawl(args) -> int:
@@ -355,25 +326,16 @@ def cmd_curate_crawl(args) -> int:
     gate; writes the curated (host, norm_url, url, ts_s) list."""
     from ferenda_ray.ops.web import curated_crawl
 
-    curated_crawl(args.pages,
-                  min_permille=args.min_permille).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(
+        curated_crawl(args.pages, min_permille=args.min_permille),
+        args.out)
 
 
 def cmd_canonlatest(args) -> int:
     """Latest snapshot per canonical url over a raw pages parquet."""
     from ferenda_ray.ops.web import canonical_latest
 
-    canonical_latest(args.pages).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(canonical_latest(args.pages), args.out)
 
 
 def cmd_normalize(args) -> int:
@@ -383,12 +345,7 @@ def cmd_normalize(args) -> int:
     from ferenda_ray.ops.text import normalize_docs
 
     sf_dir = os.path.dirname(args.documents) or "."
-    normalize_docs(sf_dir).write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(normalize_docs(sf_dir), args.out)
 
 
 def cmd_collocations(args) -> int:
@@ -399,12 +356,7 @@ def cmd_collocations(args) -> int:
 
     sf_dir = os.path.dirname(args.documents) or "."
     out = bigram_pmi(sf_dir, min_count=args.min_count)
-    out.write_parquet(args.out)
-    import ray.data as rd
-
-    print(json.dumps({"out": args.out,
-                      "rows": rd.read_parquet(args.out).count()}))
-    return 0
+    return _write_and_report(out, args.out)
 
 
 def cmd_setup(args) -> int:

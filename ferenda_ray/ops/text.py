@@ -1897,11 +1897,13 @@ def normalize_docs(sf_dir: str):
         nonascii = pc.fill_null(
             pc.invert(pc.string_is_ascii(x)), False)
         if pc.any(nonascii).as_py():
-            s = x.to_pandas()
-            m = nonascii.to_pandas()
-            s.loc[m] = s.loc[m].map(
-                lambda v: unicodedata.normalize("NFC", v))
-            x = pa.array(s, pa.string())
+            if isinstance(x, pa.ChunkedArray):
+                x = x.combine_chunks()
+            sub = pc.take(x, pc.indices_nonzero(nonascii)).to_pylist()
+            x = pc.replace_with_mask(
+                x, nonascii,
+                pa.array([unicodedata.normalize("NFC", v)
+                          for v in sub], x.type))
         x = pc.replace_substring_regex(x, pattern=r"\r\n?",
                                        replacement="\n")
         x = pc.replace_substring_regex(x, pattern=r"[ \t]+",
@@ -1967,9 +1969,11 @@ def gopher_rules(sf_dir: str):
     def rules(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
         t = pl.col("text")
-        n_tok = t.str.count_matches(r"\S+").cast(pl.Int64)
+        n_tok = t.str.count_matches(
+            r"[^\t\n\x0b\x0c\r ]+").cast(pl.Int64)
         nosp = (t.str.len_chars()
-                - t.str.count_matches(r"\s")).cast(pl.Int64)
+                - t.str.count_matches(
+                    r"[\t\n\x0b\x0c\r ]")).cast(pl.Int64)
         n_sym = (t.str.count_matches("#", literal=True)
                  + t.str.count_matches(r"\.\.\.|…")).cast(pl.Int64)
         n_lines = (t.str.count_matches("\n", literal=True)
@@ -1979,8 +1983,10 @@ def gopher_rules(sf_dir: str):
         n_ellend = t.str.count_matches(
             r"(?m)(\.\.\.|…)$").cast(pl.Int64)
         n_alpha = t.str.count_matches(
-            r"\S*[A-Za-z]\S*").cast(pl.Int64)
-        toks = t.str.to_lowercase().str.extract_all(r"\S+")
+            r"[^\t\n\x0b\x0c\r ]*[A-Za-z]"
+            r"[^\t\n\x0b\x0c\r ]*").cast(pl.Int64)
+        toks = t.str.to_lowercase().str.extract_all(
+            r"[^\t\n\x0b\x0c\r ]+")
         n_stop = sum(
             toks.list.contains(w).cast(pl.Int64)
             for w in _GOPHER_STOPS).cast(pl.Int64)
@@ -2007,22 +2013,27 @@ def gopher_rules(sf_dir: str):
     return ds.map_batches(rules, batch_format="pyarrow")
 
 
+_NSP_SQL = "[^\\t\\n\\x0b\\x0c\\r ]"
+
+
 def _gopher_stop_sql(w: str) -> str:
     return (f"CAST(len(list_filter(regexp_extract_all(lower(text), "
-            f"'\\S+'), x -> x = '{w}')) > 0 AS BIGINT)")
+            f"'{_NSP_SQL}+'), x -> x = '{w}')) > 0 AS BIGINT)")
 
 
 GOPHER_RULES_SQL = f"""
 WITH f AS (
   SELECT doc_id,
-    len(regexp_extract_all(text, '\\S+')) AS n_tok,
-    length(regexp_replace(text, '\\s', '', 'g')) AS nosp,
+    len(regexp_extract_all(text, '{_NSP_SQL}+')) AS n_tok,
+    length(regexp_replace(text, '[\\t\\n\\x0b\\x0c\\r ]', '', 'g'))
+        AS nosp,
     (length(text) - length(replace(text, '#', ''))
      + len(regexp_extract_all(text, '\\.\\.\\.|…'))) AS n_sym,
     (1 + length(text) - length(replace(text, chr(10), ''))) AS n_lines,
     len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS n_bullet,
     len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS n_ellend,
-    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+    len(regexp_extract_all(text,
+        '{_NSP_SQL}*[A-Za-z]{_NSP_SQL}*')) AS n_alpha,
     ({' + '.join(_gopher_stop_sql(w) for w in _GOPHER_STOPS)}) AS n_stop
   FROM documents)
 SELECT doc_id,
@@ -2090,7 +2101,7 @@ def quality_budget_head(sf_dir: str, budget_tokens: int = 15_000,
 
     bounds = scored.aggregate(Min("doc_id"), Max("doc_id"))
     lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
-    if lo is None:
+    if lo is None or hi is None:
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_pass": pa.array([], pa.int64()),

@@ -228,7 +228,8 @@ def c4_line_rules(pages_path: str):
 
     _kept = (pl.element().str.strip_chars_end(" \t\r")
              .str.contains(r'[.!?"]$')
-             & (pl.element().str.count_matches(r"\S+") >= 5)
+             & (pl.element().str.count_matches(
+                 r"[^\t\n\x0b\x0c\r ]+") >= 5)
              & ~pl.element().str.to_lowercase()
              .str.contains("javascript", literal=True))
 
@@ -286,7 +287,7 @@ g AS (
   SELECT url, ts_s, text, len(lines) AS n_lines,
     list_filter(lines, x ->
       regexp_matches(rtrim(x, ' ' || chr(9) || chr(13)), '[.!?"]$')
-      AND len(regexp_extract_all(x, '\\S+')) >= 5
+      AND len(regexp_extract_all(x, '[^\\t\\n\\x0b\\x0c\\r ]+')) >= 5
       AND NOT contains(lower(x), 'javascript')) AS kept
   FROM f),
 h AS (
@@ -429,6 +430,13 @@ def host_quality(pages_path: str, num_buckets: int = _N_BUCKETS):
     DuckDB ``//`` parity). Hosts whose keep rate collapses are what a
     crawl blocklist is made of; at 10^12 pages the exchange carries two
     counters per (host, batch), nothing else."""
+    return host_quality_from_c4(c4_line_rules(pages_path), num_buckets)
+
+
+def host_quality_from_c4(c4_ds, num_buckets: int = _N_BUCKETS):
+    """The rollup over an already-built C4 Dataset — shared by
+    :func:`host_quality` (fused chain) and :func:`curated_crawl`
+    (spilled pass consumed twice)."""
 
     def partials(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -453,8 +461,7 @@ def host_quality(pages_path: str, num_buckets: int = _N_BUCKETS):
             1000 * out["n_kept"] // out["n_snapshots"]).astype("int64")
         return out
 
-    return (c4_line_rules(pages_path)
-            .map_batches(partials, batch_format="pyarrow")
+    return (c4_ds.map_batches(partials, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(finals, batch_format="pandas"))
 
@@ -524,12 +531,16 @@ def gated_pages(pages_path: str, min_permille: int = 900,
     # the quality table is one row per host — counting it is cheap and
     # the result is reused by whichever path wins
     if hq.count() <= limit:
+        def passing(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.greater_equal(
+                b.column("kept_permille"),
+                min_permille)).select(["host"])
+
         good = pa.array(
-            sorted(r["host"] for r in
-                   hq.filter(lambda r: r["kept_permille"]
-                             >= min_permille)
-                   .select_columns(["host"]).take_all()),
-            pa.string())
+            sorted(hq.map_batches(passing, batch_format="pyarrow")
+                   .to_pandas()["host"]), pa.string())
         ref = ray.put(good)
 
         def keep(b: pa.Table) -> pa.Table:
@@ -610,29 +621,16 @@ def curated_crawl(pages_path: str, min_permille: int = 900,
     c4 = bsp.spill_dataset(c4_line_rules(pages_path), "curated_c4",
                            columns=["url", "ts_s", "keep"])
 
-    # per-host keep rollup over the spilled pass (host_quality shape)
-    def q_partials(b: pa.Table) -> pa.Table:
+    # per-host keep rollup over the spilled pass (the host_quality
+    # rollup, shared implementation), thresholded to the passing set
+    def q_pass(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = pa.table({"host": host_of(b.column("url")),
-                      "keep": pc.cast(b.column("keep"), pa.int64())})
-        out = (t.to_pandas()
-               .groupby("host", as_index=False, sort=False)
-               .agg(n=("keep", "size"), n_kept=("keep", "sum")))
-        out = out.astype({"n": "int64", "n_kept": "int64"})
-        out["bucket"] = bucket_keys(out["host"].to_numpy(), num_buckets)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return b.filter(pc.greater_equal(
+            b.column("kept_permille"), min_permille)).select(["host"])
 
-    def q_finals(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby("host", sort=True)
-               .agg(n=("n", "sum"), n_kept=("n_kept", "sum"))
-               .reset_index())
-        out = out[1000 * out["n_kept"] // out["n"] >= min_permille]
-        return out[["host"]]
-
-    passing = (c4.map_batches(q_partials, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(q_finals, batch_format="pandas"))
+    passing = (host_quality_from_c4(c4, num_buckets)
+               .map_batches(q_pass, batch_format="pyarrow"))
 
     # stage 1: winners ⋈ keep-true pages, bucketed by hash(url)
     def winner_side(b: pa.Table) -> pa.Table:
@@ -653,15 +651,18 @@ def curated_crawl(pages_path: str, min_permille: int = 900,
         k = g.loc[g["side"] == 1, ["url", "ts_s"]].drop_duplicates()
         w = g.loc[g["side"] == 0, ["norm_url", "url", "ts_s"]]
         out = w.merge(k, on=["url", "ts_s"], how="inner")
-        out["host"] = out["url"].str.split("/").str[2].fillna("")
         return out.astype({"ts_s": "int64"})
+
+    def add_host(b: pa.Table) -> pa.Table:
+        return b.append_column("host", host_of(b.column("url")))
 
     survivors = (canonical_latest(pages_path, num_buckets)
                  .map_batches(winner_side, batch_format="pyarrow")
                  .union(c4.map_batches(keep_side,
                                        batch_format="pyarrow"))
                  .groupby("bucket")
-                 .map_groups(semi_url, batch_format="pandas"))
+                 .map_groups(semi_url, batch_format="pandas")
+                 .map_batches(add_host, batch_format="pyarrow"))
 
     # stage 2: survivors ⋈ passing hosts, bucketed by hash(host)
     def surv_side(b: pa.Table) -> pa.Table:
@@ -712,8 +713,9 @@ r AS (
   FROM c)
 SELECT split_part(r.url, '/', 3) AS host, r.norm_url, r.url, r.ts_s
 FROM r
-JOIN c4 ON r.url = c4.url AND r.ts_s = c4.ts_s
-WHERE r.rn = 1 AND c4.keep
+JOIN (SELECT DISTINCT url, ts_s FROM c4 WHERE keep) k
+  ON r.url = k.url AND r.ts_s = k.ts_s
+WHERE r.rn = 1
   AND split_part(r.url, '/', 3) IN (SELECT host FROM hq)
 """
 

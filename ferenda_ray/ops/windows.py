@@ -590,7 +590,7 @@ def late_events(sf_dir: str, lateness_sec: int = LATENESS_SEC,
 
     bounds = ev.aggregate(Min("event_id"), Max("event_id"))
     lo, hi = bounds["min(event_id)"], bounds["max(event_id)"]
-    if lo is None:
+    if lo is None or hi is None:
         return rd.from_arrow(pa.table({
             "event_type": pa.array([], pa.string()),
             "n_events": pa.array([], pa.int64()),
